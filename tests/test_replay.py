@@ -1,0 +1,144 @@
+"""End-to-end replay correctness vs a DuckDB rank-1 oracle (FIXTURES.md F5)."""
+
+import glob
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ton_etl_ray.cdc.replay import final_state_table, replay
+from ton_etl_ray.gen import write_change_log
+
+ORACLE_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rk
+  FROM read_parquet({files}, union_by_name=true)
+)
+SELECT doc_id, tokens, n_tok, source{extra}
+FROM ranked WHERE rk = 1 AND op <> 'd'
+"""
+
+
+def _oracle(change_dir, extra=""):
+    files = sorted(glob.glob(os.path.join(change_dir, "*.parquet")))
+    sql = ORACLE_SQL.format(files=str(files), extra=extra)
+    return duckdb.sql(sql).arrow()
+
+
+def _as_map(t: pa.Table):
+    cols = t.column_names
+    return {
+        r["doc_id"]: tuple(r[c] for c in cols if c not in ("doc_id", "lsn"))
+        for r in t.to_pylist()
+    }
+
+
+def test_replay_matches_oracle(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=20000, num_keys=1500, seed=3, num_shards=6, max_tok=24)
+    res = replay(chg, lake, num_partitions=16, hot_share_threshold=0.005)
+    assert res.published and res.epoch == 0
+    got = final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"])
+    want = _oracle(chg)
+    gm, wm = _as_map(got), _as_map(want)
+    assert set(gm) == set(wm)
+    assert gm == wm
+    assert res.rows_total == len(wm)
+
+
+def test_replay_hot_keys_salted(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=10000, num_keys=200, seed=9, num_shards=4, max_tok=16)
+    # zipf s=1.1 over 200 keys → top key has several % share → hot detection fires
+    res = replay(chg, lake, num_partitions=8, num_salts=4, hot_share_threshold=0.02)
+    assert res.hot_keys, "expected hot keys to be detected"
+    assert res.counters["hotspill_parts"] > 0
+    gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
+    wm = _as_map(_oracle(chg))
+    assert gm == wm
+
+
+def test_replay_schema_evolution(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(
+        chg, num_events=8000, num_keys=600, seed=4, num_shards=4, max_tok=16,
+        evolve_after_shard=2,
+    )
+    replay(chg, lake, num_partitions=8)
+    got = final_state_table(lake)
+    assert got.schema.field("lang").type == pa.string()
+    assert got.schema.field("n_tok").type == pa.int64()
+    gm = _as_map(got.select(["doc_id", "tokens", "n_tok", "source", "lang"]))
+    wm = _as_map(_oracle(chg, extra=", lang"))
+    assert gm == wm
+    # pre-evolution winners carry null lang
+    assert any(v[-1] is None for v in gm.values())
+    assert any(v[-1] is not None for v in gm.values())
+
+
+def test_incremental_epochs_equal_oneshot(tmp_path):
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=12000, num_keys=800, seed=6, num_shards=6, max_tok=16)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+
+    lake_a = str(tmp_path / "lake_oneshot")
+    replay(files, lake_a, num_partitions=8)
+
+    lake_b = str(tmp_path / "lake_incr")
+    r0 = replay(files[:3], lake_b, num_partitions=8)
+    r1 = replay(files[3:], lake_b, num_partitions=8)
+    assert (r0.epoch, r1.epoch) == (0, 1)
+    assert r1.partitions_inherited + r1.partitions_written == 8
+
+    a = _as_map(final_state_table(lake_a).select(["doc_id", "tokens", "n_tok", "source"]))
+    b = _as_map(final_state_table(lake_b).select(["doc_id", "tokens", "n_tok", "source"]))
+    assert a == b
+
+
+def test_resume_after_partial_run(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=10000, num_keys=700, seed=8, num_shards=4, max_tok=16)
+
+    # simulate a crash: only half the partitions get applied, no commit
+    partial = replay(chg, lake, num_partitions=8, only_parts=frozenset(range(4)),
+                     hot_share_threshold=1.0)
+    assert not partial.published
+
+    res = replay(chg, lake, resume=True, num_partitions=8, hot_share_threshold=1.0)
+    assert res.published and res.epoch == 0
+    # committed partitions were skipped, not recomputed
+    assert res.partitions_written == 8
+
+    gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
+    wm = _as_map(_oracle(chg))
+    assert gm == wm
+
+
+def test_fresh_run_discards_abandoned_staging(tmp_path):
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=4000, num_keys=300, seed=10, num_shards=2, max_tok=16)
+    replay(chg, lake, num_partitions=4, only_parts=frozenset({0}), hot_share_threshold=1.0)
+    res = replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)  # resume=False → restart epoch
+    assert res.published
+    gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
+    assert gm == _as_map(_oracle(chg))
+
+
+def test_invalid_op_rejected(tmp_path):
+    import pyarrow.parquet as pq
+    from ton_etl_ray.gen import make_change_batch
+
+    t = make_change_batch(num_events=10, num_keys=5, seed=1)
+    bad = t.set_column(t.column_names.index("op"), "op",
+                       pa.array(["x"] * t.num_rows, pa.string()))
+    chg = str(tmp_path / "chg")
+    os.makedirs(chg)
+    pq.write_table(bad, os.path.join(chg, "shard-00000.parquet"))
+    with pytest.raises(Exception, match="invalid op"):
+        replay(chg, str(tmp_path / "lake"), num_partitions=2, hot_share_threshold=1.0)

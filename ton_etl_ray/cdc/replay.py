@@ -1,0 +1,385 @@
+"""Flagship pipeline: LSN-ordered CDC change-log replay → Parquet lake.
+
+Ray-Data-first shape (SURVEY.md §3.5, §7)::
+
+    read_parquet(change shards, grouped by on-disk schema)
+      → map_batches(Normalize: conform to unified schema, validate ops,
+                    per-batch partial LWW compaction, partition+salt)   # stateless, zero-copy Arrow
+      → groupby("part").map_groups(apply_partition)                     # the one all-to-all shuffle
+           base partition: merge prior state (LWW) → 2PC partition write
+           salted hot partition: partial compact (tombstones kept) → spill
+      → driver: reduce hot spills → merge winners into base partitions
+      → publish epoch (_COMMIT + _LATEST pointer flip)
+
+Correctness contract (BASELINE.json north rule): final table equals the
+sequential oracle's rank-1 LWW compaction (reference
+datalake_daily_sync.py:641-653) with tombstone deletes, exactly-once
+under task retries and crash-resume, and schema evolution (added
+columns → nulls, numeric widening).
+
+Scale design notes:
+- the only global shuffle is ``groupby("part")`` over *partially
+  compacted* rows (≤1 row per key per input block), so shuffle volume is
+  bounded by keys×blocks, not raw events;
+- there is NO global sort by lsn — LWW(max lsn) only needs per-key
+  ordering, which the per-partition reduce provides (SURVEY.md §7.4);
+- hot keys are salted across ``num_salts`` extra shuffle partitions and
+  re-reduced in a tiny driver-side second stage, so one skewed key never
+  lands on a single reducer (SURVEY.md §4.2);
+- untouched partitions are inherited by reference into the new epoch's
+  commit — an epoch only rewrites partitions that received changes;
+- choose ``num_partitions`` so (partition state + epoch changes) fits a
+  worker heap: at 100 TB state, P=65536 → ~1.6 GB per reducer.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..core import merge as M
+from ..core import partition as P
+from ..core.schema_evolution import conform, unify_schemas
+from ..schemas import ENVELOPE_COLS, VALID_OPS
+from . import sink
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int64()),
+        pa.field("kind", pa.string()),  # 'data' | 'hotspill'
+        pa.field("file", pa.string()),
+        pa.field("rows", pa.int64()),
+        pa.field("rows_in", pa.int64()),
+        pa.field("tombstones", pa.int64()),
+        pa.field("max_lsn", pa.int64()),
+        pa.field("bytes", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class ReplayResult:
+    epoch: int
+    published: bool
+    num_partitions: int
+    hot_keys: list[str]
+    rows_total: int
+    max_lsn: int
+    partitions_written: int
+    partitions_inherited: int
+    counters: dict = field(default_factory=dict)
+
+
+def _discover(changes: str | list[str]) -> list[str]:
+    if isinstance(changes, str):
+        files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    else:
+        files = list(changes)
+    if not files:
+        raise FileNotFoundError(f"no change shards under {changes!r}")
+    return files
+
+
+def _sample_keys(files: list[str], max_files: int = 8, max_rows: int = 200_000) -> pa.ChunkedArray:
+    """Bounded driver-side sample for hot-key detection: first row group
+    of up to ``max_files`` evenly spaced shards, doc_id column only."""
+    step = max(1, len(files) // max_files)
+    chunks = []
+    total = 0
+    for f in files[::step][:max_files]:
+        pf = pq.ParquetFile(f)
+        rg = pf.read_row_group(0, columns=["doc_id"])
+        chunks.append(rg.column("doc_id"))
+        total += rg.num_rows
+        if total >= max_rows:
+            break
+    return pa.chunked_array([c for ch in chunks for c in ch.chunks])
+
+
+class Normalize:
+    """Stage 1 (stateless map_batches): conform → validate → partial
+    compact → partition assignment. The envelope-normalization analogue
+    of the reference's converters (datalake/converters/converter.py) plus
+    the pre-aggregation combiner that bounds shuffle volume per key."""
+
+    def __init__(
+        self,
+        schema: pa.Schema,
+        num_partitions: int,
+        hot_keys: frozenset[str],
+        num_salts: int,
+        skip_parts: frozenset[int],
+        only_parts: frozenset[int] | None,
+    ):
+        self.schema = schema
+        self.P = num_partitions
+        self.hot = hot_keys
+        self.S = num_salts
+        self.skip = skip_parts
+        self.only = only_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = conform(batch, self.schema)
+        ok = pc.is_in(t["op"], value_set=pa.array(VALID_OPS))
+        if not pc.all(ok).as_py():
+            bad = t.filter(pc.invert(ok))
+            raise ValueError(f"invalid op values, e.g. {bad['op'][0]}")
+        if t["lsn"].null_count:
+            raise ValueError("null lsn in change batch")
+        t = M.compact(t, keep_tombstones=True)
+        salt_token = pc.min(t["lsn"]).as_py() or 0
+        part = P.assign_partitions(
+            t["doc_id"], self.P, hot_keys=self.hot, num_salts=self.S, salt_token=salt_token
+        )
+        t = t.append_column("part", pa.array(part, pa.int64()))
+        keep = np.ones(len(part), dtype=bool)
+        if self.skip:
+            keep &= ~np.isin(part, list(self.skip))
+        if self.only is not None:
+            keep &= np.isin(part, list(self.only))
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        return t
+
+
+def _make_apply_fn(
+    lake_dir: str,
+    epoch: int,
+    num_partitions: int,
+    prev_state: dict[int, str],
+):
+    """Stage 2 reducer, executed once per shuffle partition group."""
+
+    def apply_partition(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        changes = group.drop_columns(["part"])
+        rows_in = changes.num_rows
+        if part >= num_partitions:
+            partial = M.compact(changes, keep_tombstones=True)
+            fname = sink.spill_file(part)
+            m = sink.write_partition(
+                lake_dir, epoch, fname, partial,
+                {"kind": "hotspill", "part": part, "rows_in": rows_in,
+                 "max_lsn": pc.max(partial["lsn"]).as_py(),
+                 "tombstones": int(pc.sum(pc.equal(partial["op"], "d")).as_py() or 0)},
+            )
+            return _manifest_row(part, "hotspill", m)
+        state = None
+        if part in prev_state:
+            state = pq.read_table(prev_state[part])
+        new_state = M.merge_state(state, changes)
+        new_state = new_state.sort_by("doc_id")
+        tomb = int(pc.sum(pc.equal(changes["op"], "d")).as_py() or 0)
+        fname = sink.part_file(part)
+        m = sink.write_partition(
+            lake_dir, epoch, fname, new_state,
+            {"kind": "data", "part": part, "rows_in": rows_in,
+             "max_lsn": int(pc.max(changes["lsn"]).as_py()), "tombstones": tomb},
+        )
+        return _manifest_row(part, "data", m)
+
+    return apply_partition
+
+
+def _manifest_row(part: int, kind: str, m: dict) -> pa.Table:
+    return pa.table(
+        {
+            "part": [part],
+            "kind": [kind],
+            "file": [m["file"]],
+            "rows": [m["rows"]],
+            "rows_in": [m["rows_in"]],
+            "tombstones": [m.get("tombstones", 0)],
+            "max_lsn": [m.get("max_lsn", -1)],
+            "bytes": [m["bytes"]],
+        },
+        schema=MANIFEST_ROW_SCHEMA,
+    )
+
+
+def replay(
+    changes: str | list[str],
+    lake_dir: str,
+    *,
+    num_partitions: int = 64,
+    num_salts: int = 8,
+    hot_share_threshold: float = 0.01,
+    resume: bool = False,
+    only_parts: frozenset[int] | None = None,
+) -> ReplayResult:
+    """Apply a change log to the lake as one new epoch (exactly-once).
+
+    Fresh lake → epoch 0; committed lake → incremental ingest as the next
+    epoch; ``resume=True`` finishes a crashed epoch, skipping every
+    partition whose manifest is already durable. ``only_parts`` is a
+    test/fault-injection hook: process only those shuffle partitions and
+    do NOT publish (simulates a mid-replay crash deterministically).
+    """
+    from .._pickle import ensure_portable
+
+    ensure_portable()
+    files = _discover(changes)
+    os.makedirs(lake_dir, exist_ok=True)
+
+    prev_epoch = sink.latest_epoch(lake_dir)
+    epoch = 0 if prev_epoch is None else prev_epoch + 1
+    prev_commit = sink.read_commit(lake_dir, prev_epoch) if prev_epoch is not None else None
+    if prev_commit is not None:
+        # the partition layout is fixed at epoch 0: prior state is looked up
+        # by partition file, so later epochs must hash with the same P
+        num_partitions = prev_commit["num_partitions"]
+    staging = sink.epoch_dir(lake_dir, epoch)
+    if os.path.isdir(staging) and not resume:
+        shutil.rmtree(staging)  # discard an abandoned, uncommitted epoch
+
+    # unified change schema across shards (+ prior lake schema so state
+    # columns survive even if this epoch's shards dropped one)
+    file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
+    for f in files:
+        s = pq.read_schema(f)
+        key = s.serialize().to_pybytes()
+        file_schemas.setdefault(key, (s, []))[1].append(f)
+    schemas = [s for s, _ in file_schemas.values()]
+    if prev_epoch is not None:
+        prev_payload = sink.lake_schema(lake_dir, prev_epoch)
+        schemas.append(pa.schema([f for f in prev_payload if f.name != "lsn"]))
+    unified = unify_schemas(schemas)
+
+    hot = P.detect_hot_keys(
+        _sample_keys(files), share_threshold=hot_share_threshold
+    ) if hot_share_threshold < 1.0 else frozenset()
+
+    committed = sink.staged_manifests(lake_dir, epoch) if resume else {}
+    skip_parts = frozenset(m["part"] for m in committed.values())
+
+    prev_state = sink.state_path_map(lake_dir, prev_epoch)
+
+    groups = []
+    for s, fl in file_schemas.values():
+        ds = rd.read_parquet(fl)
+        groups.append(
+            ds.map_batches(
+                Normalize(unified, num_partitions, hot, num_salts, skip_parts, only_parts),
+                batch_format="pyarrow",
+            )
+        )
+    ds = groups[0]
+    for g in groups[1:]:
+        ds = ds.union(g)
+
+    apply_fn = _make_apply_fn(lake_dir, epoch, num_partitions, prev_state)
+    manifest_rows = ds.groupby("part").map_groups(
+        apply_fn, batch_format="pyarrow"
+    ).take_all()
+
+    manifests: dict[str, dict] = dict(committed)
+    for r in manifest_rows:
+        manifests[str(r["file"])] = {
+            k: (str(v) if isinstance(v, str) else int(v)) for k, v in r.items()
+        }
+
+    # --- hot-key second-stage reduce: fold salted partials into base parts
+    spills = [m for m in manifests.values() if m["kind"] == "hotspill"]
+    if spills:
+        tables = [
+            pq.read_table(os.path.join(staging, m["file"])) for m in spills
+        ]
+        winners = M.compact(pa.concat_tables(tables, promote_options="permissive"),
+                            keep_tombstones=True)
+        base = P.assign_partitions(winners["doc_id"], num_partitions)
+        for bp in sorted(set(base.tolist())):
+            sub = winners.filter(pa.array(base == bp))
+            cur_path = os.path.join(staging, sink.part_file(bp))
+            if os.path.exists(cur_path):
+                state = pq.read_table(cur_path)
+            elif bp in prev_state:
+                state = pq.read_table(prev_state[bp])
+            else:
+                state = None
+            new_state = M.merge_state(state, sub).sort_by("doc_id")
+            m = sink.write_partition(
+                lake_dir, epoch, sink.part_file(bp), new_state,
+                {"kind": "data", "part": bp,
+                 "rows_in": int(sub.num_rows),
+                 "max_lsn": int(pc.max(sub["lsn"]).as_py()),
+                 "tombstones": int(pc.sum(pc.equal(sub["op"], "d")).as_py() or 0)},
+            )
+            manifests[m["file"]] = {**m, "kind": "data", "part": bp}
+
+    # --- phase-2 commit: full partition map (written ∪ inherited)
+    data_manifests = {m["part"]: m for m in manifests.values() if m["kind"] == "data"}
+    state_schema = pa.schema(
+        [f for f in unified if f.name not in ("op", "ts_ms")]
+    )
+    partitions: dict[str, dict] = {}
+    written = inherited = 0
+    rows_total = 0
+    max_lsn = -1
+    for p_ in range(num_partitions):
+        if p_ in data_manifests:
+            m = data_manifests[p_]
+            rel = os.path.join(os.path.basename(staging), m["file"])
+            partitions[str(p_)] = {"path": rel, "rows": m["rows"], "max_lsn": m["max_lsn"]}
+            written += 1
+            rows_total += m["rows"]
+            max_lsn = max(max_lsn, m["max_lsn"])
+        elif prev_commit is not None and str(p_) in prev_commit["partitions"]:
+            ent = prev_commit["partitions"][str(p_)]
+            partitions[str(p_)] = ent
+            inherited += 1
+            rows_total += ent["rows"]
+        else:
+            partitions[str(p_)] = {"path": "", "rows": 0, "max_lsn": -1}
+
+    published = False
+    if only_parts is None:
+        sink.publish_epoch(
+            lake_dir, epoch, partitions,
+            {
+                "num_partitions": num_partitions,
+                "num_salts": num_salts,
+                "hot_keys": sorted(hot),
+                "inputs": [os.path.basename(f) for f in files],
+                "rows_total": rows_total,
+                "max_lsn": max_lsn,
+            },
+            state_schema,
+        )
+        published = True
+
+    return ReplayResult(
+        epoch=epoch,
+        published=published,
+        num_partitions=num_partitions,
+        hot_keys=sorted(hot),
+        rows_total=rows_total,
+        max_lsn=max_lsn,
+        partitions_written=written,
+        partitions_inherited=inherited,
+        counters={
+            "rows_in": int(sum(m["rows_in"] for m in manifests.values())),
+            "tombstones": int(sum(m["tombstones"] for m in manifests.values())),
+            "hotspill_parts": len(spills),
+        },
+    )
+
+
+def read_lake(lake_dir: str, epoch: int | None = None) -> "rd.Dataset":
+    """The committed lake as a Ray Dataset (payload + lsn columns)."""
+    return rd.read_parquet(sink.lake_files(lake_dir, epoch))
+
+
+def final_state_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
+    """Driver-side full read — tests/small lakes only."""
+    fs = sink.lake_files(lake_dir, epoch)
+    tables = [pq.read_table(f) for f in fs]
+    return pa.concat_tables(tables, promote_options="permissive")

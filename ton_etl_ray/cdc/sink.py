@@ -1,0 +1,187 @@
+"""Exactly-once two-phase-commit Parquet lake sink with manifests.
+
+The reference achieves durability by ordering: write Avro file → upload
+→ THEN commit Kafka offsets (at-least-once, duplicates cleaned daily by
+an EXCEPT dedup — reference datalake/main.py:157-186,
+datalake_daily_sync.py:298-328). We instead make the sink exactly-once:
+
+phase 1: each partition applier writes ``part-NNNNN.parquet`` via a tmp
+         file + atomic rename, then its ``*.manifest.json`` (fsynced) —
+         a partition is durably done iff its manifest exists;
+phase 2: the driver writes the epoch ``_COMMIT.json`` naming every
+         partition file (possibly inheriting untouched partitions from
+         the previous epoch), then atomically flips the ``_LATEST``
+         pointer. Readers only ever see committed epochs.
+
+Task retries are invisible: a retried applier rewrites the same
+deterministic content to the same path. Resume after a crash skips
+every partition whose manifest already exists (lineage recorded inside).
+
+Layout::
+
+    lake_dir/
+      _LATEST                      # text: committed epoch id
+      epoch-000000/
+        _COMMIT.json               # partition map + totals + schema
+        part-00007.parquet
+        part-00007.manifest.json   # rows, max_lsn, counters, inputs
+        hotspill-00033.parquet     # salted hot-key partials (pre-publish)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COMMIT_NAME = "_COMMIT.json"
+LATEST_NAME = "_LATEST"
+
+
+def epoch_dir(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, f"epoch-{epoch:06d}")
+
+
+def part_file(p: int) -> str:
+    return f"part-{p:05d}.parquet"
+
+
+def spill_file(p: int) -> str:
+    return f"hotspill-{p:05d}.parquet"
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
+def atomic_write_table(path: str, table: pa.Table) -> int:
+    """Write a parquet file atomically; returns file size in bytes."""
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+    return os.path.getsize(path)
+
+
+def write_partition(
+    lake_dir: str, epoch: int, fname: str, table: pa.Table, lineage: dict
+) -> dict:
+    """Phase-1 commit of one partition: data file then manifest."""
+    d = epoch_dir(lake_dir, epoch)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, fname)
+    size = atomic_write_table(path, table)
+    manifest = {
+        "file": fname,
+        "rows": table.num_rows,
+        "bytes": size,
+        **lineage,
+    }
+    atomic_write_bytes(
+        os.path.join(d, fname.replace(".parquet", ".manifest.json")),
+        json.dumps(manifest, sort_keys=True).encode(),
+    )
+    return manifest
+
+
+def staged_manifests(lake_dir: str, epoch: int) -> dict[str, dict]:
+    """Manifests already durably written in a (possibly uncommitted) epoch."""
+    d = epoch_dir(lake_dir, epoch)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if name.endswith(".manifest.json"):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            out[m["file"]] = m
+    return out
+
+
+def latest_epoch(lake_dir: str) -> int | None:
+    p = os.path.join(lake_dir, LATEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_commit(lake_dir: str, epoch: int) -> dict:
+    with open(os.path.join(epoch_dir(lake_dir, epoch), COMMIT_NAME)) as f:
+        return json.load(f)
+
+
+def is_committed(lake_dir: str, epoch: int) -> bool:
+    return os.path.exists(os.path.join(epoch_dir(lake_dir, epoch), COMMIT_NAME))
+
+
+def publish_epoch(
+    lake_dir: str,
+    epoch: int,
+    partitions: dict[str, dict],
+    meta: dict,
+    schema: pa.Schema,
+) -> dict:
+    """Phase-2 commit: epoch manifest then the ``_LATEST`` pointer flip."""
+    commit = {
+        "epoch": epoch,
+        "partitions": partitions,  # part-id -> {"path": rel-to-lake_dir, "rows", "max_lsn"}
+        "schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+        **meta,
+    }
+    atomic_write_bytes(
+        os.path.join(epoch_dir(lake_dir, epoch), COMMIT_NAME),
+        json.dumps(commit, sort_keys=True).encode(),
+    )
+    atomic_write_bytes(os.path.join(lake_dir, LATEST_NAME), str(epoch).encode())
+    return commit
+
+
+def lake_schema(lake_dir: str, epoch: int | None = None) -> pa.Schema:
+    e = latest_epoch(lake_dir) if epoch is None else epoch
+    commit = read_commit(lake_dir, e)
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(commit["schema_b64"])))
+
+
+def lake_files(lake_dir: str, epoch: int | None = None) -> list[str]:
+    """Absolute paths of the committed lake's partition files."""
+    e = latest_epoch(lake_dir) if epoch is None else epoch
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch in {lake_dir}")
+    commit = read_commit(lake_dir, e)
+    return [
+        os.path.join(lake_dir, ent["path"])
+        for ent in commit["partitions"].values()
+        if ent["rows"] > 0
+    ]
+
+
+def state_path_map(lake_dir: str, epoch: int | None) -> dict[int, str]:
+    """part-id -> absolute state file path for the given committed epoch."""
+    if epoch is None:
+        return {}
+    commit = read_commit(lake_dir, epoch)
+    return {
+        int(pid): os.path.join(lake_dir, ent["path"])
+        for pid, ent in commit["partitions"].items()
+        if ent["rows"] > 0
+    }
