@@ -1,0 +1,76 @@
+"""CLI / ``ray job submit`` entry point for the CDC replay pipeline.
+
+Usage::
+
+    python -m ton_etl_ray.cdc.run_replay --changes DIR --lake DIR \
+        [--num-partitions P] [--num-salts S] [--resume] [--num-cpus N]
+
+This is the only place (besides bench.py and the test fixture) that owns
+a Ray session; library code never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changes", required=True)
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--num-salts", type=int, default=8)
+    ap.add_argument("--hot-share-threshold", type=float, default=0.01)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .replay import replay
+
+    t0 = time.perf_counter()
+    res = replay(
+        args.changes,
+        args.lake,
+        num_partitions=args.num_partitions,
+        num_salts=args.num_salts,
+        hot_share_threshold=args.hot_share_threshold,
+        resume=args.resume,
+    )
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "epoch": res.epoch,
+                "published": res.published,
+                "rows_total": res.rows_total,
+                "max_lsn": res.max_lsn,
+                "rows_in": res.counters["rows_in"],
+                "sec": round(dt, 3),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
