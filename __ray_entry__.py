@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship CDC pipeline on sf0.001 (documents → change log
+  → exactly-once LWW replay → committed Parquet lake).
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 plus the training-data operators; each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL over the pre-registered views
+  for every SQL-expressible query (same output column names).
 """
 
 from __future__ import annotations
@@ -20,25 +18,184 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from ton_etl_ray.pipelines import flagship
+
+    ds = flagship("/root/testdata/sf0.001")
+    return ds.select_columns(["doc_id", "n_tok", "source"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ton_etl_ray.ops import ann, dedup, relational as R, text
+    from ton_etl_ray.pipelines import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC flagship (non-SQL: tokens are hash-derived; pytest holds
+        # the rank-1 oracle equality tests) ---
+        "cdc_replay": lambda sf: flagship(sf).select_columns(["doc_id", "n_tok", "source"]),
+        # --- relational / reference operator families (SURVEY §2) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "filtered_revenue": R.filtered_revenue,
+        "broadcast_join_parts": R.broadcast_join_parts,
+        "asof_last_click": R.asof_last_click,
+        "session_count": R.session_count,
+        "rank1_snapshot": R.rank1_snapshot,
+        "cdc_state_events": R.cdc_state_events,
+        "windowed_hourly": R.windowed_hourly,
+        "percentile_values": R.percentile_values,
+        "topk_users": R.topk_users,
+        "anti_join_customers": R.anti_join_customers,
+        "except_users": R.except_users,
+        "distinct_event_types": R.distinct_event_types,
+        "union_trades": R.union_trades,
+        "table_counts": R.table_counts,
+        # --- text analysis / dedup (training-data ops) ---
+        "doc_token_stats": text.doc_token_stats,
+        "dedup_docs_prefix": text.dedup_docs_prefix,
+        "lang_id": text.lang_id,                      # heuristic → rows-only
+        "quality_score": text.quality_score,          # heuristic → rows-only
+        "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
+        "exact_dedup_hash": dedup.exact_dedup_hash,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # sketch → rows-only
+        "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
+        # --- similarity search ---
+        "knn_cosine": ann.knn_cosine,
+        "knn_ivf": ann.knn_ivf,                       # approximate → rows-only
+        "embedding_dedup_pairs": lambda sf: ann.embedding_dedup_pairs(sf, threshold=0.4),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "filtered_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+        """,
+        "broadcast_join_parts": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_brand
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        """,
+        "asof_last_click": """
+            SELECT p.event_id, p.user_id, c.value AS last_click_value
+            FROM events p LEFT JOIN LATERAL (
+                SELECT value FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+                ORDER BY c.ts DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+        """,
+        "session_count": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            )
+            SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "rank1_snapshot": """
+            WITH ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+            )
+            SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+            FROM ranked WHERE rk = 1
+        """,
+        "cdc_state_events": """
+            WITH ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+            )
+            SELECT user_id, value AS last_value
+            FROM ranked WHERE rk = 1 AND event_type <> 'error'
+        """,
+        "windowed_hourly": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "percentile_values": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "topk_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY sum(value) DESC LIMIT 10
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "except_users": """
+            SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "union_trades": """
+            WITH u AS (
+                SELECT 'purchase' AS kind, value AS amount FROM events
+                WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT 'order' AS kind, o_totalprice AS amount FROM orders
+            )
+            SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
+            FROM u GROUP BY kind
+        """,
+        "table_counts": """
+            SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
+                       AS punct_count
+            FROM documents
+        """,
+        "dedup_docs_prefix": """
+            SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedup_hash": """
+            SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY text
+        """,
+        "knn_cosine": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS sim
+            FROM embeddings, q
+            WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_dedup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

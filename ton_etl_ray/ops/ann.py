@@ -1,0 +1,172 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (the exact baseline);
+- IVF-bucketed variant: deterministic centroids (seeded sample + one
+  Lloyd step), per-batch cluster assignment, search only the probed
+  clusters — the 100 TB scale path (prunes the candidate set before any
+  distance computation);
+- cosine near-dup pairs (embedding-cosine dedup).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .._pickle import ensure_portable
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    col = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(col[0])
+    return flat.reshape(-1, dim)
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    """Deterministic query: the embedding of the smallest vec_id."""
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    i = int(np.argmin(t["vec_id"].to_numpy()))
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+def knn_cosine(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs the vec_id=0 embedding.
+
+    Per-batch vectorized partial top-k (matmul + argpartition), merged on
+    the driver — the map-side-combine pattern: only k rows per block ever
+    leave a worker."""
+    ensure_portable()
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
+            ids = t["vec_id"].to_numpy()
+            keep = ids != 0  # exclude the query itself
+            sims, ids = sims[keep], ids[keep]
+            if len(ids) > k:
+                top = np.argpartition(-sims, k)[:k]
+                sims, ids = sims[top], ids[top]
+            return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
+
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
+    rows = partials.take_all()
+    best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r["vec_id"]))
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in best], pa.int64()),
+            "sim": pa.array([round(float(r["sim"]), 6) for r in best], pa.float64()),
+        }
+    )
+
+
+def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
+    """IVF-bucketed approximate top-k: assign every vector to its nearest
+    deterministic centroid, search only the ``probes`` closest clusters.
+    Approximate → rows-only driver check (no oracle SQL)."""
+    ensure_portable()
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+
+    # deterministic centroids: seeded sample + one Lloyd refinement
+    sample = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
+    m = _emb_matrix(sample)
+    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    rng = np.random.default_rng(1234)
+    cent = m[rng.choice(len(m), size=min(num_clusters, len(m)), replace=False)]
+    assign = np.argmax(m @ cent.T, axis=1)
+    for c in range(len(cent)):
+        sel = m[assign == c]
+        if len(sel):
+            v = sel.mean(axis=0)
+            cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    probe_set = set(np.argsort(-(cent @ qn))[:probes].tolist())
+    cref = ray.put((cent, probe_set, qn))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class ProbeTopK:
+        def __init__(self):
+            self.cent, self.probe, self.q = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mm = _emb_matrix(t)
+            norms = np.clip(np.linalg.norm(mm, axis=1), 1e-12, None)
+            mmn = mm / norms[:, None]
+            cl = np.argmax(mmn @ self.cent.T, axis=1)
+            keep = np.isin(cl, list(self.probe)) & (t["vec_id"].to_numpy() != 0)
+            sims = mmn[keep] @ self.q
+            ids = t["vec_id"].to_numpy()[keep]
+            if len(ids) > k:
+                top = np.argpartition(-sims, k)[:k]
+                sims, ids = sims[top], ids[top]
+            return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
+
+    rows = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=2).take_all()
+    best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r["vec_id"]))
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in best], pa.int64()),
+            "sim": pa.array([round(float(r["sim"]), 6) for r in best], pa.float64()),
+        }
+    )
+
+
+def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-dup pairs: per-batch matmul against the
+    broadcast (normalized) full matrix. At test scale the matrix is tiny;
+    at 100 TB replace the broadcast with LSH bucketing (see dedup.py)."""
+    ensure_portable()
+    full = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    fm = _emb_matrix(full)
+    fm = fm / np.clip(np.linalg.norm(fm, axis=1, keepdims=True), 1e-12, None)
+    fids = full["vec_id"].to_numpy()
+    ref = ray.put((fm, fids))
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class Pairs:
+        def __init__(self):
+            self.fm, self.fids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mm = _emb_matrix(t)
+            mm = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
+            sims = mm @ self.fm.T
+            ids = t["vec_id"].to_numpy()
+            ia, ib, sv = [], [], []
+            for r in range(len(ids)):
+                hits = np.nonzero((sims[r] >= threshold) & (self.fids > ids[r]))[0]
+                for h_ in hits:
+                    ia.append(ids[r])
+                    ib.append(self.fids[h_])
+                    sv.append(round(float(sims[r, h_]), 6))
+            return pa.table(
+                {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+                 "sim": pa.array(sv, pa.float64())}
+            )
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=2)

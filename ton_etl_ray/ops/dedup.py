@@ -1,0 +1,207 @@
+"""Deduplication family for training-data pipelines over ``documents``.
+
+- exact: hash-partition on a content hash, first-writer-wins per group
+- MinHash+LSH: shingle → minhash per batch → explode (band, bucket) rows
+  → groupby bands → candidate pairs → verified Jaccard
+- SimHash: 64-bit near-dup signature
+- n-gram Jaccard: exact verified pair similarity
+
+All per-batch kernels are vectorized or bounded-loop over the batch;
+signatures are mergeable so the wide step only shuffles (band, bucket,
+doc_id) triples — never the documents themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .._pickle import ensure_portable
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _shingles(text: str, n: int = 3) -> set[int]:
+    """Word n-gram shingles, hashed to int64."""
+    words = text.split(" ")
+    out = set()
+    for i in range(max(0, len(words) - n + 1)):
+        h = 0
+        for w in words[i : i + n]:
+            for ch in w.encode():
+                h = (h * 131 + ch) % _MERSENNE
+            h = (h * 1_000_003 + 7) % _MERSENNE
+        out.add(h)
+    return out
+
+
+class _MinHasher:
+    """num_perm universal-hash minhash; coefficients fixed by seed."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: set[int]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perm, np.uint64(_MERSENNE), dtype=np.uint64)
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        with np.errstate(over="ignore"):
+            hv = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return hv.min(axis=1)
+
+
+class MinHashStage:
+    """Actor-pool stage: text → (doc_id, band, bucket) rows, one per band."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16):
+        self.h = _MinHasher(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, buckets = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = self.h.signature(_shingles(text))
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bucket = int(np.uint64(hash(tuple(int(v) for v in chunk)) & 0x7FFFFFFFFFFFFFFF))
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                buckets.append(bucket)
+        return pd.DataFrame({"doc_id": doc_ids, "band": band_ids, "bucket": buckets})
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    Shuffle only the (band, bucket, doc_id) triples; candidate pairs are
+    verified against broadcast shingle sets (documents table is the small
+    side at verification time — at 100 TB use a second pass joining text
+    by doc_id instead)."""
+    ensure_portable()
+    import ray
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = (
+        bands.groupby(["band", "bucket"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    cand_pd = cand.to_pandas().drop_duplicates()
+
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ref = ray.put(texts)
+
+    if len(cand_pd) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(ref)
+        ja = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa, sb = _shingles(tx[a]), _shingles(tx[b])
+            denom = len(sa | sb)
+            ja.append(len(sa & sb) / denom if denom else 0.0)
+        batch = batch.copy()
+        batch["jaccard"] = np.round(ja, 6)
+        return batch[batch["jaccard"] >= threshold]
+
+    return rd.from_pandas(cand_pd).map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+def exact_dedup_hash(sf_dir: str):
+    """Exact dedup: content hash → hash-partitioned first-winner per group
+    (K1/A4: idempotent-insert ON CONFLICT DO NOTHING, parser/db.py:279-282)."""
+    ensure_portable()
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        from ..core.partition import hash64
+
+        hh = np.ascontiguousarray(hash64(t["text"])).view(np.int64)
+        return pa.table({"content_hash": pa.array(hh, pa.int64()), "doc_id": t["doc_id"]})
+
+    out = (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+    )
+    # the hash itself is engine-internal; expose the winners (oracle:
+    # one min(doc_id) per distinct text)
+    return out.select_columns(["keep_doc_id"])
+
+
+class SimHashStage:
+    """64-bit SimHash over word features (near-dup signature)."""
+
+    def __init__(self, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.a = np.uint64(rng.integers(1, _MERSENNE))
+        self.b = np.uint64(rng.integers(0, _MERSENNE))
+
+    def _word_hashes(self, text: str) -> np.ndarray:
+        words = text.split(" ")
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = 0
+            for ch in w.encode():
+                h = (h * 131 + ch) % _MERSENNE
+            hs[i] = h
+        with np.errstate(over="ignore"):
+            return self.a * hs + self.b
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in batch["text"]:
+            hs = self._word_hashes(text)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc = np.where(bits > 0, 1, -1).sum(axis=0)
+            sig = 0
+            for k in np.nonzero(acc > 0)[0]:
+                sig |= 1 << int(k)
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            sigs.append(sig)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": pd.array(sigs, dtype="int64")})
+
+
+def simhash_signatures(sf_dir: str):
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3):
+    """Exact n-gram Jaccard similarity for all LSH candidates at a lower
+    threshold (recall-oriented near-dup audit)."""
+    return minhash_lsh_pairs(sf_dir, threshold=threshold)

@@ -1,0 +1,343 @@
+"""Generic relational operators (SURVEY.md §2.3-§2.7 families), Ray-Data-first.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+They mirror the reference's operator families — converters' projections
+and unions (datalake/converters/*), broadcast lookups (parser/db.py:126-136),
+the as-of price join (parser/db.py:392-405), trace sessionization
+(parsers/jetton_transfer/megaton.py:32-95), daily dedup/EXCEPT
+(datalake_daily_sync.py:298-328), rank-1 LWW snapshots
+(datalake_daily_sync.py:641-653) and windowed analytics
+(prometheus_exporter/gauges/*) — re-expressed over the driver's TPC-H-ish
+test tables. Every computed column is named to match the DuckDB oracle
+in __ray_entry__.oracle_sql().
+
+Scale notes: reads prune columns; small sides are broadcast via
+``ray.put`` and consumed in ``map_batches`` (no shuffle); per-key logic
+uses ``groupby(key).map_groups`` (one shuffle on the declared key);
+aggregates use Ray's partial-combining ``groupby().aggregate``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .._pickle import ensure_portable
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _round_cols(t: pa.Table, cols: tuple[str, ...], digits: int = 2) -> pa.Table:
+    """Round float columns like DuckDB's round(): numpy scales then
+    TRUE-divides, yielding the nearest double to the decimal result
+    (pc.round multiplies by 1e-d and lands one ulp off)."""
+    for c in cols:
+        arr = np.round(t[c].to_numpy(zero_copy_only=False), digits)
+        t = t.set_column(t.column_names.index(c), c, pa.array(arr, pa.float64()))
+    return t
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped pricing aggregate (A9-style gb.agg; partial combine per block)."""
+    ensure_portable()
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_qty", "sum_base_price", "sum_disc_price")),
+        batch_format="pyarrow",
+    )
+
+
+def filtered_revenue(sf_dir: str):
+    """Stateless filter+projection (converter C-family analogue)."""
+    ensure_portable()
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1995-09-01"), pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_join_parts(sf_dir: str):
+    """Broadcast hash join (J1: get_wallet_master-style small-dim lookup).
+
+    The part table is ray.put once and read inside every map task — no
+    shuffle, the pattern the reference proves broadcastable with its
+    wallets.csv DBMock (parser/backfill.py:39-42)."""
+    ensure_portable()
+    import pyarrow.parquet as pq
+
+    dim = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(dim["p_partkey"].to_pylist(), dim["p_brand"].to_pylist())))
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_partkey"].to_numpy()
+            brands = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
+            return t.append_column("p_brand", brands)
+
+    return ds.map_batches(Join, batch_format="pyarrow", concurrency=2)
+
+
+def asof_last_click(sf_dir: str):
+    """As-of (backward) join, J5: for each purchase, the most recent click
+    value of the same user strictly before it (reference get_core_price,
+    parser/db.py:392-405: ``price_ts < ts ORDER BY price_ts DESC LIMIT 1``).
+
+    Shuffle on user_id only; within each group a vectorized searchsorted."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g.event_type == "purchase"].sort_values("ts")
+        clicks = g[g.event_type == "click"].sort_values("ts")
+        idx = np.searchsorted(clicks["ts"].to_numpy(), purchases["ts"].to_numpy(), side="left") - 1
+        vals = np.where(idx >= 0, clicks["value"].to_numpy()[idx], np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": purchases["event_id"].to_numpy(),
+                "user_id": purchases["user_id"].to_numpy(),
+                "last_click_value": vals,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def session_count(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (J6 megaton trace assembly analogue): per-user
+    session count with a 30-min inactivity gap."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        n = 1 + int((ts.diff() > gap).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def rank1_snapshot(sf_dir: str):
+    """Latest-state-per-key snapshot (A2: the reference's core LWW reduce,
+    datalake_daily_sync.py:641-653) over the events table."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["ts", "event_id"], ascending=False).iloc[:1]
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "last_ts": top["ts"].to_numpy(),
+                "last_type": top["event_type"].to_numpy(),
+                "last_value": top["value"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def cdc_state_events(sf_dir: str):
+    """LWW state with tombstones over testdata: latest event per user wins;
+    users whose latest event is an 'error' are tombstoned out (K2/A2+A3)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["ts", "event_id"], ascending=False).iloc[0]
+        if top["event_type"] == "error":
+            return pd.DataFrame({"user_id": [], "last_value": []}).astype(
+                {"user_id": "int64", "last_value": "float64"}
+            )
+        return pd.DataFrame({"user_id": [top["user_id"]], "last_value": [top["value"]]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def windowed_hourly(sf_dir: str):
+    """Tumbling event-time window aggregate (A5 TPS-style)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hour, "value": t["value"]})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow"
+    )
+
+
+def percentile_values(sf_dir: str):
+    """Percentiles per group (A6 latency gauges: avg/p50/p95,
+    prometheus_exporter performance.py:131-140)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.percentile(v, 50)), 6)],
+                "p95": [round(float(np.percentile(v, 95)), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def topk_users(sf_dir: str, k: int = 10):
+    """Top-k by grouped sum (A9: TVL top-10 analytics)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    top = agg.sort("total_value", descending=True).limit(k)
+    return top.map_batches(
+        lambda t: _round_cols(t, ("total_value",)), batch_format="pyarrow"
+    )
+
+
+def anti_join_customers(sf_dir: str):
+    """Broadcast anti-join (J10 excluded-rows filter): customers with no
+    orders."""
+    ensure_portable()
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
+    ref = ray.put(frozenset(keys["o_custkey"].to_pylist()))
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    class Anti:
+        def __init__(self):
+            self.exclude = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([int(k) not in self.exclude for k in t["c_custkey"].to_numpy()])
+            return t.filter(mask)
+
+    out = ds.map_batches(Anti, batch_format="pyarrow", concurrency=2)
+    # materialize with schema preserved: an all-filtered Dataset would
+    # otherwise convert to a column-less DataFrame (result is small by
+    # construction — customers without orders)
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    batches = [b for b in batches if b.num_rows]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
+def except_users(sf_dir: str):
+    """EXCEPT set-difference (A1 daily-dedup EXCEPT,
+    datalake_daily_sync.py:324-328): users active in the first half of the
+    month but not the second."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    mid = pa.scalar(pd.Timestamp("2024-01-16"), pa.timestamp("us"))
+    first = set(
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["ts"], mid)).select(["user_id"]),
+            batch_format="pyarrow",
+        ).unique("user_id")
+    )
+    second = set(
+        ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts"], mid)).select(["user_id"]),
+            batch_format="pyarrow",
+        ).unique("user_id")
+    )
+    # both distinct sets are small (bounded by #keys); the difference is a
+    # driver-side set op — the broadcast anti-join form is anti_join_customers
+    return pa.table({"user_id": pa.array(sorted(first - second), pa.int64())})
+
+
+def distinct_event_types(sf_dir: str):
+    """DISTINCT over one column (A8: select distinct code_hash)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def union_trades(sf_dir: str):
+    """Multi-source union → one normalized schema (C7 DexTradesConverter:
+    5-topic union; here purchases ∪ orders), then grouped totals."""
+    ensure_portable()
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def purchase_rows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {"kind": pa.array(["purchase"] * f.num_rows, pa.string()), "amount": f["value"]}
+        )
+
+    purchases = ev.map_batches(purchase_rows, batch_format="pyarrow")
+    order_rows = orders.map_batches(
+        lambda t: pa.table(
+            {"kind": pa.array(["order"] * t.num_rows, pa.string()), "amount": t["o_totalprice"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = purchases.union(order_rows).groupby("kind").aggregate(
+        Count(alias_name="n"), Sum("amount", alias_name="total_amount")
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, ("total_amount",)), batch_format="pyarrow"
+    )
+
+
+def table_counts(sf_dir: str):
+    """Row-count partition check (A10, datalake_daily_sync.py:347-353)."""
+    ensure_portable()
+    names = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
+    counts = [rd.read_parquet(_t(sf_dir, n)).count() for n in names]
+    return pa.table({"tbl": pa.array(names, pa.string()), "n": pa.array(counts, pa.int64())})

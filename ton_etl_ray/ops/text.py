@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Stateful stages (compiled regexes, stopword tables) are actor pools:
+setup in ``__init__`` once per actor, vectorized work per batch —
+the reference's parser-prepare() pattern (parser/model/parser.py:52-80)
+re-expressed as ``map_batches(Cls, concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .._pickle import ensure_portable
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def doc_token_stats(sf_dir: str):
+    """Token counting + simple quality counters, oracle-matched semantics:
+    n_words = number of single-space-separated pieces (== DuckDB
+    len(string_split(text,' '))), punct_count via the same regex class."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        pieces = pc.split_pattern(t["text"], pattern=" ")
+        n_words = pc.list_value_length(pieces).cast(pa.int64())
+        punct = pc.count_substring_regex(t["text"], pattern=r"[.!?,;:]").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": n_words,
+                "n_chars": t["n_chars"],
+                "punct_count": punct,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# tiny per-language stopword tables for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "y", "los", "de", "un", "una", "es", "por", "que"},
+    "zh": set(),
+}
+
+
+class LangId:
+    """Language-ID heuristic: stopword hit-rate + CJK codepoint share.
+
+    Deterministic; heuristic (no oracle SQL) — the driver records the
+    rows-only check for this one."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            if self.cjk.search(text):
+                preds.append("zh")
+                continue
+            words = set(w.lower() for w in self.word.findall(text))
+            scores = {
+                lang: len(words & sw) for lang, sw in _STOPWORDS.items() if sw
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "en")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+
+
+def lang_id(sf_dir: str):
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+class QualityScore:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    mean word length — the usual pre-training text-quality gates."""
+
+    def __init__(self):
+        self.word = re.compile(r"\w+")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": batch["doc_id"], "len_score": [], "punct_ratio": [], "stop_ratio": [], "mean_word_len": []}
+        for text in batch["text"]:
+            words = self.word.findall(text)
+            n = max(1, len(words))
+            rows["len_score"].append(min(1.0, len(text) / 1000.0))
+            rows["punct_ratio"].append(sum(c in ".!?,;:" for c in text) / max(1, len(text)))
+            rows["stop_ratio"].append(sum(w.lower() in self.stop for w in words) / n)
+            rows["mean_word_len"].append(sum(len(w) for w in words) / n)
+        df = pd.DataFrame(rows)
+        df["quality"] = (
+            0.4 * df["len_score"]
+            + 0.3 * (1.0 - (df["punct_ratio"] - 0.05).abs().clip(0, 1))
+            + 0.3 * df["stop_ratio"].clip(0, 0.6) / 0.6
+        ).round(6)
+        return df[["doc_id", "quality", "stop_ratio", "mean_word_len"]]
+
+
+def quality_score(sf_dir: str):
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def _word_fingerprint(words: list[str]) -> int:
+    """Polynomial rolling hash over words (document fingerprinting)."""
+    h = 0
+    for w in words:
+        wh = 0
+        for ch in w.encode():
+            wh = (wh * 131 + ch) % _FP_MOD
+        h = (h * _FP_BASE + wh) % _FP_MOD
+    return h
+
+
+def doc_fingerprint(sf_dir: str):
+    """Deterministic rolling-hash document fingerprint (sha256-file-naming
+    analogue, reference datalake/main.py:161-164)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [_word_fingerprint(t.split(" ")) for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": pd.array(fps, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def dedup_docs_prefix(sf_dir: str, prefix_len: int = 40):
+    """Exact dedup by content key (A1 DISTINCT-merge analogue): one winner
+    (min doc_id) per 40-char text prefix. Shuffle on the content key with
+    per-batch partial min as the combiner."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"prefix": pc.utf8_slice_codeunits(t["text"], 0, prefix_len), "doc_id": t["doc_id"]}
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )

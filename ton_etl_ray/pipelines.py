@@ -1,0 +1,98 @@
+"""Flagship pipeline wiring: testdata documents → CDC change log → lake.
+
+``flagship`` derives a deterministic change log from a scale-factor
+directory's ``documents`` table (tokens are seeded-hash-derived from the
+doc ids), replays it through the full CDC engine, and returns the
+committed lake as a Ray Dataset — the miniature of the 10^10-event
+production replay (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .cdc.replay import read_lake, replay
+from .gen import TS_BASE_MS, TS_STEP_MS, VOCAB
+
+
+def docs_to_change_log(sf_dir: str, out_dir: str, *, versions: int = 3, seed: int = 13,
+                       num_shards: int = 4) -> list[str]:
+    """Deterministic change log over the documents table's doc ids.
+
+    Per doc: versions 0..k-1 as create/update at increasing lsn; every
+    10th doc gets a final tombstone (delete) — so the replayed lake must
+    drop exactly those keys."""
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"])
+    n = docs.num_rows
+    doc_ids = np.array([f"doc-{int(d):09d}" for d in docs["doc_id"].to_numpy()])
+    sources = docs["source"].to_pylist()
+
+    events = []
+    for v in range(versions):
+        rng = np.random.default_rng(seed * 1000 + v)
+        lengths = rng.integers(8, 64, size=n)
+        flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()).cast(pa.int32()), pa.array(flat))
+        lsn = np.arange(v * n, (v + 1) * n, dtype=np.int64)
+        events.append(
+            pa.table(
+                {
+                    "lsn": pa.array(lsn),
+                    "op": pa.array(["c" if v == 0 else "u"] * n, pa.string()),
+                    "doc_id": pa.array(doc_ids, pa.string()),
+                    "tokens": tokens,
+                    "n_tok": pa.array(lengths, pa.int32()),
+                    "source": pa.array(sources, pa.string()),
+                    "ts_ms": pa.array(TS_BASE_MS + lsn * TS_STEP_MS, pa.int64()),
+                }
+            )
+        )
+    # tombstones for every 10th doc at the highest lsns
+    dead = doc_ids[::10]
+    lsn = np.arange(versions * n, versions * n + len(dead), dtype=np.int64)
+    events.append(
+        pa.table(
+            {
+                "lsn": pa.array(lsn),
+                "op": pa.array(["d"] * len(dead), pa.string()),
+                "doc_id": pa.array(dead, pa.string()),
+                "tokens": pa.nulls(len(dead), pa.list_(pa.int32())),
+                "n_tok": pa.nulls(len(dead), pa.int32()),
+                "source": pa.nulls(len(dead), pa.string()),
+                "ts_ms": pa.array(TS_BASE_MS + lsn * TS_STEP_MS, pa.int64()),
+            }
+        )
+    )
+    log = pa.concat_tables(events)
+    os.makedirs(out_dir, exist_ok=True)
+    per = log.num_rows // num_shards + 1
+    paths = []
+    for k in range(num_shards):
+        shard = log.slice(k * per, per)
+        if shard.num_rows == 0:
+            break
+        p = os.path.join(out_dir, f"shard-{k:05d}.parquet")
+        pq.write_table(shard, p)
+        paths.append(p)
+    return paths
+
+
+def flagship(sf_dir: str, work_dir: str | None = None, *, num_partitions: int = 16):
+    """documents → change log → CDC replay → committed lake Dataset."""
+    if work_dir is None:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        work_dir = f"/tmp/tonray_flagship_{tag}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    chg = os.path.join(work_dir, "changes")
+    lake = os.path.join(work_dir, "lake")
+    docs_to_change_log(sf_dir, chg)
+    replay(chg, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
+    return read_lake(lake)
