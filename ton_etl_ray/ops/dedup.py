@@ -31,18 +31,22 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+import hashlib
+
+
 def _shingles(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingles, hashed to int64."""
+    """Word n-gram shingles hashed to 61-bit ints (blake2b, C speed —
+    never Python's randomized hash(): LSH buckets must agree across
+    worker processes)."""
     words = text.split(" ")
-    out = set()
-    for i in range(max(0, len(words) - n + 1)):
-        h = 0
-        for w in words[i : i + n]:
-            for ch in w.encode():
-                h = (h * 131 + ch) % _MERSENNE
-            h = (h * 1_000_003 + 7) % _MERSENNE
-        out.add(h)
-    return out
+    return {
+        int.from_bytes(
+            hashlib.blake2b("\x1f".join(words[i : i + n]).encode(), digest_size=8).digest(),
+            "big",
+        )
+        % _MERSENNE
+        for i in range(max(0, len(words) - n + 1))
+    }
 
 
 class _MinHasher:
@@ -72,16 +76,23 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, buckets = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.h.signature(_shingles(text))
+        n = len(batch)
+        sigs = np.empty((n, self.h.num_perm), dtype=np.uint64)
+        for i, text in enumerate(batch["text"]):
+            sigs[i] = self.h.signature(_shingles(text))
+        # one bucket key per (doc, band): mix the band's signature rows +
+        # the band id into a single 63-bit key, vectorized
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            bkey = np.zeros((n, self.bands), dtype=np.uint64)
             for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bucket = int(np.uint64(hash(tuple(int(v) for v in chunk)) & 0x7FFFFFFFFFFFFFFF))
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                buckets.append(bucket)
-        return pd.DataFrame({"doc_id": doc_ids, "band": band_ids, "bucket": buckets})
+                acc = np.uint64(b + 1) * mix
+                for r in range(b * self.rows_per_band, (b + 1) * self.rows_per_band):
+                    acc = (acc ^ sigs[:, r]) * mix
+                bkey[:, b] = acc
+        bkey = (bkey >> np.uint64(1)).astype(np.int64)  # 63-bit, json/arrow safe
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
+        return pd.DataFrame({"doc_id": doc_ids, "bkey": bkey.reshape(-1)})
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
@@ -98,19 +109,30 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     bands = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
 
+    # shuffle on a COARSE key (bkey % 256): per-bucket groups are mostly
+    # size 1, and one map_groups call per tiny group is pure overhead —
+    # inside each coarse group, pandas groups the exact buckets vectorized
+    def shard_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        shard = _pc.bit_wise_and(t["bkey"], pa.scalar(255, pa.int64()))
+        return t.append_column("shard", shard)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        dup = g[g.duplicated("bkey", keep=False)]
+        for _, grp in dup.groupby("bkey"):
+            ids = sorted(set(grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64")})
 
     cand = (
-        bands.groupby(["band", "bucket"])
+        bands.map_batches(shard_key, batch_format="pyarrow")
+        .groupby("shard")
         .map_groups(pairs, batch_format="pandas")
     )
     cand_pd = cand.to_pandas().drop_duplicates()
@@ -170,13 +192,9 @@ class SimHashStage:
         self.b = np.uint64(rng.integers(0, _MERSENNE))
 
     def _word_hashes(self, text: str) -> np.ndarray:
-        words = text.split(" ")
-        hs = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = 0
-            for ch in w.encode():
-                h = (h * 131 + ch) % _MERSENNE
-            hs[i] = h
+        import polars as pl
+
+        hs = pl.Series(text.split(" ")).hash(seed=4242).to_numpy()
         with np.errstate(over="ignore"):
             return self.a * hs + self.b
 

@@ -126,12 +126,13 @@ _FP_BASE = 1_000_003
 
 
 def _word_fingerprint(words: list[str]) -> int:
-    """Polynomial rolling hash over words (document fingerprinting)."""
+    """Polynomial rolling hash over per-word blake2b hashes (document
+    fingerprinting; order-sensitive, deterministic across processes)."""
+    import hashlib
+
     h = 0
     for w in words:
-        wh = 0
-        for ch in w.encode():
-            wh = (wh * 131 + ch) % _FP_MOD
+        wh = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big") % _FP_MOD
         h = (h * _FP_BASE + wh) % _FP_MOD
     return h
 
