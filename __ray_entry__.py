@@ -28,7 +28,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ton_etl_ray.ops import ann, dedup, relational as R, text
     from ton_etl_ray.pipelines import flagship
 
+    def registry_trades(sf: str):
+        import ray.data as rd
+
+        import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
+        return REGISTRY.select({"PurchaseEnrich"}).run(sources)["trades"]
+
     return {
+        # --- user-extension surface (§2.10): registered transform fan-out
+        "registry_trades": registry_trades,
         # --- CDC flagship (non-SQL: tokens are hash-derived; pytest holds
         # the rank-1 oracle equality tests) ---
         "cdc_replay": lambda sf: flagship(sf).select_columns(["doc_id", "n_tok", "source"]),
@@ -66,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "registry_trades": """
+            SELECT event_id, user_id, value AS amount, round(value * 0.01, 6) AS fee
+            FROM events WHERE event_type = 'purchase'
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

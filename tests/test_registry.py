@@ -1,0 +1,65 @@
+"""Transform protocol + registry tests (the §2.10 extension surface).
+
+Transforms must be pure over Arrow batches → unit-testable with no
+cluster (first tests), and runnable through the registry's actor-pool
+fan-out (last test)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ton_etl_ray.registry import REGISTRY, Transform, TransformRegistry, register
+from ton_etl_ray.transforms import BigErrorAlert, PurchaseEnrich
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pq.read_table(f"{SF}/events.parquet")
+
+
+def test_transform_pure_no_cluster():
+    t = PurchaseEnrich()
+    out = t(_events())
+    assert out.column_names == ["event_id", "user_id", "amount", "fee"]
+    assert out.num_rows > 0
+    ev = _events()
+    n_purchase = ev.filter(pa.compute.equal(ev["event_type"], "purchase")).num_rows
+    assert out.num_rows == n_purchase
+
+
+def test_prepare_runs_before_apply():
+    t = BigErrorAlert(threshold=0.0)
+    t.prepare()
+    out = t(_events())
+    assert "is_vip" in out.column_names
+    assert out.num_rows > 0
+
+
+def test_registry_filtering_by_name():
+    sub = REGISTRY.select({"PurchaseEnrich"})
+    assert len(sub.transforms_for("events")) == 1
+    assert len(REGISTRY.transforms_for("events")) >= 3
+
+
+def test_register_requires_source():
+    r = TransformRegistry()
+
+    class Bad(Transform):
+        pass
+
+    with pytest.raises(ValueError):
+        r.register(Bad)
+
+
+def test_registry_run_fans_out():
+    sources = {"events": rd.read_parquet(f"{SF}/events.parquet")}
+    outputs = REGISTRY.run(sources, concurrency=2)
+    assert {"trades", "signups", "alerts"} <= set(outputs)
+    trades = outputs["trades"].to_pandas()
+    ev = _events()
+    n_purchase = ev.filter(pa.compute.equal(ev["event_type"], "purchase")).num_rows
+    assert len(trades) == n_purchase
+    assert (trades["fee"] > 0).all()

@@ -1,0 +1,44 @@
+"""Source/sink helpers: the engine's operators are host-agnostic.
+
+The reference proves its parsers are source-independent by replaying
+them over CSV extracts through a DBMock (parser/backfill.py:24-106,
+S5/K5 in SURVEY §2.1-2.2). Here the same holds structurally: every
+operator consumes a ``ray.data.Dataset``, so parquet, CSV and JSON
+sources are interchangeable at the read call."""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.Dataset":
+    """Read parquet/csv/json by extension into a Dataset.
+
+    Column pruning is pushed into the read for parquet; for row-oriented
+    formats it is applied as an immediate projection."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in ("", ".parquet"):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if ext == ".csv":
+        ds = rd.read_csv(path, **kwargs)
+    elif ext in (".json", ".jsonl"):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported source extension {ext!r}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_table(ds: "rd.Dataset", path: str, *, fmt: str = "parquet", **kwargs) -> None:
+    """Write a Dataset as a directory of part files (parquet/csv/json)."""
+    if fmt == "parquet":
+        ds.write_parquet(path, **kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    elif fmt == "json":
+        ds.write_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")

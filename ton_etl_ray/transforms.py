@@ -1,0 +1,92 @@
+"""Example transforms on the registry — the P/C-family pattern instances.
+
+Each mirrors a reference parser shape (opcode predicate → typed rows,
+parsers/message/*.py): a cheap vectorized predicate over the source
+batch, then a projection/enrichment emitting a typed side-output table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .registry import Transform, register
+
+
+@register
+class PurchaseEnrich(Transform):
+    """P-family analogue: predicate on event type (the opcode filter,
+    e.g. dedust_swap.py:35-40) → typed 'trades' rows with a derived fee."""
+
+    source = "events"
+    emits = "trades"
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        return pc.equal(batch["event_type"], pa.scalar("purchase"))
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        fee = np.round(batch["value"].to_numpy(zero_copy_only=False) * 0.01, 6)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "amount": batch["value"],
+                "fee": pa.array(fee, pa.float64()),
+            }
+        )
+
+
+@register
+class SignupDaily(Transform):
+    """C-family analogue: projection + date-partition derivation
+    (converter.partition, datalake/converters/converter.py:32-36)."""
+
+    source = "events"
+    emits = "signups"
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        return pc.equal(batch["event_type"], pa.scalar("signup"))
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+            }
+        )
+
+
+@register
+class BigErrorAlert(Transform):
+    """Predicate with compound condition + stateful prepare (whitelist
+    pattern, e.g. tonfun.py:20-23): errors above a threshold from a
+    prepared user set."""
+
+    source = "events"
+    emits = "alerts"
+
+    def __init__(self, threshold: float = 50.0):
+        self.threshold = threshold
+        self.vip: set[int] | None = None
+
+    def prepare(self) -> None:
+        self.vip = set(range(0, 10_000, 2))  # stand-in for a loaded whitelist
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        is_err = pc.equal(batch["event_type"], pa.scalar("error"))
+        big = pc.greater(batch["value"], pa.scalar(self.threshold))
+        return pc.and_(is_err, big)
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        vip = np.array([int(u) in self.vip for u in users]) if self.vip is not None else np.zeros(len(users), bool)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "is_vip": pa.array(vip),
+            }
+        )
