@@ -41,6 +41,10 @@ MAX_TOK = 48
 # is 10^10 events; 2x10^7 leaves 32 cores half idle on fixed latencies)
 EVENTS_MULT = int(os.environ.get("GRAFT_BENCH_EVENTS_MULT", "1"))
 SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
+# single-node wall time is noisy (+/-40% on this VM); take the min of
+# TRIALS replays so the scaling comparison measures the engine, not the
+# scheduler lottery
+TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "1"))
 
 
 def _sf_tag() -> str:
@@ -101,11 +105,13 @@ def run_bench() -> dict:
     # levels run the identical job — the N vs 4N cluster analogue varies
     # only compute resources, not the plan
     lake = f"/tmp/tonray_bench_lake_{_sf_tag()}_{NUM_CPUS}"
-    shutil.rmtree(lake, ignore_errors=True)
-    t0 = time.perf_counter()
-    res = replay(chg_dir, lake, num_partitions=256, hot_share_threshold=0.005,
-                 override_num_blocks=32 * EVENTS_MULT)
-    headline = time.perf_counter() - t0
+    headline = float("inf")
+    for _ in range(TRIALS):
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = replay(chg_dir, lake, num_partitions=256, hot_share_threshold=0.005,
+                     override_num_blocks=int(os.environ.get("GRAFT_BENCH_BLOCKS", "32")) * EVENTS_MULT)
+        headline = min(headline, time.perf_counter() - t0)
 
     # operator benchmarks
     import __ray_entry__ as E
@@ -140,6 +146,7 @@ def run_bench() -> dict:
         "events": num_events,
         "events_per_sec": round(num_events / headline, 1),
         "lake_rows": res.rows_total,
+        "loadavg_1m": os.getloadavg()[0],  # external host contention marker
     }
 
 
@@ -148,8 +155,9 @@ def run_scaling() -> dict:
     outs = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "5"),
-                   GRAFT_BENCH_SKIP_QUERIES="1")
+                   GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "1"),
+                   GRAFT_BENCH_SKIP_QUERIES="1",
+                   GRAFT_BENCH_TRIALS=os.environ.get("GRAFT_BENCH_TRIALS", "3"))
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
@@ -167,6 +175,7 @@ def run_scaling() -> dict:
         "events_per_sec_32": outs[hi]["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
+        "loadavg_1m": os.getloadavg()[0],
     }
 
 
