@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": R.anti_join_customers,
         "except_users": R.except_users,
         "distinct_event_types": R.distinct_event_types,
+        "parent_event": R.parent_event,
         "union_trades": R.union_trades,
         "table_counts": R.table_counts,
         # --- text analysis / dedup (training-data ops) ---
@@ -68,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hash": dedup.exact_dedup_hash,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # sketch → rows-only
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
+        "approx_distinct_users": lambda sf: __import__(
+            "ton_etl_ray.ops.sketch", fromlist=["approx_distinct"]
+        ).approx_distinct(sf),                         # sketch → rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "knn_ivf": ann.knn_ivf,                       # approximate → rows-only
@@ -162,6 +166,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "parent_event": """
+            SELECT event_id,
+                   coalesce(lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                       AS parent_event_id
+            FROM events
+        """,
         "union_trades": """
             WITH u AS (
                 SELECT 'purchase' AS kind, value AS amount FROM events

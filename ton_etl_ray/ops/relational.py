@@ -335,6 +335,28 @@ def union_trades(sf_dir: str):
     )
 
 
+def parent_event(sf_dir: str):
+    """Graph parent lookup (J2: trace_edges ⋈ messages 1-hop,
+    parser/db.py:153-177): for each event, the immediately preceding
+    event of the same user — within-group sort + shift, no self-join."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                # -1 sentinel for "no parent": keeps the column int64 on
+                # both engine and oracle sides (NULL stringifies
+                # differently through pandas/duckdb conversions)
+                "parent_event_id": g["event_id"].shift(1).fillna(-1).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def table_counts(sf_dir: str):
     """Row-count partition check (A10, datalake_daily_sync.py:347-353)."""
     ensure_portable()
