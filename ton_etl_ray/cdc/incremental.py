@@ -1,0 +1,193 @@
+"""Stateful incremental ingest: partition-applier ACTORS across epochs.
+
+``replay()`` is the batch path: appliers are stateless shuffle tasks
+that read prior state from Parquet each epoch. For high-frequency
+micro-batches that re-read becomes the dominant cost, so this module
+keeps the mutable per-partition state RESIDENT in a pool of Ray actors
+across epochs — the analogue of the reference's long-lived parser
+processes holding caches + Postgres connections (SURVEY §4.3), and the
+documented exception where the Dataset API genuinely can't express the
+semantics (a shared mutable index routed by key → raw ``@ray.remote``
+actors; everything upstream is still a Dataset pipeline).
+
+Flow per ``ingest(shards)``:
+  Dataset: read → Normalize (conform, validate, partial compact, part)
+  → map_batches(Router): split each block by owning actor, push the
+    sub-tables into the actors (order-insensitive: LWW tolerates any
+    arrival order within an epoch)
+  → seal(epoch): every actor folds its buffers into resident state
+    (tombstones applied) and 2PC-writes its partitions' Parquet files +
+    manifests; driver publishes the epoch commit.
+
+Crash recovery: actor state is a cache, not the source of truth — the
+committed lake is. On restart, actors lazily reload their partitions
+from the last committed epoch; a crashed epoch is simply re-ingested
+(its staging files are discarded by the next publish, exactly like
+replay(resume=False)).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .._pickle import ensure_portable
+from ..core import merge as M
+from ..core.schema_evolution import unify_schemas
+from . import sink
+from .replay import Normalize
+
+
+@ray.remote
+class PartitionApplier:
+    """Owns a fixed subset of partitions; state resident between epochs."""
+
+    def __init__(self, lake_dir: str, parts: list[int]):
+        self.lake_dir = lake_dir
+        self.parts = set(parts)
+        self.state: dict[int, pa.Table | None] = {}
+        self.buffers: dict[int, list[pa.Table]] = {p: [] for p in parts}
+
+    def _load(self, part: int) -> pa.Table | None:
+        if part not in self.state:
+            prev = sink.latest_epoch(self.lake_dir)
+            paths = sink.state_path_map(self.lake_dir, prev)
+            self.state[part] = pq.read_table(paths[part]) if part in paths else None
+        return self.state[part]
+
+    def submit(self, tables: dict[int, pa.Table]) -> int:
+        """Buffer change rows for my partitions (any arrival order)."""
+        n = 0
+        for part, t in tables.items():
+            self.buffers[part].append(t)
+            n += t.num_rows
+        return n
+
+    def seal(self, epoch: int) -> list[dict]:
+        """Fold buffers into resident state; 2PC-write changed partitions."""
+        manifests = []
+        for part in sorted(self.parts):
+            bufs = self.buffers[part]
+            if not bufs:
+                continue
+            changes = pa.concat_tables(bufs, promote_options="permissive")
+            self.buffers[part] = []
+            state = self._load(part)
+            new_state = M.merge_state(state, changes).sort_by("doc_id")
+            self.state[part] = new_state
+            m = sink.write_partition(
+                self.lake_dir, epoch, sink.part_file(part), new_state,
+                {"kind": "data", "part": part, "rows_in": int(changes.num_rows),
+                 "max_lsn": int(pc.max(changes["lsn"]).as_py()),
+                 "tombstones": int(pc.sum(pc.equal(changes["op"], "d")).as_py() or 0)},
+            )
+            manifests.append({**m, "part": part})
+        return manifests
+
+
+class IncrementalIngestor:
+    """Micro-batch CDC ingest with actor-resident partition state."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        *,
+        num_partitions: int = 64,
+        num_actors: int = 4,
+    ):
+        ensure_portable()
+        os.makedirs(lake_dir, exist_ok=True)
+        prev = sink.latest_epoch(lake_dir)
+        if prev is not None:
+            num_partitions = sink.read_commit(lake_dir, prev)["num_partitions"]
+        self.lake_dir = lake_dir
+        self.P = num_partitions
+        self.actors = []
+        self.owner: dict[int, int] = {}
+        for a in range(num_actors):
+            parts = [p for p in range(num_partitions) if p % num_actors == a]
+            self.actors.append(PartitionApplier.remote(lake_dir, parts))
+            for p in parts:
+                self.owner[p] = a
+
+    def ingest(self, changes: str | list[str]) -> dict:
+        """Apply one micro-batch (a set of change shards) as a new epoch."""
+        files = sorted(glob.glob(os.path.join(changes, "*.parquet"))) if isinstance(changes, str) else list(changes)
+        prev = sink.latest_epoch(self.lake_dir)
+        epoch = 0 if prev is None else prev + 1
+        staging = sink.epoch_dir(self.lake_dir, epoch)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+
+        schemas = [pq.read_schema(f) for f in files]
+        if prev is not None:
+            prev_schema = sink.lake_schema(self.lake_dir, prev)
+            schemas.append(pa.schema([f for f in prev_schema if f.name != "lsn"]))
+        unified = unify_schemas(schemas)
+
+        # salting is a replay()-path concern (one skewed reducer); here the
+        # unit of work is an actor owning many partitions, so hot keys are
+        # already amortized — route purely by hash
+        norm = Normalize(unified, self.P, frozenset(), 0, frozenset(), None)
+        actors, owner, P = self.actors, self.owner, self.P
+
+        def route(batch: pa.Table) -> pa.Table:
+            t = norm(batch)
+            part_col = t["part"].to_numpy(zero_copy_only=False)
+            pending = []
+            for a in set(owner[int(p)] for p in set(part_col.tolist())):
+                sub = {}
+                for p in sorted(set(int(x) for x in part_col)):
+                    if owner[p] != a:
+                        continue
+                    sub[p] = t.filter(pc.equal(t["part"], pa.scalar(p, pa.int64()))).drop_columns(["part"])
+                pending.append(actors[a].submit.remote(sub))
+            n = sum(ray.get(pending)) if pending else 0
+            return pa.table({"routed": pa.array([n], pa.int64())})
+
+        ds = rd.read_parquet(files)
+        total_routed = sum(r["routed"] for r in ds.map_batches(route, batch_format="pyarrow").take_all())
+
+        manifests = [m for ms in ray.get([a.seal.remote(epoch) for a in self.actors]) for m in ms]
+
+        partitions: dict[str, dict] = {}
+        prev_commit = sink.read_commit(self.lake_dir, prev) if prev is not None else None
+        by_part = {m["part"]: m for m in manifests}
+        rows_total, max_lsn = 0, -1
+        for p in range(self.P):
+            if p in by_part:
+                m = by_part[p]
+                partitions[str(p)] = {
+                    "path": os.path.join(os.path.basename(staging), m["file"]),
+                    "rows": int(m["rows"]), "max_lsn": int(m["max_lsn"]),
+                }
+            elif prev_commit is not None and str(p) in prev_commit["partitions"]:
+                partitions[str(p)] = prev_commit["partitions"][str(p)]
+            else:
+                partitions[str(p)] = {"path": "", "rows": 0, "max_lsn": -1}
+            rows_total += partitions[str(p)]["rows"]
+            max_lsn = max(max_lsn, partitions[str(p)]["max_lsn"])
+
+        state_schema = pa.schema([f for f in unified if f.name not in ("op", "ts_ms")])
+        sink.publish_epoch(
+            self.lake_dir, epoch, partitions,
+            {"num_partitions": self.P, "num_salts": 0, "hot_keys": [],
+             "inputs": [os.path.basename(f) for f in files],
+             "rows_total": rows_total, "max_lsn": max_lsn},
+            state_schema,
+        )
+        return {"epoch": epoch, "rows_total": rows_total, "routed": int(total_routed),
+                "partitions_written": len(by_part)}
+
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
