@@ -119,6 +119,7 @@ class Normalize:
         num_salts: int,
         skip_parts: frozenset[int],
         only_parts: frozenset[int] | None,
+        excluded_doc_ids: frozenset[str] | None = None,
     ):
         self.schema = schema
         self.P = num_partitions
@@ -126,9 +127,16 @@ class Normalize:
         self.S = num_salts
         self.skip = skip_parts
         self.only = only_parts
+        self.excluded = excluded_doc_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = conform(batch, self.schema)
+        if self.excluded:
+            # data-corrections anti-join (reference excluded_rows,
+            # datalake_daily_sync.py:318-334): drop known-bad keys at
+            # the earliest stage, before any shuffle
+            keep = pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(sorted(self.excluded))))
+            t = t.filter(keep)
         ok = pc.is_in(t["op"], value_set=pa.array(VALID_OPS))
         if not pc.all(ok).as_py():
             bad = t.filter(pc.invert(ok))
@@ -216,6 +224,7 @@ def replay(
     resume: bool = False,
     only_parts: frozenset[int] | None = None,
     override_num_blocks: int | None = None,
+    excluded_doc_ids: frozenset[str] | None = None,
 ) -> ReplayResult:
     """Apply a change log to the lake as one new epoch (exactly-once).
 
@@ -281,7 +290,8 @@ def replay(
         ds = rd.read_parquet(fl, override_num_blocks=blocks)
         groups.append(
             ds.map_batches(
-                Normalize(unified, num_partitions, hot, num_salts, skip_parts, only_parts),
+                Normalize(unified, num_partitions, hot, num_salts, skip_parts, only_parts,
+                          excluded_doc_ids),
                 batch_format="pyarrow",
             )
         )

@@ -175,6 +175,44 @@ def lake_files(lake_dir: str, epoch: int | None = None) -> list[str]:
     ]
 
 
+def gc_epochs(lake_dir: str, *, keep_epochs: int = 1) -> dict:
+    """Garbage-collect superseded epoch data files.
+
+    Epochs are copy-on-write snapshots; old ones can be dropped once
+    superseded — EXCEPT files still referenced (inherited) by a kept
+    commit. Commit JSONs are kept as lineage history. Returns counters.
+    """
+    latest = latest_epoch(lake_dir)
+    if latest is None:
+        return {"deleted_files": 0, "kept_epochs": 0}
+    keep = set(range(max(0, latest - keep_epochs + 1), latest + 1))
+    referenced: set[str] = set()
+    for e in keep:
+        for ent in read_commit(lake_dir, e)["partitions"].values():
+            if ent["path"]:
+                referenced.add(os.path.normpath(ent["path"]))
+    deleted = 0
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("epoch-"):
+            continue
+        e = int(name.split("-")[1])
+        if e in keep:
+            continue
+        d = os.path.join(lake_dir, name)
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.join(name, f))
+            if rel in referenced:
+                continue
+            os.remove(os.path.join(d, f))
+            mf = os.path.join(d, f.replace(".parquet", ".manifest.json"))
+            if os.path.exists(mf):
+                os.remove(mf)
+            deleted += 1
+    return {"deleted_files": deleted, "kept_epochs": len(keep)}
+
+
 def state_path_map(lake_dir: str, epoch: int | None) -> dict[int, str]:
     """part-id -> absolute state file path for the given committed epoch."""
     if epoch is None:
