@@ -116,3 +116,18 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+def test_partitioned_export(tmp_path):
+    from ton_etl_ray.ops.relational import partitioned_export
+
+    import ray.data as rd
+
+    out = str(tmp_path / "by_day")
+    partitioned_export(SF, out)
+    import os
+
+    days = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(days) >= 25  # one directory per day of the month
+    back = rd.read_parquet(out)
+    assert back.count() == rd.read_parquet(f"{SF}/events.parquet").count()

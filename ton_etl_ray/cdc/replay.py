@@ -144,6 +144,10 @@ class Normalize:
         if t["lsn"].null_count:
             raise ValueError("null lsn in change batch")
         t = M.compact(t, keep_tombstones=True)
+        if "ts_ms" in t.column_names:
+            # envelope-only column: never part of persisted state — drop
+            # before the shuffle so it doesn't ride the all-to-all
+            t = t.drop_columns(["ts_ms"])
         salt_token = pc.min(t["lsn"]).as_py() or 0
         part = P.assign_partitions(
             t["doc_id"], self.P, hot_keys=self.hot, num_salts=self.S, salt_token=salt_token

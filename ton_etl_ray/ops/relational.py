@@ -357,6 +357,24 @@ def parent_event(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def partitioned_export(sf_dir: str, out_dir: str):
+    """Hive-partitioned lake export (K6 CTAS + date repartition,
+    datalake_daily_sync.py:298-345): events re-laid-out by day so a
+    rerun/backfill can target one partition directory (resumable output:
+    one directory per key range, never one giant file)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"))
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return t.append_column("day", d)
+
+    ds.map_batches(day, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["day"]
+    )
+    return out_dir
+
+
 def table_counts(sf_dir: str):
     """Row-count partition check (A10, datalake_daily_sync.py:347-353)."""
     ensure_portable()
