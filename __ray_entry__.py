@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": ann.knn_cosine,
         "knn_ivf": ann.knn_ivf,                       # approximate → rows-only
         "embedding_dedup_pairs": lambda sf: ann.embedding_dedup_pairs(sf, threshold=0.4),
+        "lsh_embedding_pairs": ann.lsh_embedding_pairs,  # approximate → rows-only
     }
 
 

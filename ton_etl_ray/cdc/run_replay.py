@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-salts", type=int, default=8)
     ap.add_argument("--hot-share-threshold", type=float, default=0.01)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--excluded-doc-ids", default=None,
+                    help="comma-separated keys to drop (data corrections)")
+    ap.add_argument("--gc-keep-epochs", type=int, default=0,
+                    help=">0: GC superseded epochs after publish, keeping N")
+    ap.add_argument("--stats", action="store_true", help="print lake_stats after run")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
 
@@ -44,8 +49,12 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from . import sink
     from .replay import replay
 
+    excluded = (
+        frozenset(args.excluded_doc_ids.split(",")) if args.excluded_doc_ids else None
+    )
     t0 = time.perf_counter()
     res = replay(
         args.changes,
@@ -54,8 +63,13 @@ def main(argv: list[str] | None = None) -> int:
         num_salts=args.num_salts,
         hot_share_threshold=args.hot_share_threshold,
         resume=args.resume,
+        excluded_doc_ids=excluded,
     )
     dt = time.perf_counter() - t0
+    if args.gc_keep_epochs > 0:
+        sink.gc_epochs(args.lake, keep_epochs=args.gc_keep_epochs)
+    if args.stats:
+        print(json.dumps(sink.lake_stats(args.lake)))
     print(
         json.dumps(
             {

@@ -175,6 +175,38 @@ def lake_files(lake_dir: str, epoch: int | None = None) -> list[str]:
     ]
 
 
+def lake_stats(lake_dir: str) -> dict:
+    """Observability summary (A10 count-check + W1 watermark analogue):
+    per-epoch rows, watermark (max applied lsn), written vs inherited
+    partitions, bytes — all from commit manifests, no data read."""
+    latest = latest_epoch(lake_dir)
+    if latest is None:
+        return {"epochs": [], "latest": None}
+    epochs = []
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("epoch-"):
+            continue
+        e = int(name.split("-")[1])
+        if not is_committed(lake_dir, e):
+            epochs.append({"epoch": e, "committed": False})
+            continue
+        c = read_commit(lake_dir, e)
+        own = sum(1 for ent in c["partitions"].values() if ent["path"].startswith(f"epoch-{e:06d}"))
+        epochs.append(
+            {
+                "epoch": e,
+                "committed": True,
+                "rows_total": c["rows_total"],
+                "watermark_lsn": c["max_lsn"],
+                "partitions_written": own,
+                "partitions_inherited": sum(1 for ent in c["partitions"].values() if ent["path"]) - own,
+                "hot_keys": len(c.get("hot_keys", [])),
+                "inputs": len(c.get("inputs", [])),
+            }
+        )
+    return {"epochs": epochs, "latest": latest}
+
+
 def gc_epochs(lake_dir: str, *, keep_epochs: int = 1) -> dict:
     """Garbage-collect superseded epoch data files.
 

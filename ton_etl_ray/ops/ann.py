@@ -135,6 +135,88 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
     )
 
 
+def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 12, bands: int = 3):
+    """Scale-path embedding near-dup: random-hyperplane LSH bucketing.
+
+    No broadcast of the full matrix: sign-hash each vector against
+    ``num_planes`` fixed random hyperplanes, split the bits into
+    ``bands``, shuffle (band, bucket, vec_id) triples, verify candidate
+    pairs per bucket — the same shuffle-sketch shape as MinHash-LSH, so
+    it survives 100 TB where the brute-force broadcast cannot. Recall is
+    approximate (rows-only check)."""
+    ensure_portable()
+    t0 = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
+    dim = len(t0["embedding"][0])
+    rng = np.random.default_rng(777)
+    planes = rng.standard_normal((num_planes, dim))
+    pref = ray.put(planes)
+    bits_per_band = num_planes // bands
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t)
+            bits = (m @ self.planes.T > 0).astype(np.uint64)
+            ids, bands_out, buckets = [], [], []
+            vec_ids = t["vec_id"].to_numpy()
+            for b in range(bands):
+                chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                code = (chunk * (1 << np.arange(bits_per_band, dtype=np.uint64))).sum(axis=1)
+                ids.append(vec_ids)
+                bands_out.append(np.full(len(vec_ids), b, dtype=np.int64))
+                buckets.append(code.astype(np.int64))
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+                    "band": pa.array(np.concatenate(bands_out), pa.int64()),
+                    "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                }
+            )
+
+    import pandas as pd
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["vec_id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": pd.array(out_a, dtype="int64"),
+                             "id_b": pd.array(out_b, dtype="int64")})
+
+    cand = (
+        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+        .groupby(["band", "bucket"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(cand) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+
+    # verify candidates exactly (cosine) against the full matrix — at
+    # 100 TB this second stage is a doc_id-partitioned join instead
+    full = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    fm = _emb_matrix(full)
+    fm = fm / np.clip(np.linalg.norm(fm, axis=1, keepdims=True), 1e-12, None)
+    pos = {int(v): i for i, v in enumerate(full["vec_id"].to_numpy())}
+    sims = np.array([float(fm[pos[a]] @ fm[pos[b]]) for a, b in zip(cand["id_a"], cand["id_b"])])
+    keep = sims >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(cand["id_a"].to_numpy()[keep], pa.int64()),
+            "id_b": pa.array(cand["id_b"].to_numpy()[keep], pa.int64()),
+            "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+        }
+    )
+
+
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
     """Embedding-cosine near-dup pairs: per-batch matmul against the
     broadcast (normalized) full matrix. At test scale the matrix is tiny;
