@@ -1,0 +1,260 @@
+"""Late-materialization replay: decide winners on narrow columns, ship
+payloads once.
+
+``replay()`` shuffles partially-compacted FULL rows (payload included).
+At 10^10 events the payload (``tokens``) dominates shuffle bytes, so
+this strategy splits the work:
+
+phase A (narrow): read ONLY (doc_id, lsn, op) — parquet column pruning
+  means token payloads are never decoded — partial-compact per batch,
+  shuffle ~30 B rows, and per partition decide each key's fate against
+  prior state: FETCH(lsn) (a log row wins), KEEP (state row wins), or
+  DELETE (tombstone wins). Kept state rows are written to a carry file;
+  the winning lsns stream back.
+phase B (payload): read the shards with payloads, filter to winning
+  lsns (lsn is globally unique → a sorted int64 array + searchsorted,
+  broadcast via ray.put), shuffle exactly ONE payload row per changed
+  key to its partition, merge with the carry file, 2PC-write.
+
+Shuffle bytes: narrow-rows + one-payload-per-live-key — the minimum the
+semantics allow. Token decode happens once (phase B), same as replay().
+At 10^9+ live keys the broadcast lsn array grows past driver comfort;
+swap it for a bloom filter or per-shard lsn-range buckets (documented,
+not needed at sandbox scale).
+
+Restriction: like replay(), one epoch per call; salting is unnecessary
+here (narrow rows bound hot-key volume at ≤1 row/key/block, and phase B
+ships one row per key by construction).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..core import merge as M
+from ..core import partition as P
+from ..core.schema_evolution import conform, unify_schemas
+from ..schemas import VALID_OPS
+from . import sink
+from .replay import ReplayResult, _discover
+
+
+def _carry_file(part: int) -> str:
+    return f"carry-{part:05d}.parquet"
+
+
+def replay_late(
+    changes: str | list[str],
+    lake_dir: str,
+    *,
+    num_partitions: int = 64,
+    override_num_blocks: int | None = None,
+) -> ReplayResult:
+    from .._pickle import ensure_portable
+
+    ensure_portable()
+    files = _discover(changes)
+    os.makedirs(lake_dir, exist_ok=True)
+
+    prev_epoch = sink.latest_epoch(lake_dir)
+    epoch = 0 if prev_epoch is None else prev_epoch + 1
+    prev_commit = sink.read_commit(lake_dir, prev_epoch) if prev_epoch is not None else None
+    if prev_commit is not None:
+        num_partitions = prev_commit["num_partitions"]
+    staging = sink.epoch_dir(lake_dir, epoch)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+
+    file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
+    for f in files:
+        s = pq.read_schema(f)
+        key = s.serialize().to_pybytes()
+        file_schemas.setdefault(key, (s, []))[1].append(f)
+    schemas = [s for s, _ in file_schemas.values()]
+    if prev_epoch is not None:
+        prev_payload = sink.lake_schema(lake_dir, prev_epoch)
+        schemas.append(pa.schema([f_ for f_ in prev_payload if f_.name != "lsn"]))
+    unified = unify_schemas(schemas)
+
+    if override_num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        override_num_blocks = max(2 * cpus, total_bytes // (64 << 20), 1)
+
+    prev_state = sink.state_path_map(lake_dir, prev_epoch)
+
+    # ---------- phase A: narrow winner decision ----------
+    def narrow(batch: pa.Table) -> pa.Table:
+        ok = pc.is_in(batch["op"], value_set=pa.array(VALID_OPS))
+        if not pc.all(ok).as_py():
+            raise ValueError("invalid op values in change batch")
+        t = M.compact(batch, keep_tombstones=True)
+        part = P.assign_partitions(t["doc_id"], num_partitions)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def decide(group: pa.Table) -> pa.Table:
+        """Winner per key vs prior state: emit fetch rows; write carry."""
+        part = int(group["part"][0].as_py())
+        log_win = M.compact(group.drop_columns(["part"]), keep_tombstones=True)
+        state = pq.read_table(prev_state[part]) if part in prev_state else None
+        if state is not None and state.num_rows:
+            s_ids = state["doc_id"]
+            s_lsn = state["lsn"]
+            # join log winners against state lsns (vectorized via index map)
+            import polars as pl
+
+            st = pl.DataFrame({"doc_id": pl.from_arrow(s_ids.combine_chunks() if isinstance(s_ids, pa.ChunkedArray) else s_ids),
+                               "state_lsn": pl.from_arrow(s_lsn.combine_chunks() if isinstance(s_lsn, pa.ChunkedArray) else s_lsn)})
+            lw = pl.DataFrame({"doc_id": pl.from_arrow(log_win["doc_id"].combine_chunks()),
+                               "lsn": pl.from_arrow(log_win["lsn"].combine_chunks()),
+                               "op": pl.from_arrow(log_win["op"].combine_chunks())})
+            j = lw.join(st, on="doc_id", how="left")
+            wins = j.filter(pl.col("state_lsn").is_null() | (pl.col("lsn") > pl.col("state_lsn")))
+            # carry = state rows NOT beaten by a log winner
+            beaten = set(wins["doc_id"].to_list())
+            keep_mask = pa.array([d not in beaten for d in s_ids.to_pylist()])
+            carry = state.filter(keep_mask)
+        else:
+            wins_t = log_win
+            import polars as pl
+
+            wins = pl.DataFrame({"doc_id": pl.from_arrow(wins_t["doc_id"].combine_chunks()),
+                                 "lsn": pl.from_arrow(wins_t["lsn"].combine_chunks()),
+                                 "op": pl.from_arrow(wins_t["op"].combine_chunks())})
+            carry = None
+        # tombstone winners just disappear; fetch only live winners
+        fetch = wins.filter(pl.col("op") != "d")
+        carry_t = carry if carry is not None else pa.table({})
+        d = sink.epoch_dir(lake_dir, epoch)
+        os.makedirs(d, exist_ok=True)
+        if carry is not None and carry.num_rows:
+            sink.atomic_write_table(os.path.join(d, _carry_file(part)), carry)
+        _ = carry_t
+        return pa.table(
+            {
+                "part": pa.array([part] * len(fetch), pa.int64()),
+                "doc_id": pa.array(fetch["doc_id"].to_list(), pa.string()),
+                "lsn": pa.array(fetch["lsn"].to_list(), pa.int64()),
+            }
+        )
+
+    narrow_groups = []
+    for s, fl in file_schemas.values():
+        blocks = max(1, int(override_num_blocks * len(fl) / len(files)))
+        ds = rd.read_parquet(fl, columns=["doc_id", "lsn", "op"], override_num_blocks=blocks)
+        narrow_groups.append(ds.map_batches(narrow, batch_format="pyarrow"))
+    nds = narrow_groups[0]
+    for g in narrow_groups[1:]:
+        nds = nds.union(g)
+    fetch_rows = nds.groupby("part").map_groups(decide, batch_format="pyarrow")
+
+    # gather winning lsns (int64 only — ~8 B per live changed key)
+    lsn_chunks = []
+    for b in fetch_rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        lsn_chunks.append(b["lsn"].to_numpy(zero_copy_only=False))
+    win_lsns = np.sort(np.concatenate(lsn_chunks)) if lsn_chunks else np.array([], np.int64)
+    lsn_ref = ray.put(win_lsns)
+
+    # ---------- phase B: payload fetch + final merge ----------
+    class FetchFilter:
+        def __init__(self):
+            self.win = ray.get(lsn_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = conform(batch, unified)
+            lsn = t["lsn"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.win, lsn)
+            hit = (idx < len(self.win)) & (self.win[np.minimum(idx, len(self.win) - 1)] == lsn) if len(self.win) else np.zeros(len(lsn), bool)
+            t = t.filter(pa.array(hit))
+            if "ts_ms" in t.column_names:
+                t = t.drop_columns(["ts_ms"])
+            part = P.assign_partitions(t["doc_id"], num_partitions)
+            return t.append_column("part", pa.array(part, pa.int64()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        fetched = M.compact(group.drop_columns(["part"]), keep_tombstones=True)
+        carry_path = os.path.join(staging, _carry_file(part))
+        carry = pq.read_table(carry_path) if os.path.exists(carry_path) else None
+        new_state = M.merge_state(carry, fetched).sort_by("doc_id")
+        m = sink.write_partition(
+            lake_dir, epoch, sink.part_file(part), new_state,
+            {"kind": "data", "part": part, "rows_in": int(group.num_rows),
+             "max_lsn": int(pc.max(fetched["lsn"]).as_py()),
+             "tombstones": 0},
+        )
+        return pa.table({"part": [part], "rows": [m["rows"]], "max_lsn": [m["max_lsn"]],
+                         "file": [m["file"]]})
+
+    pay_groups = []
+    for s, fl in file_schemas.values():
+        blocks = max(1, int(override_num_blocks * len(fl) / len(files)))
+        ds = rd.read_parquet(fl, override_num_blocks=blocks)
+        pay_groups.append(ds.map_batches(FetchFilter, batch_format="pyarrow", concurrency=(1, 8)))
+    pds = pay_groups[0]
+    for g in pay_groups[1:]:
+        pds = pds.union(g)
+    manifest_rows = pds.groupby("part").map_groups(finalize, batch_format="pyarrow").take_all()
+
+    # carry-only partitions (all state kept, no fetched rows) still need a
+    # data file this epoch: promote the carry file
+    written_parts = {int(r["part"]) for r in manifest_rows}
+    results = {int(r["part"]): r for r in manifest_rows}
+    for f in sorted(glob.glob(os.path.join(staging, "carry-*.parquet"))):
+        part = int(os.path.basename(f).split("-")[1].split(".")[0])
+        if part in written_parts:
+            os.remove(f)
+            continue
+        carry = pq.read_table(f)
+        m = sink.write_partition(
+            lake_dir, epoch, sink.part_file(part), carry.sort_by("doc_id"),
+            {"kind": "data", "part": part, "rows_in": 0,
+             "max_lsn": int(pc.max(carry["lsn"]).as_py()), "tombstones": 0},
+        )
+        results[part] = {"part": part, "rows": m["rows"], "max_lsn": m["max_lsn"], "file": m["file"]}
+        os.remove(f)
+
+    partitions: dict[str, dict] = {}
+    rows_total, max_lsn = 0, -1
+    written = inherited = 0
+    for p_ in range(num_partitions):
+        if p_ in results:
+            r = results[p_]
+            partitions[str(p_)] = {
+                "path": os.path.join(os.path.basename(staging), str(r["file"])),
+                "rows": int(r["rows"]), "max_lsn": int(r["max_lsn"]),
+            }
+            written += 1
+        elif prev_commit is not None and str(p_) in prev_commit["partitions"]:
+            partitions[str(p_)] = prev_commit["partitions"][str(p_)]
+            inherited += 1
+        else:
+            partitions[str(p_)] = {"path": "", "rows": 0, "max_lsn": -1}
+        rows_total += partitions[str(p_)]["rows"]
+        max_lsn = max(max_lsn, partitions[str(p_)]["max_lsn"])
+
+    state_schema = pa.schema([f_ for f_ in unified if f_.name not in ("op", "ts_ms")])
+    sink.publish_epoch(
+        lake_dir, epoch, partitions,
+        {"num_partitions": num_partitions, "num_salts": 0, "hot_keys": [],
+         "inputs": [os.path.basename(f) for f in files],
+         "rows_total": rows_total, "max_lsn": max_lsn,
+         "strategy": "late_materialization"},
+        state_schema,
+    )
+    return ReplayResult(
+        epoch=epoch, published=True, num_partitions=num_partitions, hot_keys=[],
+        rows_total=rows_total, max_lsn=max_lsn,
+        partitions_written=written, partitions_inherited=inherited,
+        counters={"winning_keys": int(len(win_lsns))},
+    )
