@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
         "broadcast_join_parts": R.broadcast_join_parts,
+        "q3_top_orders": R.q3_top_orders,
         "asof_last_click": R.asof_last_click,
         "session_count": R.session_count,
         "rank1_snapshot": R.rank1_snapshot,
@@ -102,6 +103,18 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_parts": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_brand
             FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 10
         """,
         "asof_last_click": """
             SELECT p.event_id, p.user_id, c.value AS last_click_value

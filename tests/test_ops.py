@@ -142,3 +142,25 @@ def test_lsh_embedding_recall_vs_bruteforce():
     lsh_pairs = set(zip(lsh["id_a"].to_pylist(), lsh["id_b"].to_pylist()))
     # every LSH pair must be a true pair (verification stage is exact)
     assert lsh_pairs <= exact_pairs or len(exact_pairs) == 0
+
+
+def test_shuffle_join_native_and_portable_agree():
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import _portable_shuffle_join, shuffle_join
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    o = orders.map_batches(lambda t: t.rename_columns(["l_orderkey", "o_totalprice"]),
+                           batch_format="pyarrow")
+    a = shuffle_join(li, o, "l_orderkey", num_partitions=8).to_pandas()
+    b = _portable_shuffle_join(li, o, "l_orderkey", num_partitions=8).to_pandas()
+    key = ["l_orderkey", "l_quantity", "o_totalprice"]
+    assert sorted(map(tuple, a[key].itertuples(index=False))) == sorted(
+        map(tuple, b[key].itertuples(index=False))
+    )
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF}/lineitem.parquet' l JOIN '{SF}/orders.parquet' o
+            ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    assert len(a) == want

@@ -335,6 +335,99 @@ def union_trades(sf_dir: str):
     )
 
 
+def shuffle_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    *,
+    num_partitions: int = 32,
+    how: str = "inner",
+):
+    """Both-sides-large hash join (the shuffle join the broadcast pattern
+    can't cover). Uses Ray's native hash-partitioned ``Dataset.join``
+    when present; otherwise the portable pattern: tag sides, union,
+    ``groupby(hash(key) % B)``, pandas merge inside each bucket group."""
+    ensure_portable()
+    if hasattr(left, "join"):
+        return left.join(right, join_type=how, num_partitions=num_partitions, on=(on,))
+    return _portable_shuffle_join(left, right, on, num_partitions=num_partitions, how=how)
+
+
+def _portable_shuffle_join(
+    left: "rd.Dataset", right: "rd.Dataset", on: str, *, num_partitions: int = 32, how: str = "inner"
+):
+    """Union-tag-bucket join: works on any Ray version (and is the
+    explicit form of what the native hash join does)."""
+    left = left.map_batches(
+        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    right = right.map_batches(
+        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    both = left.union(right)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from ..core.partition import hash64
+
+        b = (hash64(t[on]) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        return l.merge(r, on=on, how=how)
+
+    return both.map_batches(bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
+        join_group, batch_format="pandas"
+    )
+
+
+def q3_top_orders(sf_dir: str, k: int = 10):
+    """TPC-H-Q3-shaped 3-way join: small dim broadcast (customer
+    segment) + large×large shuffle join (orders ⋈ lineitem) + grouped
+    revenue + top-k. The reference's heavy relational work lives in
+    Athena (datalake_daily_sync.py); this is its Ray Data shape."""
+    ensure_portable()
+    import pyarrow.parquet as pq
+
+    cutoff = pa.scalar(pd.Timestamp("1995-03-15"), pa.timestamp("us"))
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    seg_ref = ray.put(frozenset(seg))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        mask = pa.array([int(c) in keys for c in t["o_custkey"].to_numpy()])
+        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def filter_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    joined = shuffle_join(
+        li.map_batches(filter_li, batch_format="pyarrow"),
+        orders.map_batches(filter_orders, batch_format="pyarrow").map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
+        ),
+        "l_orderkey",
+        num_partitions=16,
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("rev", alias_name="revenue"))
+    top = agg.sort("revenue", descending=True).limit(k)
+    return top.map_batches(lambda t: _round_cols(t, ("revenue",)), batch_format="pyarrow")
+
+
 def parent_event(sf_dir: str):
     """Graph parent lookup (J2: trace_edges ⋈ messages 1-hop,
     parser/db.py:153-177): for each event, the immediately preceding
