@@ -111,12 +111,18 @@ def broadcast_join_parts(sf_dir: str):
 
     class Join:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            lookup = ray.get(ref)
+            self.dim = pa.table(
+                {
+                    "l_partkey": pa.array(list(lookup.keys()), pa.int64()),
+                    "p_brand": pa.array(list(lookup.values()), pa.string()),
+                }
+            )
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_partkey"].to_numpy()
-            brands = pa.array([self.lookup.get(int(k)) for k in keys], pa.string())
-            return t.append_column("p_brand", brands)
+            # Arrow C++ hash join per batch against the broadcast dim
+            out = t.join(self.dim, keys=["l_partkey"], join_type="left outer")
+            return out.select(["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "p_brand"])
 
     return ds.map_batches(Join, batch_format="pyarrow", concurrency=2)
 
@@ -259,10 +265,10 @@ def anti_join_customers(sf_dir: str):
 
     class Anti:
         def __init__(self):
-            self.exclude = ray.get(ref)
+            self.exclude = pa.array(sorted(ray.get(ref)), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([int(k) not in self.exclude for k in t["c_custkey"].to_numpy()])
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.exclude))
             return t.filter(mask)
 
     out = ds.map_batches(Anti, batch_format="pyarrow", concurrency=2)
@@ -400,10 +406,11 @@ def q3_top_orders(sf_dir: str, k: int = 10):
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filter_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(seg_ref)
+        keys = pa.array(sorted(ray.get(seg_ref)), pa.int64())
         t = t.filter(pc.less(t["o_orderdate"], cutoff))
-        mask = pa.array([int(c) in keys for c in t["o_custkey"].to_numpy()])
-        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+        return t.filter(pc.is_in(t["o_custkey"], value_set=keys)).select(
+            ["o_orderkey", "o_orderdate"]
+        )
 
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"),
