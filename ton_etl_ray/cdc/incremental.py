@@ -142,14 +142,11 @@ class IncrementalIngestor:
         def route(batch: pa.Table) -> pa.Table:
             t = norm(batch)
             part_col = t["part"].to_numpy(zero_copy_only=False)
-            pending = []
-            for a in set(owner[int(p)] for p in set(part_col.tolist())):
-                sub = {}
-                for p in sorted(set(int(x) for x in part_col)):
-                    if owner[p] != a:
-                        continue
-                    sub[p] = t.filter(pc.equal(t["part"], pa.scalar(p, pa.int64()))).drop_columns(["part"])
-                pending.append(actors[a].submit.remote(sub))
+            by_actor: dict[int, dict[int, pa.Table]] = {}
+            for p in sorted(set(int(x) for x in part_col)):
+                sub = t.filter(pc.equal(t["part"], pa.scalar(p, pa.int64()))).drop_columns(["part"])
+                by_actor.setdefault(owner[p], {})[p] = sub
+            pending = [actors[a].submit.remote(sub) for a, sub in by_actor.items()]
             n = sum(ray.get(pending)) if pending else 0
             return pa.table({"routed": pa.array([n], pa.int64())})
 
