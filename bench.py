@@ -44,7 +44,7 @@ SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
 # single-node wall time is noisy (+/-40% on this VM); take the min of
 # TRIALS replays so the scaling comparison measures the engine, not the
 # scheduler lottery
-TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "1"))
+TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
 
 
 def _sf_tag() -> str:
@@ -56,7 +56,10 @@ def _ensure_change_log() -> tuple[str, int]:
 
     n_li = pq.ParquetFile(os.path.join(SF_DIR, "lineitem.parquet")).metadata.num_rows
     num_events = int(n_li * EVENTS_PER_LINEITEM_ROW) * EVENTS_MULT
-    num_keys = max(1000, num_events // 10)
+    # key universe capped: shuffle volume scales with distinct-keys-per-
+    # block, so a fixed universe keeps the compaction ratio comparable
+    # across scaling-mode input sizes
+    num_keys = min(2_000_000, max(1000, num_events // 10))
     tag = f"/tmp/tonray_bench_{_sf_tag()}_{num_events}"
     marker = os.path.join(tag, "_DONE")
     if not os.path.exists(marker):
@@ -155,7 +158,7 @@ def run_scaling() -> dict:
     outs = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "1"),
+                   GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "2"),
                    GRAFT_BENCH_SKIP_QUERIES="1",
                    GRAFT_BENCH_TRIALS=os.environ.get("GRAFT_BENCH_TRIALS", "3"))
         r = subprocess.run(
