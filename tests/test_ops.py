@@ -164,3 +164,20 @@ def test_shuffle_join_native_and_portable_agree():
             ON l.l_orderkey = o.o_orderkey"""
     ).fetchone()[0]
     assert len(a) == want
+
+
+def test_media_resize_and_frame_sample():
+    from ton_etl_ray.ops.multimodal import media_frame_sample, media_resize, synth_media_table
+
+    media = synth_media_table(num_rows=32)
+    resized = media_resize(media, max_side=128).to_pandas()
+    assert (resized["width"] <= 128).all() and (resized["height"] <= 128).all()
+    assert resized["resized"].any()
+
+    frames = media_frame_sample(media, every=1).to_pandas()
+    assert len(frames) >= 32  # flat-map: >= one frame row per video
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame_sig"}
+    # deterministic
+    frames2 = media_frame_sample(synth_media_table(num_rows=32), every=1).to_pandas()
+    assert frames.sort_values(["media_id", "frame_idx"])["frame_sig"].tolist() == \
+           frames2.sort_values(["media_id", "frame_idx"])["frame_sig"].tolist()

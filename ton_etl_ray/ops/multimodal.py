@@ -89,6 +89,63 @@ class MediaFeatureStage:
         )
 
 
+class ResizeStage:
+    """Resize plumbing: recompute typed metadata, pass payload through.
+
+    A real kernel would decode → resample → re-encode inside the actor;
+    here the payload is opaque (STUB) but the schema flow, metadata
+    arithmetic and batch sizing are the production shape."""
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scale = np.minimum(1.0, self.max_side / np.maximum(batch["width"], batch["height"]))
+        out = batch.copy()
+        out["width"] = (batch["width"] * scale).astype("int32")
+        out["height"] = (batch["height"] * scale).astype("int32")
+        out["resized"] = scale < 1.0
+        return out
+
+
+def media_resize(media: "rd.Dataset | pa.Table", *, max_side: int = 256, batch_size: int = 64):
+    ensure_portable()
+    ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
+    return ds.map_batches(
+        ResizeStage, fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pandas", batch_size=batch_size, concurrency=2,
+    )
+
+
+class FrameSampleStage:
+    """Frame sampling plumbing: one input video row → n frame rows
+    (flat-map shape, like the reference's one-state→many-nominators
+    parser, staking_pools.py:29-63). Frame extraction is a deterministic
+    STUB (hash-sliced payload); the row-explosion and schema are real."""
+
+    def __init__(self, fps_every: int = 10):
+        self.every = fps_every
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        media_ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            n_frames = max(1, len(payload) // 1024)
+            for i in range(0, n_frames, self.every):
+                media_ids.append(mid)
+                frame_idx.append(i)
+                frames.append(hashlib.sha256(payload + i.to_bytes(4, "big")).digest()[:8])
+        return pd.DataFrame({"media_id": media_ids, "frame_idx": frame_idx, "frame_sig": frames})
+
+
+def media_frame_sample(media: "rd.Dataset | pa.Table", *, every: int = 10, batch_size: int = 32):
+    ensure_portable()
+    ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"fps_every": every},
+        batch_format="pandas", batch_size=batch_size, concurrency=2,
+    )
+
+
 def media_features(media: "rd.Dataset | pa.Table", *, batch_size: int = 64, concurrency: int = 2):
     """Feature-extraction pipeline over a media table.
 
