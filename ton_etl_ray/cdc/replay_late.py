@@ -166,20 +166,21 @@ def replay_late(
     lsn_ref = ray.put(win_lsns)
 
     # ---------- phase B: payload fetch + final merge ----------
-    class FetchFilter:
-        def __init__(self):
-            self.win = ray.get(lsn_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            t = conform(batch, unified)
-            lsn = t["lsn"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.win, lsn)
-            hit = (idx < len(self.win)) & (self.win[np.minimum(idx, len(self.win) - 1)] == lsn) if len(self.win) else np.zeros(len(lsn), bool)
-            t = t.filter(pa.array(hit))
-            if "ts_ms" in t.column_names:
-                t = t.drop_columns(["ts_ms"])
-            part = P.assign_partitions(t["doc_id"], num_partitions)
-            return t.append_column("part", pa.array(part, pa.int64()))
+    def fetch_filter(batch: pa.Table) -> pa.Table:
+        # stateless task; ray.get of the shared lsn array is zero-copy
+        win = ray.get(lsn_ref)
+        t = conform(batch, unified)
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        if len(win):
+            idx = np.searchsorted(win, lsn)
+            hit = (idx < len(win)) & (win[np.minimum(idx, len(win) - 1)] == lsn)
+        else:
+            hit = np.zeros(len(lsn), bool)
+        t = t.filter(pa.array(hit))
+        if "ts_ms" in t.column_names:
+            t = t.drop_columns(["ts_ms"])
+        part = P.assign_partitions(t["doc_id"], num_partitions)
+        return t.append_column("part", pa.array(part, pa.int64()))
 
     def finalize(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
@@ -200,7 +201,7 @@ def replay_late(
     for s, fl in file_schemas.values():
         blocks = max(1, int(override_num_blocks * len(fl) / len(files)))
         ds = rd.read_parquet(fl, override_num_blocks=blocks)
-        pay_groups.append(ds.map_batches(FetchFilter, batch_format="pyarrow", concurrency=(1, 8)))
+        pay_groups.append(ds.map_batches(fetch_filter, batch_format="pyarrow"))
     pds = pay_groups[0]
     for g in pay_groups[1:]:
         pds = pds.union(g)
