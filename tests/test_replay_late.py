@@ -56,3 +56,29 @@ def test_late_incremental_on_eager_lake(tmp_path):
     lake_ref = str(tmp_path / "lake_ref")
     replay(files, lake_ref, num_partitions=8, hot_share_threshold=1.0)
     assert _state(lake) == _state(lake_ref)
+
+
+def test_late_resume_after_partial_commit(tmp_path):
+    """Kill-analogue: publish lost + some partitions missing → resume
+    recomputes exactly the missing partitions and republishes."""
+    import os as _os
+
+    from ton_etl_ray.cdc import sink
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=8000, num_keys=600, seed=63, num_shards=4, max_tok=16)
+    lake = str(tmp_path / "lake")
+    replay_late(chg, lake, num_partitions=8)
+    ref = _state(lake)
+
+    # simulate a crash that lost the epoch commit and 3 partitions
+    staging = sink.epoch_dir(lake, 0)
+    _os.remove(_os.path.join(staging, sink.COMMIT_NAME))
+    _os.remove(_os.path.join(lake, sink.LATEST_NAME))
+    for p in (0, 3, 5):
+        _os.remove(_os.path.join(staging, sink.part_file(p)))
+        _os.remove(_os.path.join(staging, sink.part_file(p).replace(".parquet", ".manifest.json")))
+
+    res = replay_late(chg, lake, num_partitions=8, resume=True)
+    assert res.published
+    assert _state(lake) == ref

@@ -59,6 +59,7 @@ def replay_late(
     *,
     num_partitions: int = 64,
     override_num_blocks: int | None = None,
+    resume: bool = False,
 ) -> ReplayResult:
     from .._pickle import ensure_portable
 
@@ -72,8 +73,14 @@ def replay_late(
     if prev_commit is not None:
         num_partitions = prev_commit["num_partitions"]
     staging = sink.epoch_dir(lake_dir, epoch)
-    if os.path.isdir(staging):
+    if os.path.isdir(staging) and not resume:
         shutil.rmtree(staging)
+    # resume: partitions whose data manifest is durable are done — phase A
+    # reruns (narrow, cheap), phase B skips their rows entirely
+    committed_parts = frozenset(
+        m["part"] for m in sink.staged_manifests(lake_dir, epoch).values()
+        if m.get("kind") == "data"
+    ) if resume else frozenset()
 
     file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
     for f in files:
@@ -180,7 +187,12 @@ def replay_late(
         if "ts_ms" in t.column_names:
             t = t.drop_columns(["ts_ms"])
         part = P.assign_partitions(t["doc_id"], num_partitions)
-        return t.append_column("part", pa.array(part, pa.int64()))
+        t = t.append_column("part", pa.array(part, pa.int64()))
+        if committed_parts:
+            keep = ~np.isin(part, list(committed_parts))
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+        return t
 
     def finalize(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
@@ -209,8 +221,12 @@ def replay_late(
 
     # carry-only partitions (all state kept, no fetched rows) still need a
     # data file this epoch: promote the carry file
-    written_parts = {int(r["part"]) for r in manifest_rows}
     results = {int(r["part"]): r for r in manifest_rows}
+    for m in sink.staged_manifests(lake_dir, epoch).values():
+        if m.get("kind") == "data" and int(m["part"]) not in results:
+            results[int(m["part"])] = {"part": m["part"], "rows": m["rows"],
+                                       "max_lsn": m["max_lsn"], "file": m["file"]}
+    written_parts = set(results)
     for f in sorted(glob.glob(os.path.join(staging, "carry-*.parquet"))):
         part = int(os.path.basename(f).split("-")[1].split(".")[0])
         if part in written_parts:
