@@ -127,9 +127,9 @@ def replay_late(
                                "op": pl.from_arrow(log_win["op"].combine_chunks())})
             j = lw.join(st, on="doc_id", how="left")
             wins = j.filter(pl.col("state_lsn").is_null() | (pl.col("lsn") > pl.col("state_lsn")))
-            # carry = state rows NOT beaten by a log winner
-            beaten = set(wins["doc_id"].to_list())
-            keep_mask = pa.array([d not in beaten for d in s_ids.to_pylist()])
+            # carry = state rows NOT beaten by a log winner (vectorized)
+            beaten = pa.array(wins["doc_id"].to_list(), pa.string())
+            keep_mask = pc.invert(pc.is_in(s_ids, value_set=beaten))
             carry = state.filter(keep_mask)
         else:
             wins_t = log_win
@@ -141,12 +141,10 @@ def replay_late(
             carry = None
         # tombstone winners just disappear; fetch only live winners
         fetch = wins.filter(pl.col("op") != "d")
-        carry_t = carry if carry is not None else pa.table({})
         d = sink.epoch_dir(lake_dir, epoch)
         os.makedirs(d, exist_ok=True)
         if carry is not None and carry.num_rows:
             sink.atomic_write_table(os.path.join(d, _carry_file(part)), carry)
-        _ = carry_t
         return pa.table(
             {
                 "part": pa.array([part] * len(fetch), pa.int64()),
