@@ -60,7 +60,9 @@ def _ensure_change_log() -> tuple[str, int]:
     # block, so a fixed universe keeps the compaction ratio comparable
     # across scaling-mode input sizes
     num_keys = min(2_000_000, max(1000, num_events // 10))
-    tag = f"/tmp/tonray_bench_{_sf_tag()}_{num_events}"
+    num_shards = 64  # fixed, NOT a function of NUM_CPUS: shard count caps
+    # read parallelism, so it must be identical across scaling levels
+    tag = f"/tmp/tonray_bench_{_sf_tag()}_{num_events}_s{num_shards}"
     marker = os.path.join(tag, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(tag, ignore_errors=True)
@@ -68,7 +70,7 @@ def _ensure_change_log() -> tuple[str, int]:
 
         write_change_log(
             tag, num_events=num_events, num_keys=num_keys, seed=42,
-            num_shards=max(16, NUM_CPUS), max_tok=MAX_TOK,
+            num_shards=num_shards, max_tok=MAX_TOK,
         )
         open(marker, "w").write("ok")
     return tag, num_events
