@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_counts": R.table_counts,
         # --- text analysis / dedup (training-data ops) ---
         "doc_token_stats": text.doc_token_stats,
+        "bpe_token_count": text.bpe_token_count,
         "dedup_docs_prefix": text.dedup_docs_prefix,
         "lang_id": text.lang_id,                      # heuristic → rows-only
         "quality_score": text.quality_score,          # heuristic → rows-only
@@ -210,6 +211,13 @@ def oracle_sql() -> dict[str, str]:
                    n_chars,
                    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
                        AS punct_count
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS BIGINT) AS bpe_tokens
             FROM documents
         """,
         "dedup_docs_prefix": """

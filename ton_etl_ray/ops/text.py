@@ -48,6 +48,30 @@ def doc_token_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+class BpeTokenCount:
+    """BPE-ish regex tokenizer count (GPT-2-style contraction/word/number/
+    punct split, ASCII-simplified so Python re and DuckDB RE2 agree).
+    Pattern compiled once per actor."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        counts = [len(self.pat.findall(t)) for t in batch["text"]]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "bpe_tokens": pd.array(counts, dtype="int64")}
+        )
+
+
+def bpe_token_count(sf_dir: str):
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(BpeTokenCount, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
 # tiny per-language stopword tables for the n-gram/stopword heuristic
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "that", "for", "with"},
