@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # sketch → rows-only
+        "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
         "approx_distinct_users": lambda sf: __import__(
             "ton_etl_ray.ops.sketch", fromlist=["approx_distinct"]
@@ -226,6 +227,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_hash": """
             SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY text
+        """,
+        "word_jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) >= 0.5
         """,
         "knn_cosine": """
             WITH q AS (

@@ -219,6 +219,62 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
 
 
+def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT word-set Jaccard similarity pairs (oracle-checkable dedup).
+
+    Vectorized: build the doc×vocab binary incidence matrix (vocab from
+    a distributed unique pass), broadcast it, and compute intersections
+    per batch as one integer matmul — no per-pair Python. Exact, so the
+    DuckDB list_intersect oracle must match row-for-row. At 100 TB the
+    all-pairs matmul gives way to the MinHash-LSH path above."""
+    ensure_portable()
+    import ray
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    word_sets = [set(t.split(" ")) for t in docs["text"].to_pylist()]
+    vocab = {w: i for i, w in enumerate(sorted(set().union(*word_sets)))}
+    inc = np.zeros((len(word_sets), len(vocab)), dtype=np.int32)
+    for r, ws in enumerate(word_sets):
+        for w in ws:
+            inc[r, vocab[w]] = 1
+    ids = docs["doc_id"].to_numpy()
+    ref = ray.put((inc, ids, vocab))
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    class Pairs:
+        def __init__(self):
+            self.inc, self.ids, self.vocab = ray.get(ref)
+            self.sizes = self.inc.sum(axis=1)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = np.zeros((len(batch), len(self.vocab)), dtype=np.int32)
+            for r, t in enumerate(batch["text"]):
+                for w in set(t.split(" ")):
+                    if w in self.vocab:
+                        rows[r, self.vocab[w]] = 1
+            inter = rows @ self.inc.T
+            sizes_a = rows.sum(axis=1)
+            union = sizes_a[:, None] + self.sizes[None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            my_ids = batch["doc_id"].to_numpy()
+            out_a, out_b, out_j = [], [], []
+            for r in range(len(my_ids)):
+                hits = np.nonzero((jac[r] >= threshold) & (self.ids > my_ids[r]))[0]
+                out_a.extend([my_ids[r]] * len(hits))
+                out_b.extend(self.ids[hits].tolist())
+                out_j.extend(np.round(jac[r, hits], 6).tolist())
+            return pd.DataFrame(
+                {"id_a": pd.array(out_a, dtype="int64"),
+                 "id_b": pd.array(out_b, dtype="int64"),
+                 "jaccard": pd.array(out_j, dtype="float64")}
+            )
+
+    return ds.map_batches(Pairs, batch_format="pandas", batch_size=2048, concurrency=2)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3):
     """Exact n-gram Jaccard similarity for all LSH candidates at a lower
     threshold (recall-oriented near-dup audit)."""
