@@ -59,3 +59,35 @@ def test_microbatch_matches_duckdb_oracle(tmp_path):
     ).arrow()
     wm = {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"]) for r in want.to_pylist()}
     assert _state_map(lake) == wm
+
+
+def test_microbatch_schema_evolution(tmp_path):
+    """Actor-pool path handles evolved shards arriving in a later epoch."""
+    import pyarrow as pa
+
+    chg0 = str(tmp_path / "c0")
+    chg1 = str(tmp_path / "c1")
+    write_change_log(chg0, num_events=2000, num_keys=150, seed=71, num_shards=2, max_tok=8)
+    write_change_log(chg1, num_events=2000, num_keys=150, seed=72, num_shards=2, max_tok=8,
+                     evolve_after_shard=0)
+    import glob as g
+    import pyarrow.parquet as pq
+
+    for f in sorted(g.glob(os.path.join(chg1, "*.parquet"))):
+        t = pq.read_table(f)
+        lsn = pa.compute.add(t["lsn"], pa.scalar(1_000_000, pa.int64()))
+        pq.write_table(t.set_column(t.column_names.index("lsn"), "lsn", lsn), f)
+
+    lake = str(tmp_path / "lake")
+    ing = IncrementalIngestor(lake, num_partitions=4, num_actors=2)
+    ing.ingest(chg0)
+    ing.ingest(chg1)
+    ing.close()
+
+    from ton_etl_ray.cdc.replay import final_state_table
+
+    t = final_state_table(lake)
+    assert t.schema.field("lang").type == pa.string()
+    assert t.schema.field("n_tok").type == pa.int64()
+    rows = t.to_pylist()
+    assert any(r["lang"] is not None for r in rows)
