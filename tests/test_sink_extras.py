@@ -67,3 +67,50 @@ def test_lake_stats(tmp_path):
     assert e1["committed"] and e1["rows_total"] > 0
     assert e1["watermark_lsn"] == 2999
     assert e1["partitions_written"] + e1["partitions_inherited"] == 4
+
+
+def test_epoch_lock_blocks_second_writer(tmp_path):
+    import subprocess
+    import sys
+
+    import pytest
+
+    from ton_etl_ray.cdc.sink import EpochLockError, acquire_epoch_lock, release_epoch_lock
+
+    lake = str(tmp_path / "lake")
+    lock = acquire_epoch_lock(lake, 0)
+    # same process re-acquires (resume path) fine
+    lock2 = acquire_epoch_lock(lake, 0)
+    # a DIFFERENT live process must fail fast
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from ton_etl_ray.cdc.sink import acquire_epoch_lock, EpochLockError\n"
+        f"try:\n    acquire_epoch_lock({lake!r}, 0)\n    print('ACQUIRED')\n"
+        "except EpochLockError:\n    print('BLOCKED')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert out.stdout.strip() == "BLOCKED", out.stdout + out.stderr
+    release_epoch_lock(lock2)
+    # dead-writer lock is reclaimed: write a lock with a bogus pid
+    with open(f"{lake}/epoch-000000/_LOCK", "w") as f:
+        f.write("999999999 0")
+    lock3 = acquire_epoch_lock(lake, 0)
+    release_epoch_lock(lock3)
+
+
+def test_verify_lake_detects_corruption(tmp_path):
+    import pytest
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=2000, num_keys=150, seed=44, num_shards=2, max_tok=8)
+    lake = str(tmp_path / "lake")
+    replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)
+    res = sink.verify_lake(lake)
+    assert res["partitions_checked"] >= 1 and res["hashes_verified"] >= 1
+    # corrupt one partition file → verification must fail
+    victim = sorted(glob.glob(os.path.join(lake, "epoch-000000", "part-*.parquet")))[0]
+    with open(victim, "r+b") as f:
+        f.seek(10)
+        f.write(b"\xde\xad")
+    with pytest.raises(ValueError, match="hash mismatch"):
+        sink.verify_lake(lake)

@@ -254,6 +254,9 @@ def replay(
     staging = sink.epoch_dir(lake_dir, epoch)
     if os.path.isdir(staging) and not resume:
         shutil.rmtree(staging)  # discard an abandoned, uncommitted epoch
+    # single-writer guard: a second concurrent replay of this epoch fails
+    # fast instead of racing on staging files (own/dead locks reclaimed)
+    lock = sink.acquire_epoch_lock(lake_dir, epoch)
 
     # unified change schema across shards (+ prior lake schema so state
     # columns survive even if this epoch's shards dropped one)
@@ -383,6 +386,7 @@ def replay(
         )
         published = True
 
+    sink.release_epoch_lock(lock)
     return ReplayResult(
         epoch=epoch,
         published=published,

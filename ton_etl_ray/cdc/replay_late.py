@@ -75,6 +75,7 @@ def replay_late(
     staging = sink.epoch_dir(lake_dir, epoch)
     if os.path.isdir(staging) and not resume:
         shutil.rmtree(staging)
+    lock = sink.acquire_epoch_lock(lake_dir, epoch)
     # resume: partitions whose data manifest is durable are done — phase A
     # reruns (narrow, cheap), phase B skips their rows entirely
     committed_parts = frozenset(
@@ -267,6 +268,7 @@ def replay_late(
          "strategy": "late_materialization"},
         state_schema,
     )
+    sink.release_epoch_lock(lock)
     return ReplayResult(
         epoch=epoch, published=True, num_partitions=num_partitions, hot_keys=[],
         rows_total=rows_total, max_lsn=max_lsn,

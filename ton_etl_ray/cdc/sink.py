@@ -82,10 +82,27 @@ def atomic_write_table(path: str, table: pa.Table) -> int:
     return os.path.getsize(path)
 
 
+_HASH_MAX_BYTES = 256 << 20  # skip hashing beyond this (cost at scale)
+
+
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def write_partition(
     lake_dir: str, epoch: int, fname: str, table: pa.Table, lineage: dict
 ) -> dict:
-    """Phase-1 commit of one partition: data file then manifest."""
+    """Phase-1 commit of one partition: data file then manifest.
+
+    The manifest records a content hash (the analogue of the reference's
+    sha256 file naming, datalake/main.py:161-164) so lineage can be
+    verified end-to-end (``verify_lake``)."""
     d = epoch_dir(lake_dir, epoch)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, fname)
@@ -94,6 +111,7 @@ def write_partition(
         "file": fname,
         "rows": table.num_rows,
         "bytes": size,
+        "sha256": _sha256_file(path) if size <= _HASH_MAX_BYTES else "",
         **lineage,
     }
     atomic_write_bytes(
@@ -173,6 +191,87 @@ def lake_files(lake_dir: str, epoch: int | None = None) -> list[str]:
         for ent in commit["partitions"].values()
         if ent["rows"] > 0
     ]
+
+
+class EpochLockError(RuntimeError):
+    pass
+
+
+def acquire_epoch_lock(lake_dir: str, epoch: int, *, stale_sec: float = 3600.0) -> str:
+    """Single-writer guard for an epoch (O_EXCL lock file).
+
+    Two concurrent replays of the same epoch would race on staging
+    files; the lock makes the second fail fast. A crashed writer's lock
+    goes stale after ``stale_sec`` and is reclaimed (resume path)."""
+    import time as _time
+
+    d = epoch_dir(lake_dir, epoch)
+    os.makedirs(d, exist_ok=True)
+    lock = os.path.join(d, "_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, f"{os.getpid()} {_time.time()}".encode())
+        os.close(fd)
+        return lock
+    except FileExistsError:
+        try:
+            with open(lock) as f:
+                holder_pid = int(f.read().split()[0])
+            age = _time.time() - os.path.getmtime(lock)
+        except (FileNotFoundError, ValueError, IndexError):
+            return acquire_epoch_lock(lake_dir, epoch, stale_sec=stale_sec)
+        holder_alive = True
+        if holder_pid != os.getpid():
+            try:
+                os.kill(holder_pid, 0)
+            except (ProcessLookupError, PermissionError):
+                holder_alive = False
+        if holder_pid == os.getpid() or not holder_alive or age > stale_sec:
+            # reclaim: our own lock (re-entry/resume), a dead writer's
+            # lock (crash), or a stale one
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+            return acquire_epoch_lock(lake_dir, epoch, stale_sec=stale_sec)
+        raise EpochLockError(
+            f"epoch {epoch} of {lake_dir} is being written by pid {holder_pid} "
+            f"(lock age {age:.0f}s); retry after it finishes or dies"
+        )
+
+
+def release_epoch_lock(lock_path: str) -> None:
+    try:
+        os.remove(lock_path)
+    except FileNotFoundError:
+        pass
+
+
+def verify_lake(lake_dir: str, epoch: int | None = None) -> dict:
+    """Lineage verification: every committed partition file exists, has
+    the manifested size and (when recorded) content hash. Returns
+    counters; raises on corruption."""
+    e = latest_epoch(lake_dir) if epoch is None else epoch
+    commit = read_commit(lake_dir, e)
+    checked = hashed = 0
+    for pid, ent in commit["partitions"].items():
+        if not ent["path"]:
+            continue
+        path = os.path.join(lake_dir, ent["path"])
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"partition {pid}: missing {ent['path']}")
+        # manifest lives next to the data file (possibly an older epoch dir)
+        mf = path.replace(".parquet", ".manifest.json")
+        with open(mf) as f:
+            m = json.load(f)
+        if os.path.getsize(path) != m["bytes"]:
+            raise ValueError(f"partition {pid}: size mismatch for {ent['path']}")
+        if m.get("sha256"):
+            if _sha256_file(path) != m["sha256"]:
+                raise ValueError(f"partition {pid}: content hash mismatch for {ent['path']}")
+            hashed += 1
+        checked += 1
+    return {"epoch": e, "partitions_checked": checked, "hashes_verified": hashed}
 
 
 def lake_stats(lake_dir: str) -> dict:
