@@ -126,6 +126,7 @@ class IncrementalIngestor:
         staging = sink.epoch_dir(self.lake_dir, epoch)
         if os.path.isdir(staging):
             shutil.rmtree(staging)
+        lock = sink.acquire_epoch_lock(self.lake_dir, epoch)
 
         schemas = [pq.read_schema(f) for f in files]
         if prev is not None:
@@ -181,6 +182,7 @@ class IncrementalIngestor:
              "rows_total": rows_total, "max_lsn": max_lsn},
             state_schema,
         )
+        sink.release_epoch_lock(lock)
         return {"epoch": epoch, "rows_total": rows_total, "routed": int(total_routed),
                 "partitions_written": len(by_part)}
 
