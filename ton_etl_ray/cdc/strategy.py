@@ -44,11 +44,13 @@ def estimate_shuffle_bytes(files: list[str], override_num_blocks: int) -> int:
     bytes_per_row = sampled_bytes / sampled_rows * 1.6  # arrow expansion fudge
     total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     rows_per_block = total_rows / max(1, override_num_blocks)
-    # uniques per block scales sublinearly; the row-group sample ratio is
-    # measured at ~rg granularity — rescale optimistically linearly and
-    # cap at rows_per_block
+    # the row-group-level distinct ratio is a LOWER bound for smaller
+    # blocks (distinct fraction grows as n shrinks), and the sort holds
+    # map outputs + reduce inputs concurrently — apply a 2x safety
+    # factor, calibrated against the empirical 10^9-event run (est
+    # 13 GiB raw vs ~37 GB actual spill)
     uniq_per_block = min(rows_per_block, distinct_ratio * rows_per_block)
-    return int(override_num_blocks * uniq_per_block * bytes_per_row)
+    return int(2.0 * override_num_blocks * uniq_per_block * bytes_per_row)
 
 
 def replay_auto(
