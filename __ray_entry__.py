@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": R.filtered_revenue,
         "broadcast_join_parts": R.broadcast_join_parts,
         "q3_top_orders": R.q3_top_orders,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         "asof_last_click": R.asof_last_click,
         "session_count": R.session_count,
         "rank1_snapshot": R.rank1_snapshot,
@@ -117,6 +118,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
             LIMIT 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+              AND l_shipdate < TIMESTAMP '1996-06-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "asof_last_click": """
             SELECT p.event_id, p.user_id, c.value AS last_click_value

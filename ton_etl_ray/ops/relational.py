@@ -435,6 +435,37 @@ def q3_top_orders(sf_dir: str, k: int = 10):
     return top.map_batches(lambda t: _round_cols(t, ("revenue",)), batch_format="pyarrow")
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped scan-filter-aggregate: predicate pushdown at the
+    read (row-group pruning via a pyarrow dataset filter) + a single
+    global sum — the cheapest query shape the engine supports."""
+    ensure_portable()
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_quantity") < 24),
+    )
+    lo = pa.scalar(pd.Timestamp("1995-06-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-06-01"), pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        s = pc.sum(rev).as_py() or 0.0
+        n = t.num_rows
+        return pa.table({"partial": pa.array([s], pa.float64()), "n": pa.array([n], pa.int64())})
+
+    partials = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    total = float(np.round(sum(r["partial"] for r in partials), 2))
+    n = int(sum(r["n"] for r in partials))
+    return pa.table({"revenue": pa.array([total], pa.float64()), "n_rows": pa.array([n], pa.int64())})
+
+
 def parent_event(sf_dir: str):
     """Graph parent lookup (J2: trace_edges ⋈ messages 1-hop,
     parser/db.py:153-177): for each event, the immediately preceding
