@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank1_snapshot": R.rank1_snapshot,
         "cdc_state_events": R.cdc_state_events,
         "windowed_hourly": R.windowed_hourly,
+        "sliding_window_counts": R.sliding_window_counts,
+        "topk_per_group": R.topk_per_group,
         "percentile_values": R.percentile_values,
         "topk_users": R.topk_users,
         "anti_join_customers": R.anti_join_customers,
@@ -170,6 +172,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "sliding_window_counts": """
+            WITH e AS (
+                SELECT date_trunc('minute', ts)
+                       - INTERVAL (extract(minute FROM ts)::INT % 15) MINUTE AS base,
+                       value
+                FROM events
+            ), x AS (
+                SELECT base - INTERVAL (i.i * 15) MINUTE AS window_start, value
+                FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) i
+            )
+            SELECT window_start, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM x GROUP BY window_start
+        """,
+        "topk_per_group": """
+            WITH ranked AS (
+                SELECT event_type, event_id, value, row_number() OVER (
+                    PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+                FROM events
+            )
+            SELECT event_type, event_id, value FROM ranked WHERE rk <= 3
         """,
         "percentile_values": """
             SELECT event_type,

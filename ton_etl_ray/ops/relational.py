@@ -488,6 +488,43 @@ def parent_event(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def sliding_window_counts(sf_dir: str, window_min: int = 60, slide_min: int = 15):
+    """SLIDING event-time window (A5 rolling-TPS shape): each event lands
+    in window_min/slide_min overlapping windows — vectorized flat-map to
+    (window_start, value) rows, then a grouped aggregate. No per-row
+    Python; the explosion factor is the overlap count (4 here)."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    k = window_min // slide_min
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=slide_min, unit="minute")
+        parts = []
+        for i in range(k):
+            ws = pc.subtract(base, pa.scalar(np.timedelta64(i * slide_min * 60, "s")))
+            parts.append(pa.table({"window_start": ws, "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow")
+
+
+def topk_per_group(sf_dir: str, k: int = 3):
+    """Grouped top-k (rank ≤ k per key): per-type top events by value."""
+    ensure_portable()
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        return top[["event_type", "event_id", "value"]]
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
 def partitioned_export(sf_dir: str, out_dir: str):
     """Hive-partitioned lake export (K6 CTAS + date repartition,
     datalake_daily_sync.py:298-345): events re-laid-out by day so a
