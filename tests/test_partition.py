@@ -50,3 +50,19 @@ def test_partition_balance():
     counts = np.bincount(p, minlength=32)
     assert counts.min() > 0.7 * counts.mean()
     assert counts.max() < 1.3 * counts.mean()
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from ton_etl_ray.core.bloom import BloomFilter
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 62, size=100_000, dtype=np.int64)
+    bf = BloomFilter(len(keys))
+    bf.add(keys)
+    assert bf.contains(keys).all()  # zero false negatives, always
+    probe = rng.integers(0, 1 << 62, size=100_000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bf.contains(fresh).mean()
+    assert fp < 0.01, fp  # 16 bits/key, 8 hashes → ~4e-4 expected

@@ -82,3 +82,25 @@ def test_late_resume_after_partial_commit(tmp_path):
     res = replay_late(chg, lake, num_partitions=8, resume=True)
     assert res.published
     assert _state(lake) == ref
+
+
+def test_bloom_filter_mode_equals_exact(tmp_path):
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=12000, num_keys=900, seed=64, num_shards=4, max_tok=16)
+    lake_e = str(tmp_path / "lake_exact")
+    lake_b = str(tmp_path / "lake_bloom")
+    replay_late(chg, lake_e, num_partitions=8, lsn_filter="exact")
+    replay_late(chg, lake_b, num_partitions=8, lsn_filter="bloom")
+    assert _state(lake_e) == _state(lake_b)
+    # and both equal the oracle
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    want = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rk
+          FROM read_parquet({files})
+        ) SELECT doc_id, tokens, n_tok, source FROM ranked WHERE rk=1 AND op <> 'd'
+        """
+    ).arrow()
+    wm = {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"]) for r in want.to_pylist()}
+    assert _state(lake_b) == wm

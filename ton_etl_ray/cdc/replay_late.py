@@ -60,6 +60,8 @@ def replay_late(
     num_partitions: int = 64,
     override_num_blocks: int | None = None,
     resume: bool = False,
+    lsn_filter: str = "auto",
+    bloom_threshold: int = 50_000_000,
 ) -> ReplayResult:
     from .._pickle import ensure_portable
 
@@ -140,8 +142,11 @@ def replay_late(
                                  "lsn": pl.from_arrow(wins_t["lsn"].combine_chunks()),
                                  "op": pl.from_arrow(wins_t["op"].combine_chunks())})
             carry = None
-        # tombstone winners just disappear; fetch only live winners
-        fetch = wins.filter(pl.col("op") != "d")
+        # ALL winners (tombstones included) go into the lsn filter set:
+        # with an approximate filter a false-positive stale row must meet
+        # its key's true winner (possibly a tombstone) in the reduce, or
+        # a deleted key could resurrect
+        fetch = wins
         d = sink.epoch_dir(lake_dir, epoch)
         os.makedirs(d, exist_ok=True)
         if carry is not None and carry.num_rows:
@@ -169,15 +174,27 @@ def replay_late(
     for b in fetch_rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         lsn_chunks.append(b["lsn"].to_numpy(zero_copy_only=False))
     win_lsns = np.sort(np.concatenate(lsn_chunks)) if lsn_chunks else np.array([], np.int64)
-    lsn_ref = ray.put(win_lsns)
+    use_bloom = lsn_filter == "bloom" or (
+        lsn_filter == "auto" and len(win_lsns) > bloom_threshold
+    )
+    if use_bloom:
+        from ..core.bloom import BloomFilter
+
+        bf = BloomFilter(len(win_lsns) or 1)
+        bf.add(win_lsns)
+        lsn_ref = ray.put(("bloom", bf))
+    else:
+        lsn_ref = ray.put(("exact", win_lsns))
 
     # ---------- phase B: payload fetch + final merge ----------
     def fetch_filter(batch: pa.Table) -> pa.Table:
-        # stateless task; ray.get of the shared lsn array is zero-copy
-        win = ray.get(lsn_ref)
+        # stateless task; ray.get of the shared filter is zero-copy
+        kind, win = ray.get(lsn_ref)
         t = conform(batch, unified)
         lsn = t["lsn"].to_numpy(zero_copy_only=False)
-        if len(win):
+        if kind == "bloom":
+            hit = win.contains(lsn)
+        elif len(win):
             idx = np.searchsorted(win, lsn)
             hit = (idx < len(win)) & (win[np.minimum(idx, len(win) - 1)] == lsn)
         else:
@@ -196,6 +213,8 @@ def replay_late(
     def finalize(group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
         fetched = M.compact(group.drop_columns(["part"]), keep_tombstones=True)
+        # fetched now includes tombstone winners and (under bloom) stale
+        # false positives — merge_state resolves both correctly
         carry_path = os.path.join(staging, _carry_file(part))
         carry = pq.read_table(carry_path) if os.path.exists(carry_path) else None
         new_state = M.merge_state(carry, fetched).sort_by("doc_id")
