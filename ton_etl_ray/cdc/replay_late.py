@@ -18,9 +18,12 @@ phase B (payload): read the shards with payloads, filter to winning
 
 Shuffle bytes: narrow-rows + one-payload-per-live-key — the minimum the
 semantics allow. Token decode happens once (phase B), same as replay().
-At 10^9+ live keys the broadcast lsn array grows past driver comfort;
-swap it for a bloom filter or per-shard lsn-range buckets (documented,
-not needed at sandbox scale).
+At 10^9+ live keys the broadcast exact lsn array grows past driver
+comfort (8 GB/10^9); past ``bloom_threshold`` winners the filter
+auto-switches to a numpy Bloom filter (~2 GB/10^9, fp ~4e-4) — safe
+because tombstone winners are always in the fetch set, so any
+false-positive stale row meets its key's true winner in the reduce and
+loses the LWW merge.
 
 Restriction: like replay(), one epoch per call; salting is unnecessary
 here (narrow rows bound hot-key volume at ≤1 row/key/block, and phase B

@@ -128,7 +128,8 @@ def main() -> int:
     else:
         from ton_etl_ray.cdc.replay_late import replay_late
 
-        res = replay_late(CHG, LAKE, num_partitions=1024)
+        res = replay_late(CHG, LAKE, num_partitions=1024,
+                          lsn_filter="bloom" if "--bloom" in sys.argv else "auto")
     dt = time.time() - t0
     out = {
         "events": NUM_EVENTS,
@@ -137,7 +138,8 @@ def main() -> int:
         "replay_sec": round(dt, 1),
         "events_per_sec": round(NUM_EVENTS / dt),
         "lake_rows": res.rows_total,
-        "strategy": "eager" if "--eager" in sys.argv else "late",
+        "strategy": "eager" if "--eager" in sys.argv else
+                    ("late+bloom" if "--bloom" in sys.argv else "late"),
         "loadavg_1m": os.getloadavg()[0],
     }
     print(json.dumps(out), flush=True)
