@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hash": dedup.exact_dedup_hash,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # sketch → rows-only
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
+        "dedup_groups": dedup.dedup_groups,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
         "approx_distinct_users": lambda sf: __import__(
             "ton_etl_ray.ops.sketch", fromlist=["approx_distinct"]
@@ -273,6 +274,24 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b FROM w a JOIN w b
+                ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s)) >= 0.95
+            ), e AS (
+                SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+            ), walk(n, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT walk.n, e.b FROM walk JOIN e ON e.a = walk.m
+            )
+            SELECT n AS doc_id, min(m) AS group_id FROM walk GROUP BY n
         """,
         "knn_cosine": """
             WITH q AS (

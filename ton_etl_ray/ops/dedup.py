@@ -275,6 +275,46 @@ def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     return ds.map_batches(Pairs, batch_format="pandas", batch_size=2048, concurrency=2)
 
 
+def dedup_groups(sf_dir: str, threshold: float = 0.95):
+    """Near-dup GROUPS: connected components over exact word-Jaccard
+    edges; each doc labeled with its component's min doc_id.
+
+    Edge discovery is the distributed matmul of word_jaccard_pairs; the
+    component reduction is union-find over the (provably small,
+    threshold-pruned) edge list on the driver — per the standard guide
+    rule: label-propagate distributedly only when the candidate set
+    can't be bounded. Oracle: the same components via a recursive CTE."""
+    ensure_portable()
+    import pyarrow.parquet as pq
+
+    pairs_ds = word_jaccard_pairs(sf_dir, threshold=threshold)
+    pairs = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id"])
+    parent: dict[int, int] = {int(d): int(d) for d in docs["doc_id"].to_pylist()}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = sorted((d, find(d)) for d in parent)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "group_id": pa.array([g for _, g in out], pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3):
     """Exact n-gram Jaccard similarity for all LSH candidates at a lower
     threshold (recall-oriented near-dup audit)."""
