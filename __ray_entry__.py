@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_hourly": R.windowed_hourly,
         "sliding_window_counts": R.sliding_window_counts,
         "topk_per_group": R.topk_per_group,
+        "supplier_stats": R.supplier_stats,
         "percentile_values": R.percentile_values,
         "topk_users": R.topk_users,
         "anti_join_customers": R.anti_join_customers,
@@ -201,6 +202,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p50,
                    round(quantile_cont(value, 0.95), 6) AS p95
             FROM events GROUP BY event_type
+        """,
+        "supplier_stats": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 6) AS avg_acctbal,
+                   min(s_acctbal) AS min_acctbal,
+                   max(s_acctbal) AS max_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "topk_users": """
             SELECT user_id, round(sum(value), 2) AS total_value

@@ -488,6 +488,40 @@ def parent_event(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def supplier_stats(sf_dir: str):
+    """Full aggregate family (count/avg/min/max) after a broadcast
+    dim-dim join (supplier ⋈ nation)."""
+    ensure_portable()
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max, Mean, Min
+
+    nations = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    ref = ray.put(
+        dict(zip(nations["n_nationkey"].to_pylist(), nations["n_name"].to_pylist()))
+    )
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+
+    def with_nation(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = pa.array([lookup[int(k)] for k in t["s_nationkey"].to_numpy()], pa.string())
+        return pa.table({"n_name": names, "s_acctbal": t["s_acctbal"]})
+
+    out = (
+        ds.map_batches(with_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Mean("s_acctbal", alias_name="avg_acctbal"),
+            Min("s_acctbal", alias_name="min_acctbal"),
+            Max("s_acctbal", alias_name="max_acctbal"),
+        )
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, ("avg_acctbal",), digits=6), batch_format="pyarrow"
+    )
+
+
 def sliding_window_counts(sf_dir: str, window_min: int = 60, slide_min: int = 15):
     """SLIDING event-time window (A5 rolling-TPS shape): each event lands
     in window_min/slide_min overlapping windows — vectorized flat-map to
