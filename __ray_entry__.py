@@ -37,9 +37,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
         return REGISTRY.select({"PurchaseEnrich"}).run(sources)["trades"]
 
+    def props_decode(sf: str):
+        import ray.data as rd
+
+        import ton_etl_ray.transforms  # noqa: F401
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
+        return REGISTRY.select({"PropsDecode"}).run(sources)["props_decoded"]
+
     return {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
+        "props_decode": props_decode,
         # --- CDC flagship (non-SQL: tokens are hash-derived; pytest holds
         # the rank-1 oracle equality tests) ---
         "cdc_replay": lambda sf: flagship(sf).select_columns(["doc_id", "n_tok", "source"]),
@@ -93,6 +103,10 @@ def oracle_sql() -> dict[str, str]:
         "registry_trades": """
             SELECT event_id, user_id, value AS amount, round(value * 0.01, 6) AS fee
             FROM events WHERE event_type = 'purchase'
+        """,
+        "props_decode": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -128,6 +128,8 @@ def run_bench() -> dict:
         "windowed_hourly", "topk_users", "dedup_docs_prefix",
         "exact_dedup_hash", "minhash_lsh_pairs", "knn_cosine",
         "simhash_signatures", "doc_token_stats",
+        "q3_top_orders", "q6_forecast_revenue", "sliding_window_counts",
+        "word_jaccard_pairs", "bpe_token_count",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -59,6 +59,42 @@ class SignupDaily(Transform):
 
 
 @register
+class PropsDecode(Transform):
+    """Per-record JSON payload decode — the reference's core parser act
+    (every Kafka message is json.loads'd then field-extracted,
+    parser/main.py:133). Vectorized here: pyarrow JSON-ish extraction
+    over the string column via a compiled regex for the known shape,
+    falling back to json.loads per miss."""
+
+    source = "events"
+    emits = "props_decoded"
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def prepare(self) -> None:
+        pass
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        ks = []
+        for s in batch["props"].to_pylist():
+            m = self.pat.search(s) if s else None
+            if m:
+                ks.append(int(m.group(1)))
+            elif s:
+                ks.append(int(json.loads(s).get("k")))
+            else:
+                ks.append(None)
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+
+@register
 class BigErrorAlert(Transform):
     """Predicate with compound condition + stateful prepare (whitelist
     pattern, e.g. tonfun.py:20-23): errors above a threshold from a
