@@ -142,3 +142,24 @@ def test_invalid_op_rejected(tmp_path):
     pq.write_table(bad, os.path.join(chg, "shard-00000.parquet"))
     with pytest.raises(Exception, match="invalid op"):
         replay(chg, str(tmp_path / "lake"), num_partitions=2, hot_share_threshold=1.0)
+
+
+def test_resume_with_salting_recomputes_hotspills(tmp_path):
+    """Regression: committed salted (hotspill) partitions must NOT be
+    skipped on resume — their slot assignment is not reproducible across
+    runs, so skipping could drop hot-key rows (review finding)."""
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=10000, num_keys=200, seed=97, num_shards=4, max_tok=16)
+
+    # partial crash: some base partitions AND their hotspills committed
+    partial = replay(chg, lake, num_partitions=8, num_salts=4, hot_share_threshold=0.02,
+                     only_parts=frozenset(range(12)))  # bases 0-7 + salted 8-11
+    assert not partial.published
+
+    res = replay(chg, lake, resume=True, num_partitions=8, num_salts=4,
+                 hot_share_threshold=0.02)
+    assert res.published
+    gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
+    wm = _as_map(_oracle(chg))
+    assert gm == wm

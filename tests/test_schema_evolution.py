@@ -35,3 +35,8 @@ def test_conform_adds_nulls_and_casts():
     assert c.schema == u
     assert c["lang"].null_count == 2
     assert c["x"].type == pa.int64()
+
+
+def test_widen_uint64_signed_raises():
+    with pytest.raises(TypeError, match="uint64"):
+        widen(pa.uint64(), pa.int32())

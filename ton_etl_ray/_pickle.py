@@ -12,21 +12,20 @@ from __future__ import annotations
 
 import sys
 
-_done = False
+_registered: set[str] = set()
 
 
 def ensure_portable() -> None:
-    global _done
-    if _done:
-        return
+    """Idempotent per-module: modules imported AFTER a previous call are
+    picked up on the next call (a done-flag would strand them)."""
     try:
         from ray import cloudpickle as cp
     except Exception:  # pragma: no cover - ray always present in this env
         import cloudpickle as cp
     for name, mod in list(sys.modules.items()):
-        if name.split(".")[0] == "ton_etl_ray" and mod is not None:
+        if name.split(".")[0] == "ton_etl_ray" and mod is not None and name not in _registered:
             try:
                 cp.register_pickle_by_value(mod)
+                _registered.add(name)
             except Exception:
                 pass
-    _done = True

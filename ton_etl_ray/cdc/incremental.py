@@ -110,6 +110,12 @@ class IncrementalIngestor:
             num_partitions = sink.read_commit(lake_dir, prev)["num_partitions"]
         self.lake_dir = lake_dir
         self.P = num_partitions
+        # leave headroom for the routing map tasks: actors each pin a CPU
+        # for their lifetime, and a pool >= cluster CPUs deadlocks the
+        # map_batches stage silently
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_actors = max(1, min(num_actors, cpus - 2 if cpus > 2 else 1))
         self.actors = []
         self.owner: dict[int, int] = {}
         for a in range(num_actors):

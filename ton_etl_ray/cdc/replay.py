@@ -275,7 +275,17 @@ def replay(
         _sample_keys(files), share_threshold=hot_share_threshold
     ) if hot_share_threshold < 1.0 else frozenset()
 
-    committed = sink.staged_manifests(lake_dir, epoch) if resume else {}
+    # resume: only BASE data partitions are skippable. Salted (hotspill)
+    # partitions must always be recomputed: their slot assignment depends
+    # on per-batch salt tokens and block boundaries, which a resumed run
+    # (possibly at different parallelism) does not reproduce — skipping a
+    # committed slot could silently drop hot-key rows newly routed to it.
+    # Recomputed spills supersede stale ones (same deterministic names);
+    # re-merging duplicated hot winners is LWW-idempotent.
+    committed = {
+        f: m for f, m in (sink.staged_manifests(lake_dir, epoch) if resume else {}).items()
+        if m.get("kind") == "data"
+    }
     skip_parts = frozenset(m["part"] for m in committed.values())
 
     prev_state = sink.state_path_map(lake_dir, prev_epoch)
@@ -336,11 +346,15 @@ def replay(
             else:
                 state = None
             new_state = M.merge_state(state, sub).sort_by("doc_id")
+            prior = manifests.get(sink.part_file(bp))
+            prior_max = int(prior["max_lsn"]) if prior else -1
             m = sink.write_partition(
                 lake_dir, epoch, sink.part_file(bp), new_state,
                 {"kind": "data", "part": bp,
                  "rows_in": int(sub.num_rows),
-                 "max_lsn": int(pc.max(sub["lsn"]).as_py()),
+                 # the partition watermark covers BOTH the shuffle-stage
+                 # changes and the hot winners folded in here
+                 "max_lsn": max(prior_max, int(pc.max(sub["lsn"]).as_py())),
                  "tombstones": int(pc.sum(pc.equal(sub["op"], "d")).as_py() or 0)},
             )
             manifests[m["file"]] = {**m, "kind": "data", "part": bp}

@@ -65,6 +65,7 @@ def replay_late(
     resume: bool = False,
     lsn_filter: str = "auto",
     bloom_threshold: int = 50_000_000,
+    excluded_doc_ids: frozenset[str] | None = None,
 ) -> ReplayResult:
     from .._pickle import ensure_portable
 
@@ -108,9 +109,14 @@ def replay_late(
 
     # ---------- phase A: narrow winner decision ----------
     def narrow(batch: pa.Table) -> pa.Table:
+        if excluded_doc_ids:
+            keep = pc.invert(pc.is_in(batch["doc_id"], value_set=pa.array(sorted(excluded_doc_ids))))
+            batch = batch.filter(keep)
         ok = pc.is_in(batch["op"], value_set=pa.array(VALID_OPS))
         if not pc.all(ok).as_py():
             raise ValueError("invalid op values in change batch")
+        if batch["lsn"].null_count:
+            raise ValueError("null lsn in change batch")
         t = M.compact(batch, keep_tombstones=True)
         part = P.assign_partitions(t["doc_id"], num_partitions)
         return t.append_column("part", pa.array(part, pa.int64()))
@@ -194,6 +200,8 @@ def replay_late(
         # stateless task; ray.get of the shared filter is zero-copy
         kind, win = ray.get(lsn_ref)
         t = conform(batch, unified)
+        if excluded_doc_ids:
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(sorted(excluded_doc_ids)))))
         lsn = t["lsn"].to_numpy(zero_copy_only=False)
         if kind == "bloom":
             hit = win.contains(lsn)

@@ -227,13 +227,25 @@ def acquire_epoch_lock(lake_dir: str, epoch: int, *, stale_sec: float = 3600.0) 
             except (ProcessLookupError, PermissionError):
                 holder_alive = False
         if holder_pid == os.getpid() or not holder_alive or age > stale_sec:
-            # reclaim: our own lock (re-entry/resume), a dead writer's
-            # lock (crash), or a stale one
+            # reclaim via atomic rename + ownership read-back: two
+            # concurrent reclaimers both rename, but the lock file ends
+            # up containing exactly one winner's pid (a remove+recreate
+            # scheme would let a late remove delete the other's lock)
+            tmp = f"{lock}.claim.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(f"{os.getpid()} {_time.time()}")
+            os.replace(tmp, lock)
+            _time.sleep(0.01)  # let a racing claimant's rename land
             try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
-            return acquire_epoch_lock(lake_dir, epoch, stale_sec=stale_sec)
+                with open(lock) as f:
+                    winner = int(f.read().split()[0])
+            except (FileNotFoundError, ValueError, IndexError):
+                winner = -1
+            if winner == os.getpid():
+                return lock
+            raise EpochLockError(
+                f"epoch {epoch} of {lake_dir}: lost reclaim race to pid {winner}"
+            )
         raise EpochLockError(
             f"epoch {epoch} of {lake_dir} is being written by pid {holder_pid} "
             f"(lock age {age:.0f}s); retry after it finishes or dies"

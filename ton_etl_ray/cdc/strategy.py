@@ -59,10 +59,16 @@ def replay_auto(
     *,
     num_partitions: int = 64,
     object_store_bytes: int | None = None,
-    **kwargs,
+    override_num_blocks: int | None = None,
+    resume: bool = False,
+    excluded_doc_ids: frozenset[str] | None = None,
+    hot_share_threshold: float = 0.01,
+    num_salts: int = 8,
 ) -> ReplayResult:
     """Pick eager vs late by comparing predicted shuffle bytes to the
-    object store capacity (spill threshold at 50%)."""
+    object store capacity (spill threshold at 50%). Shared options
+    (resume, corrections, block override) are forwarded to whichever
+    strategy wins; strategy-specific knobs stay on the direct APIs."""
     import ray
 
     files = _discover(changes)
@@ -72,13 +78,19 @@ def replay_auto(
         else:
             object_store_bytes = 2 << 30
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    blocks = kwargs.get("override_num_blocks") or max(
+    blocks = override_num_blocks or max(
         2 * cpus, sum(os.path.getsize(f) for f in files) // (64 << 20), 1
     )
     est = estimate_shuffle_bytes(files, blocks)
     if est > object_store_bytes // 2:
         return replay_late(
             files, lake_dir, num_partitions=num_partitions,
-            override_num_blocks=kwargs.get("override_num_blocks"),
+            override_num_blocks=override_num_blocks, resume=resume,
+            excluded_doc_ids=excluded_doc_ids,
         )
-    return replay(files, lake_dir, num_partitions=num_partitions, **kwargs)
+    return replay(
+        files, lake_dir, num_partitions=num_partitions,
+        override_num_blocks=override_num_blocks, resume=resume,
+        excluded_doc_ids=excluded_doc_ids,
+        hot_share_threshold=hot_share_threshold, num_salts=num_salts,
+    )

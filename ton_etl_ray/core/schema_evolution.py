@@ -38,6 +38,10 @@ def widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if num(a) and num(b):
         if a in _FLOAT_RANK or b in _FLOAT_RANK:
             return pa.float64()
+        if pa.uint64() in (a, b):
+            # no integer type holds both uint64 and signed values; a
+            # silent int64 choice would raise mid-pipeline on cast
+            raise TypeError("cannot losslessly unify uint64 with a signed integer type")
         return pa.int64()
     if pa.types.is_list(a) and pa.types.is_list(b):
         return pa.list_(widen(a.value_type, b.value_type))

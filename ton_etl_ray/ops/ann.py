@@ -36,11 +36,11 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(-1, dim)
 
 
-def _query_vector(sf_dir: str) -> np.ndarray:
+def _query_vector(sf_dir: str) -> tuple[np.ndarray, int]:
     """Deterministic query: the embedding of the smallest vec_id."""
     t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     i = int(np.argmin(t["vec_id"].to_numpy()))
-    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64), int(t["vec_id"][i].as_py())
 
 
 def knn_cosine(sf_dir: str, k: int = 10):
@@ -50,22 +50,22 @@ def knn_cosine(sf_dir: str, k: int = 10):
     the driver — the map-side-combine pattern: only k rows per block ever
     leave a worker."""
     ensure_portable()
-    q = _query_vector(sf_dir)
+    q, qid = _query_vector(sf_dir)
     qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
+    qref = ray.put((qn, qid))
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     class PartialTopK:
         def __init__(self):
-            self.q = ray.get(qref)
+            self.q, self.qid = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             m = _emb_matrix(t)
             norms = np.linalg.norm(m, axis=1)
             sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
             ids = t["vec_id"].to_numpy()
-            keep = ids != 0  # exclude the query itself
+            keep = ids != self.qid  # exclude the query itself
             sims, ids = sims[keep], ids[keep]
             if len(ids) > k:
                 top = np.argpartition(-sims, k)[:k]
@@ -88,7 +88,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
     deterministic centroid, search only the ``probes`` closest clusters.
     Approximate → rows-only driver check (no oracle SQL)."""
     ensure_portable()
-    q = _query_vector(sf_dir)
+    q, qid = _query_vector(sf_dir)
     qn = q / np.linalg.norm(q)
 
     # deterministic centroids: seeded sample + one Lloyd refinement
@@ -104,20 +104,20 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
             v = sel.mean(axis=0)
             cent[c] = v / max(np.linalg.norm(v), 1e-12)
     probe_set = set(np.argsort(-(cent @ qn))[:probes].tolist())
-    cref = ray.put((cent, probe_set, qn))
+    cref = ray.put((cent, probe_set, qn, qid))
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     class ProbeTopK:
         def __init__(self):
-            self.cent, self.probe, self.q = ray.get(cref)
+            self.cent, self.probe, self.q, self.qid = ray.get(cref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mm = _emb_matrix(t)
             norms = np.clip(np.linalg.norm(mm, axis=1), 1e-12, None)
             mmn = mm / norms[:, None]
             cl = np.argmax(mmn @ self.cent.T, axis=1)
-            keep = np.isin(cl, list(self.probe)) & (t["vec_id"].to_numpy() != 0)
+            keep = np.isin(cl, list(self.probe)) & (t["vec_id"].to_numpy() != self.qid)
             sims = mmn[keep] @ self.q
             ids = t["vec_id"].to_numpy()[keep]
             if len(ids) > k:

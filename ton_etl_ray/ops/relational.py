@@ -363,7 +363,11 @@ def _portable_shuffle_join(
     left: "rd.Dataset", right: "rd.Dataset", on: str, *, num_partitions: int = 32, how: str = "inner"
 ):
     """Union-tag-bucket join: works on any Ray version (and is the
-    explicit form of what the native hash join does)."""
+    explicit form of what the native hash join does). Side schemas are
+    captured up front so a one-sided bucket still merges on the right
+    column set (column-pruning by dropna would drop the join key)."""
+    left_cols = [f.name for f in left.schema().base_schema]
+    right_cols = [f.name for f in right.schema().base_schema]
     left = left.map_batches(
         lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
         batch_format="pyarrow",
@@ -381,8 +385,8 @@ def _portable_shuffle_join(
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        l = g.loc[g["__side"] == 0, left_cols]
+        r = g.loc[g["__side"] == 1, right_cols]
         return l.merge(r, on=on, how=how)
 
     return both.map_batches(bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
