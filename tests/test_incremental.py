@@ -91,3 +91,46 @@ def test_microbatch_schema_evolution(tmp_path):
     assert t.schema.field("n_tok").type == pa.int64()
     rows = t.to_pylist()
     assert any(r["lang"] is not None for r in rows)
+
+
+def test_failed_ingest_does_not_leak_into_next_epoch(tmp_path, monkeypatch):
+    """Exactly-once across micro-batches (ADVICE r1): a failed (never
+    committed) ingest's rows must NOT appear in a later epoch's commit —
+    actor buffers and resident state are discarded on failure."""
+    import pytest
+
+    from ton_etl_ray.cdc import incremental as inc_mod
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=6000, num_keys=400, seed=45, num_shards=6, max_tok=8)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+
+    lake = str(tmp_path / "lake")
+    ing = IncrementalIngestor(lake, num_partitions=8, num_actors=2)
+    try:
+        ing.ingest(files[0:2])                       # epoch 0: ok
+
+        real_publish = inc_mod.sink.publish_epoch
+        calls = {"n": 0}
+
+        def failing_publish(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("injected publish failure")
+
+        monkeypatch.setattr(inc_mod.sink, "publish_epoch", failing_publish)
+        with pytest.raises(RuntimeError):
+            ing.ingest(files[2:4])                   # epoch 1: FAILS (post-seal)
+        assert calls["n"] == 1
+        monkeypatch.setattr(inc_mod.sink, "publish_epoch", real_publish)
+
+        ing.ingest(files[4:6])                       # epoch 1 retry: batch 3 only
+    finally:
+        ing.close()
+
+    got = _state_map(lake)
+
+    # oracle: batch replay of shards 0,1,4,5 ONLY (2,3 never committed)
+    lake2 = str(tmp_path / "lake2")
+    replay(files[0:2] + files[4:6], lake2, num_partitions=8, hot_share_threshold=1.0)
+    want = _state_map(lake2)
+    assert got == want

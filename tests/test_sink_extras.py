@@ -114,3 +114,65 @@ def test_verify_lake_detects_corruption(tmp_path):
         f.write(b"\xde\xad")
     with pytest.raises(ValueError, match="hash mismatch"):
         sink.verify_lake(lake)
+
+
+def test_gc_spares_in_progress_epoch(tmp_path):
+    """An uncommitted epoch NEWER than _LATEST is a replay in progress —
+    gc_epochs must not delete its staged parquet files (ADVICE r1)."""
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=3000, num_keys=200, seed=42, num_shards=2, max_tok=8)
+    lake = str(tmp_path / "lake")
+    replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)
+    # simulate another writer mid-epoch-1: staged part file, no _COMMIT
+    d = sink.epoch_dir(lake, 1)
+    os.makedirs(d)
+    staged = os.path.join(d, sink.part_file(0))
+    with open(staged, "wb") as f:
+        f.write(b"PAR1fake")
+    sink.gc_epochs(lake, keep_epochs=1)
+    assert os.path.exists(staged)
+
+
+def test_lock_released_on_failure(tmp_path):
+    """A replay that raises mid-pipeline must not strand _LOCK (ADVICE r1)."""
+    import pytest
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=1000, num_keys=100, seed=43, num_shards=2, max_tok=8)
+    lake = str(tmp_path / "lake")
+    # corrupt one shard so the pipeline fails after the lock is acquired
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    with open(files[1], "wb") as f:
+        f.write(b"not parquet")
+    with pytest.raises(Exception):
+        replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)
+    assert not os.path.exists(os.path.join(sink.epoch_dir(lake, 0), "_LOCK"))
+    # a fresh replay over the good shard succeeds immediately (no stale lock)
+    res = replay(files[:1], lake, num_partitions=4, hot_share_threshold=1.0)
+    assert res.published
+
+
+def test_concurrent_writer_lock_survives_second_start(tmp_path):
+    """A second replay of the same epoch must fail on the LOCK without
+    deleting the first writer's staged files (lock precedes rmtree)."""
+    import json
+    import pytest
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=1000, num_keys=100, seed=44, num_shards=2, max_tok=8)
+    lake = str(tmp_path / "lake")
+    # simulate writer A holding epoch 0: live-pid lock + a staged file
+    d = sink.epoch_dir(lake, 0)
+    os.makedirs(d)
+    lockp = os.path.join(d, "_LOCK")
+    import time
+    # use pid 1 (init, always alive) so liveness check sees a live holder
+    with open(lockp, "w") as f:
+        f.write(f"1 {time.time()}")
+    staged = os.path.join(d, sink.part_file(2))
+    with open(staged, "wb") as f:
+        f.write(b"PAR1fake")
+    with pytest.raises(sink.EpochLockError):
+        replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)
+    assert os.path.exists(staged)   # writer A's files untouched
+    assert os.path.exists(lockp)    # writer A's lock untouched

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -70,6 +69,18 @@ class PartitionApplier:
             self.buffers[part].append(t)
             n += t.num_rows
         return n
+
+    def reset(self) -> None:
+        """Discard buffered rows AND the resident state cache.
+
+        Called after a failed (never-committed) epoch: buffers may hold
+        rows from the failed micro-batch and ``seal()`` may already have
+        folded them into resident state — both would otherwise leak into
+        the NEXT epoch's commit (at-least-once, not exactly-once). The
+        committed lake is the source of truth; state lazily reloads from
+        the last committed epoch on next use."""
+        self.buffers = {p: [] for p in self.parts}
+        self.state = {}
 
     def seal(self, epoch: int) -> list[dict]:
         """Fold buffers into resident state; 2PC-write changed partitions."""
@@ -130,10 +141,26 @@ class IncrementalIngestor:
         prev = sink.latest_epoch(self.lake_dir)
         epoch = 0 if prev is None else prev + 1
         staging = sink.epoch_dir(self.lake_dir, epoch)
-        if os.path.isdir(staging):
-            shutil.rmtree(staging)
+        # lock FIRST (never rmtree an unlocked staging dir — it may belong
+        # to a live writer), then clear stale staged files
         lock = sink.acquire_epoch_lock(self.lake_dir, epoch)
+        try:
+            sink.clear_staging(self.lake_dir, epoch)
+            return self._ingest_locked(files, prev, epoch, staging)
+        except BaseException:
+            # the epoch never committed, but rows may sit in actor buffers
+            # and seal() may have mutated resident state — discard BOTH so
+            # the re-ingest can't double-apply (exactly-once, not
+            # at-least-once)
+            try:
+                ray.get([a.reset.remote() for a in self.actors])
+            except Exception:
+                pass  # actors dead → state is gone anyway; lake is truth
+            raise
+        finally:
+            sink.release_epoch_lock(lock)
 
+    def _ingest_locked(self, files: list[str], prev: int | None, epoch: int, staging: str) -> dict:
         schemas = [pq.read_schema(f) for f in files]
         if prev is not None:
             prev_schema = sink.lake_schema(self.lake_dir, prev)
@@ -188,7 +215,6 @@ class IncrementalIngestor:
              "rows_total": rows_total, "max_lsn": max_lsn},
             state_schema,
         )
-        sink.release_epoch_lock(lock)
         return {"epoch": epoch, "rows_total": rows_total, "routed": int(total_routed),
                 "partitions_written": len(by_part)}
 

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -252,12 +251,44 @@ def replay(
         # by partition file, so later epochs must hash with the same P
         num_partitions = prev_commit["num_partitions"]
     staging = sink.epoch_dir(lake_dir, epoch)
-    if os.path.isdir(staging) and not resume:
-        shutil.rmtree(staging)  # discard an abandoned, uncommitted epoch
-    # single-writer guard: a second concurrent replay of this epoch fails
-    # fast instead of racing on staging files (own/dead locks reclaimed)
+    # single-writer guard FIRST: a second concurrent replay of this epoch
+    # fails fast instead of racing on staging files (own/dead locks
+    # reclaimed). Only the lock holder may discard stale staging — an
+    # rmtree before acquiring would delete a live writer's lock and files.
     lock = sink.acquire_epoch_lock(lake_dir, epoch)
+    try:
+        if not resume:
+            sink.clear_staging(lake_dir, epoch)
+        return _replay_locked(
+            files, lake_dir, epoch, staging, prev_epoch, prev_commit,
+            num_partitions=num_partitions, num_salts=num_salts,
+            hot_share_threshold=hot_share_threshold, resume=resume,
+            only_parts=only_parts, override_num_blocks=override_num_blocks,
+            excluded_doc_ids=excluded_doc_ids,
+        )
+    finally:
+        # always release: a stranded _LOCK would lock out other processes
+        # for stale_sec (pid-liveness reclaim only works on the same host)
+        sink.release_epoch_lock(lock)
 
+
+def _replay_locked(
+    files: list[str],
+    lake_dir: str,
+    epoch: int,
+    staging: str,
+    prev_epoch: int | None,
+    prev_commit: dict | None,
+    *,
+    num_partitions: int,
+    num_salts: int,
+    hot_share_threshold: float,
+    resume: bool,
+    only_parts: frozenset[int] | None,
+    override_num_blocks: int | None,
+    excluded_doc_ids: frozenset[str] | None,
+) -> ReplayResult:
+    """Pipeline body; caller holds the epoch lock and releases it."""
     # unified change schema across shards (+ prior lake schema so state
     # columns survive even if this epoch's shards dropped one)
     file_schemas: dict[bytes, tuple[pa.Schema, list[str]]] = {}
@@ -400,7 +431,6 @@ def replay(
         )
         published = True
 
-    sink.release_epoch_lock(lock)
     return ReplayResult(
         epoch=epoch,
         published=published,

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -79,9 +78,40 @@ def replay_late(
     if prev_commit is not None:
         num_partitions = prev_commit["num_partitions"]
     staging = sink.epoch_dir(lake_dir, epoch)
-    if os.path.isdir(staging) and not resume:
-        shutil.rmtree(staging)
+    # lock FIRST, then clear stale staging (never rmtree before holding
+    # the lock — that would delete a live writer's _LOCK + staged files);
+    # always release on exit so a failure can't strand the lock
     lock = sink.acquire_epoch_lock(lake_dir, epoch)
+    try:
+        if not resume:
+            sink.clear_staging(lake_dir, epoch)
+        return _replay_late_locked(
+            files, lake_dir, epoch, staging, prev_epoch, prev_commit,
+            num_partitions=num_partitions,
+            override_num_blocks=override_num_blocks, resume=resume,
+            lsn_filter=lsn_filter, bloom_threshold=bloom_threshold,
+            excluded_doc_ids=excluded_doc_ids,
+        )
+    finally:
+        sink.release_epoch_lock(lock)
+
+
+def _replay_late_locked(
+    files: list[str],
+    lake_dir: str,
+    epoch: int,
+    staging: str,
+    prev_epoch: int | None,
+    prev_commit: dict | None,
+    *,
+    num_partitions: int,
+    override_num_blocks: int | None,
+    resume: bool,
+    lsn_filter: str,
+    bloom_threshold: int,
+    excluded_doc_ids: frozenset[str] | None,
+) -> ReplayResult:
+    """Pipeline body; caller holds the epoch lock and releases it."""
     # resume: partitions whose data manifest is durable are done — phase A
     # reruns (narrow, cheap), phase B skips their rows entirely
     committed_parts = frozenset(
@@ -298,7 +328,6 @@ def replay_late(
          "strategy": "late_materialization"},
         state_schema,
     )
-    sink.release_epoch_lock(lock)
     return ReplayResult(
         epoch=epoch, published=True, num_partitions=num_partitions, hot_keys=[],
         rows_total=rows_total, max_lsn=max_lsn,

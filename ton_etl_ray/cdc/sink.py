@@ -259,6 +259,27 @@ def release_epoch_lock(lock_path: str) -> None:
         pass
 
 
+def clear_staging(lake_dir: str, epoch: int) -> None:
+    """Discard an abandoned, uncommitted epoch's staged files — everything
+    EXCEPT the ``_LOCK``. Must only be called while HOLDING the epoch
+    lock: an rmtree of the whole dir before acquiring would delete a live
+    writer's lock and staged part/carry files (the single-writer guard
+    would then never fire)."""
+    d = epoch_dir(lake_dir, epoch)
+    if not os.path.isdir(d):
+        return
+    for name in os.listdir(d):
+        if name == "_LOCK":
+            continue
+        p = os.path.join(d, name)
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+
+
 def verify_lake(lake_dir: str, epoch: int | None = None) -> dict:
     """Lineage verification: every committed partition file exists, has
     the manifested size and (when recorded) content hash. Returns
@@ -329,8 +350,19 @@ def gc_epochs(lake_dir: str, *, keep_epochs: int = 1) -> dict:
     if latest is None:
         return {"deleted_files": 0, "kept_epochs": 0}
     keep = set(range(max(0, latest - keep_epochs + 1), latest + 1))
+    # never touch epochs NEWER than the committed latest: an uncommitted
+    # epoch-(latest+1) dir is a replay in progress (possibly in another
+    # process), not a superseded snapshot — deleting its staged part/carry
+    # files mid-run would corrupt that run's resume state
+    keep.update(
+        int(name.split("-")[1])
+        for name in os.listdir(lake_dir)
+        if name.startswith("epoch-") and int(name.split("-")[1]) > latest
+    )
     referenced: set[str] = set()
     for e in keep:
+        if not is_committed(lake_dir, e):
+            continue  # in-progress epoch: kept, but has no commit to read
         for ent in read_commit(lake_dir, e)["partitions"].values():
             if ent["path"]:
                 referenced.add(os.path.normpath(ent["path"]))
