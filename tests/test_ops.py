@@ -108,7 +108,9 @@ def test_media_features_plumbing():
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
     # deterministic: same payload → same features
     out2 = media_features(synth_media_table(num_rows=64), batch_size=16).to_pandas()
-    assert out.sort_values("media_id")["feature"].tolist() == out2.sort_values("media_id")["feature"].tolist()
+    f1 = [list(f) for f in out.sort_values("media_id")["feature"]]
+    f2 = [list(f) for f in out2.sort_values("media_id")["feature"]]
+    assert f1 == f2
 
 
 def test_decode_stub_raises():

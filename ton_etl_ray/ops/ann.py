@@ -23,6 +23,7 @@ import ray
 import ray.data as rd
 
 from .._pickle import ensure_portable
+from ._util import read_table
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -54,7 +55,7 @@ def knn_cosine(sf_dir: str, k: int = 10):
     qn = q / np.linalg.norm(q)
     qref = ray.put((qn, qid))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class PartialTopK:
         def __init__(self):
@@ -106,7 +107,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
     probe_set = set(np.argsort(-(cent @ qn))[:probes].tolist())
     cref = ray.put((cent, probe_set, qn, qid))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class ProbeTopK:
         def __init__(self):
@@ -152,7 +153,7 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
     pref = ray.put(planes)
     bits_per_band = num_planes // bands
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class Bucketize:
         def __init__(self):
@@ -228,7 +229,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
     fids = full["vec_id"].to_numpy()
     ref = ray.put((fm, fids))
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class Pairs:
         def __init__(self):

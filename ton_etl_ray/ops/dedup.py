@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
+from ._util import read_table
 
 _MERSENNE = (1 << 61) - 1
 
@@ -106,7 +107,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     import ray
     import pyarrow.parquet as pq
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(MinHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
 
     # shuffle on a COARSE key (bkey % 256): per-bucket groups are mostly
@@ -165,7 +166,7 @@ def exact_dedup_hash(sf_dir: str):
     ensure_portable()
     from ray.data.aggregate import Min
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
         from ..core.partition import hash64
@@ -215,7 +216,7 @@ class SimHashStage:
 
 def simhash_signatures(sf_dir: str):
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
 
 
@@ -241,7 +242,7 @@ def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     ids = docs["doc_id"].to_numpy()
     ref = ray.put((inc, ids, vocab))
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     class Pairs:
         def __init__(self):

@@ -15,7 +15,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -78,13 +77,20 @@ class MediaFeatureStage:
         h = hashlib.sha256(payload).digest()
         return np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        feats = [self._features(p) for p in batch["payload"]]
-        return pd.DataFrame(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow in/out: binary payloads never round-trip through
+        # pandas object columns (a full copy per stage at 100 TB)
+        import pyarrow.compute as pc
+
+        payloads = batch["payload"].combine_chunks() if isinstance(batch["payload"], pa.ChunkedArray) else batch["payload"]
+        feats = np.stack([self._features(p.as_py()) for p in payloads])
+        return pa.table(
             {
                 "media_id": batch["media_id"],
-                "n_bytes": [len(p) for p in batch["payload"]],
-                "feature": [f.tolist() for f in feats],
+                "n_bytes": pc.binary_length(batch["payload"]).cast(pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), FEATURE_DIM
+                ),
             }
         )
 
@@ -99,13 +105,14 @@ class ResizeStage:
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        scale = np.minimum(1.0, self.max_side / np.maximum(batch["width"], batch["height"]))
-        out = batch.copy()
-        out["width"] = (batch["width"] * scale).astype("int32")
-        out["height"] = (batch["height"] * scale).astype("int32")
-        out["resized"] = scale < 1.0
-        return out
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        out = batch.drop_columns(["width", "height"])
+        out = out.append_column("width", pa.array((w * scale).astype(np.int32)))
+        out = out.append_column("height", pa.array((h * scale).astype(np.int32)))
+        return out.append_column("resized", pa.array(scale < 1.0))
 
 
 def media_resize(media: "rd.Dataset | pa.Table", *, max_side: int = 256, batch_size: int = 64):
@@ -113,7 +120,7 @@ def media_resize(media: "rd.Dataset | pa.Table", *, max_side: int = 256, batch_s
     ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
     return ds.map_batches(
         ResizeStage, fn_constructor_kwargs={"max_side": max_side},
-        batch_format="pandas", batch_size=batch_size, concurrency=2,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=2,
     )
 
 
@@ -126,15 +133,19 @@ class FrameSampleStage:
     def __init__(self, fps_every: int = 10):
         self.every = fps_every
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         media_ids, frame_idx, frames = [], [], []
-        for mid, payload in zip(batch["media_id"], batch["payload"]):
-            n_frames = max(1, len(payload) // 1024)
+        payloads = batch["payload"].combine_chunks() if isinstance(batch["payload"], pa.ChunkedArray) else batch["payload"]
+        for mid, payload in zip(batch["media_id"].to_pylist(), payloads):
+            pb = payload.as_py()
+            n_frames = max(1, len(pb) // 1024)
             for i in range(0, n_frames, self.every):
                 media_ids.append(mid)
                 frame_idx.append(i)
-                frames.append(hashlib.sha256(payload + i.to_bytes(4, "big")).digest()[:8])
-        return pd.DataFrame({"media_id": media_ids, "frame_idx": frame_idx, "frame_sig": frames})
+                frames.append(hashlib.sha256(pb + i.to_bytes(4, "big")).digest()[:8])
+        return pa.table({"media_id": pa.array(media_ids, pa.string()),
+                         "frame_idx": pa.array(frame_idx, pa.int32()),
+                         "frame_sig": pa.array(frames, pa.binary())})
 
 
 def media_frame_sample(media: "rd.Dataset | pa.Table", *, every: int = 10, batch_size: int = 32):
@@ -142,7 +153,7 @@ def media_frame_sample(media: "rd.Dataset | pa.Table", *, every: int = 10, batch
     ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
     return ds.map_batches(
         FrameSampleStage, fn_constructor_kwargs={"fps_every": every},
-        batch_format="pandas", batch_size=batch_size, concurrency=2,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=2,
     )
 
 
@@ -154,5 +165,5 @@ def media_features(media: "rd.Dataset | pa.Table", *, batch_size: int = 64, conc
     ensure_portable()
     ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
     return ds.map_batches(
-        MediaFeatureStage, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+        MediaFeatureStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )

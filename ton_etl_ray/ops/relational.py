@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .._pickle import ensure_portable
+from ._util import read_table
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -50,8 +51,8 @@ def _round_cols(t: pa.Table, cols: tuple[str, ...], digits: int = 2) -> pa.Table
 def q1_pricing_summary(sf_dir: str):
     """Grouped pricing aggregate (A9-style gb.agg; partial combine per block)."""
     ensure_portable()
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    ds = read_table(
+        sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
@@ -79,8 +80,8 @@ def q1_pricing_summary(sf_dir: str):
 def filtered_revenue(sf_dir: str):
     """Stateless filter+projection (converter C-family analogue)."""
     ensure_portable()
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    ds = read_table(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     cutoff = pa.scalar(pd.Timestamp("1995-09-01"), pa.timestamp("us"))
@@ -107,7 +108,7 @@ def broadcast_join_parts(sf_dir: str):
     dim = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
     ref = ray.put(dict(zip(dim["p_partkey"].to_pylist(), dim["p_brand"].to_pylist())))
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
 
     class Join:
         def __init__(self):
@@ -134,7 +135,7 @@ def asof_last_click(sf_dir: str):
 
     Shuffle on user_id only; within each group a vectorized searchsorted."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         purchases = g[g.event_type == "purchase"].sort_values("ts")
@@ -156,7 +157,7 @@ def session_count(sf_dir: str, gap_minutes: int = 30):
     """Sessionization (J6 megaton trace assembly analogue): per-user
     session count with a 30-min inactivity gap."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -171,7 +172,7 @@ def rank1_snapshot(sf_dir: str):
     """Latest-state-per-key snapshot (A2: the reference's core LWW reduce,
     datalake_daily_sync.py:641-653) over the events table."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         top = g.sort_values(["ts", "event_id"], ascending=False).iloc[:1]
@@ -191,7 +192,7 @@ def cdc_state_events(sf_dir: str):
     """LWW state with tombstones over testdata: latest event per user wins;
     users whose latest event is an 'error' are tombstoned out (K2/A2+A3)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         top = g.sort_values(["ts", "event_id"], ascending=False).iloc[0]
@@ -207,7 +208,7 @@ def cdc_state_events(sf_dir: str):
 def windowed_hourly(sf_dir: str):
     """Tumbling event-time window aggregate (A5 TPS-style)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
@@ -227,7 +228,7 @@ def percentile_values(sf_dir: str):
     """Percentiles per group (A6 latency gauges: avg/p50/p95,
     prometheus_exporter performance.py:131-140)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         v = g["value"].to_numpy()
@@ -245,7 +246,7 @@ def percentile_values(sf_dir: str):
 def topk_users(sf_dir: str, k: int = 10):
     """Top-k by grouped sum (A9: TVL top-10 analytics)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
     agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
     top = agg.sort("total_value", descending=True).limit(k)
     return top.map_batches(
@@ -261,7 +262,7 @@ def anti_join_customers(sf_dir: str):
 
     keys = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
     ref = ray.put(frozenset(keys["o_custkey"].to_pylist()))
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     class Anti:
         def __init__(self):
@@ -286,29 +287,34 @@ def except_users(sf_dir: str):
     datalake_daily_sync.py:324-328): users active in the first half of the
     month but not the second."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
-    mid = pa.scalar(pd.Timestamp("2024-01-16"), pa.timestamp("us"))
-    first = set(
-        ds.map_batches(
-            lambda t: t.filter(pc.less(t["ts"], mid)).select(["user_id"]),
-            batch_format="pyarrow",
-        ).unique("user_id")
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    mid = pd.Timestamp("2024-01-16")
+    # single distributed groupby with partial-combining min/max — NO
+    # driver-side set difference (at billions of users two unique() passes
+    # + a Python set op would OOM the driver): a user is "first-half only"
+    # iff their min ts is before the midpoint and their max ts is too
+    agg = ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="min_ts"), Max("ts", alias_name="max_ts")
     )
-    second = set(
-        ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["ts"], mid)).select(["user_id"]),
-            batch_format="pyarrow",
-        ).unique("user_id")
-    )
-    # both distinct sets are small (bounded by #keys); the difference is a
-    # driver-side set op — the broadcast anti-join form is anti_join_customers
-    return pa.table({"user_id": pa.array(sorted(first - second), pa.int64())})
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pa.scalar(mid, t["max_ts"].type)
+        mask = pc.and_(pc.less(t["min_ts"], m), pc.less(t["max_ts"], m))
+        return t.filter(mask).select(["user_id"])
+
+    out = agg.map_batches(keep, batch_format="pyarrow")
+    batches = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    t = (pa.concat_tables(batches) if batches
+         else pa.schema([("user_id", pa.int64())]).empty_table())
+    return t.sort_by("user_id")
 
 
 def distinct_event_types(sf_dir: str):
     """DISTINCT over one column (A8: select distinct code_hash)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = read_table(sf_dir, "events", columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
@@ -317,8 +323,8 @@ def union_trades(sf_dir: str):
     """Multi-source union → one normalized schema (C7 DexTradesConverter:
     5-topic union; here purchases ∪ orders), then grouped totals."""
     ensure_portable()
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
 
     def purchase_rows(t: pa.Table) -> pa.Table:
         f = t.filter(pc.equal(t["event_type"], "purchase"))
@@ -407,7 +413,7 @@ def q3_top_orders(sf_dir: str, k: int = 10):
     seg = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
     seg_ref = ray.put(frozenset(seg))
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filter_orders(t: pa.Table) -> pa.Table:
         keys = pa.array(sorted(ray.get(seg_ref)), pa.int64())
@@ -416,8 +422,8 @@ def q3_top_orders(sf_dir: str, k: int = 10):
             ["o_orderkey", "o_orderdate"]
         )
 
-    li = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    li = read_table(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
@@ -444,8 +450,8 @@ def q6_forecast_revenue(sf_dir: str):
     read (row-group pruning via a pyarrow dataset filter) + a single
     global sum — the cheapest query shape the engine supports."""
     ensure_portable()
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
+    ds = read_table(
+        sf_dir, "lineitem",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
         filter=(pc.field("l_quantity") < 24),
     )
@@ -475,7 +481,7 @@ def parent_event(sf_dir: str):
     parser/db.py:153-177): for each event, the immediately preceding
     event of the same user — within-group sort + shift, no self-join."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
@@ -501,15 +507,15 @@ def supplier_stats(sf_dir: str):
     from ray.data.aggregate import Max, Mean, Min
 
     nations = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    ref = ray.put(
-        dict(zip(nations["n_nationkey"].to_pylist(), nations["n_name"].to_pylist()))
-    )
-    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    ref = ray.put(nations.rename_columns(["s_nationkey", "n_name"]))
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
 
     def with_nation(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        names = pa.array([lookup[int(k)] for k in t["s_nationkey"].to_numpy()], pa.string())
-        return pa.table({"n_name": names, "s_acctbal": t["s_acctbal"]})
+        # Arrow C++ hash join against the broadcast dim (vectorized; the
+        # per-row Python dict lookup this replaces was the hot path)
+        dim = ray.get(ref)
+        out = t.join(dim, keys=["s_nationkey"], join_type="left outer")
+        return out.select(["n_name", "s_acctbal"])
 
     out = (
         ds.map_batches(with_nation, batch_format="pyarrow")
@@ -532,7 +538,7 @@ def sliding_window_counts(sf_dir: str, window_min: int = 60, slide_min: int = 15
     (window_start, value) rows, then a grouped aggregate. No per-row
     Python; the explosion factor is the overlap count (4 here)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
     k = window_min // slide_min
 
     def explode(t: pa.Table) -> pa.Table:
@@ -554,7 +560,7 @@ def sliding_window_counts(sf_dir: str, window_min: int = 60, slide_min: int = 15
 def topk_per_group(sf_dir: str, k: int = 3):
     """Grouped top-k (rank ≤ k per key): per-type top events by value."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         top = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
@@ -569,7 +575,7 @@ def partitioned_export(sf_dir: str, out_dir: str):
     rerun/backfill can target one partition directory (resumable output:
     one directory per key range, never one giant file)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "events"))
+    ds = read_table(sf_dir, "events")
 
     def day(t: pa.Table) -> pa.Table:
         d = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
@@ -585,5 +591,5 @@ def table_counts(sf_dir: str):
     """Row-count partition check (A10, datalake_daily_sync.py:347-353)."""
     ensure_portable()
     names = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
-    counts = [rd.read_parquet(_t(sf_dir, n)).count() for n in names]
+    counts = [read_table(sf_dir, n).count() for n in names]
     return pa.table({"tbl": pa.array(names, pa.string()), "n": pa.array(counts, pa.int64())})

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
+from ._util import read_table
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -30,7 +31,7 @@ def doc_token_stats(sf_dir: str):
     n_words = number of single-space-separated pieces (== DuckDB
     len(string_split(text,' '))), punct_count via the same regex class."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def fn(t: pa.Table) -> pa.Table:
         pieces = pc.split_pattern(t["text"], pattern=" ")
@@ -68,7 +69,7 @@ class BpeTokenCount:
 
 def bpe_token_count(sf_dir: str):
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(BpeTokenCount, batch_format="pandas", batch_size=4096, concurrency=2)
 
 
@@ -109,7 +110,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=2)
 
 
@@ -141,7 +142,7 @@ class QualityScore:
 
 def quality_score(sf_dir: str):
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
 
 
@@ -165,7 +166,7 @@ def doc_fingerprint(sf_dir: str):
     """Deterministic rolling-hash document fingerprint (sha256-file-naming
     analogue, reference datalake/main.py:161-164)."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         fps = [_word_fingerprint(t.split(" ")) for t in batch["text"]]
@@ -179,7 +180,7 @@ def dedup_docs_prefix(sf_dir: str, prefix_len: int = 40):
     (min doc_id) per 40-char text prefix. Shuffle on the content key with
     per-batch partial min as the combiner."""
     ensure_portable()
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(t: pa.Table) -> pa.Table:
         return pa.table(
