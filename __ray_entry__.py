@@ -50,8 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
         "props_decode": props_decode,
-        # --- CDC flagship (non-SQL: tokens are hash-derived; pytest holds
-        # the rank-1 oracle equality tests) ---
+        # --- CDC flagship: change-log n_tok is md5-derived from
+        # (doc_id, version), so the replayed final state has a full
+        # DuckDB value-hash oracle (rank-1 winner = version 2; every
+        # 10th doc row tombstoned) ---
         "cdc_replay": lambda sf: flagship(sf).select_columns(["doc_id", "n_tok", "source"]),
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -75,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parent_event": R.parent_event,
         "union_trades": R.union_trades,
         "table_counts": R.table_counts,
+        "decimal_revenue": R.decimal_revenue,
+        "order_lifecycle": R.order_lifecycle,
         # --- text analysis / dedup (training-data ops) ---
         "doc_token_stats": text.doc_token_stats,
         "bpe_token_count": text.bpe_token_count,
@@ -83,7 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,          # heuristic → rows-only
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # sketch → rows-only
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall<1 → rows-only
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "dedup_groups": dedup.dedup_groups,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
@@ -107,6 +112,19 @@ def oracle_sql() -> dict[str, str]:
         "props_decode": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "cdc_replay": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            )
+            SELECT did AS doc_id,
+                   CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                        AS INT) AS n_tok,
+                   source
+            FROM d WHERE rn % 10 <> 0
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -256,6 +274,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
             FROM u GROUP BY kind
         """,
+        "decimal_revenue": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+                       AS sum_price_dec,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "order_lifecycle": """
+            SELECT o.o_orderkey, c.c_name,
+                   l.first_ship,
+                   coalesce(
+                       (SELECT max(o2.o_orderdate) FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey
+                          AND o2.o_orderdate < o.o_orderdate),
+                       TIMESTAMP '1970-01-01') AS prev_orderdate
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                  FROM lineitem GROUP BY l_orderkey) l
+              ON l.l_orderkey = o.o_orderkey
+        """,
         "table_counts": """
             SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
             UNION ALL SELECT 'orders', count(*) FROM orders
@@ -285,6 +324,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_hash": """
             SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+2], chr(31))
+                                      for i in range(1, greatest(len(ws)-1, 1))]) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(a.s || b.s)) > 0
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) >= 0.5
         """,
         "word_jaccard_pairs": """
             WITH w AS (

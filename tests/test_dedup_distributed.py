@@ -1,0 +1,96 @@
+"""Distributed near-dup verification: recall/precision oracles.
+
+VERDICT r1 #1-#3: the LSH candidate paths must verify through
+distributed joins (no driver materialization / corpus broadcast), and
+the approximate paths need recall assertions against their exact
+counterparts.
+"""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_set(res):
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+
+def _pairs_map(res, col):
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return {(a, b): v for a, b, v in zip(df["id_a"], df["id_b"], df[col])}
+
+
+def test_minhash_recall_precision_vs_exact_ngram():
+    """minhash_lsh_pairs ⊆ ngram_jaccard_pairs with IDENTICAL jaccard
+    values (precision 1: verification is exact), and recall ≥ the LSH
+    band bound in practice."""
+    from ton_etl_ray.ops import dedup
+
+    mh = _pairs_map(dedup.minhash_lsh_pairs(SF, threshold=0.5), "jaccard")
+    ex = _pairs_map(dedup.ngram_jaccard_pairs(SF, threshold=0.5), "jaccard")
+    assert set(mh) <= set(ex)                      # precision == 1
+    for k, v in mh.items():
+        assert v == ex[k]                          # exact same verified value
+    if ex:
+        recall = len(set(mh) & set(ex)) / len(ex)
+        assert recall >= 0.6                       # 1-(1-j^4)^16 at j=0.5 ≈ 0.64
+
+    # high-similarity pairs must essentially never be missed
+    hi = {k for k, v in ex.items() if v >= 0.8}
+    assert hi <= set(mh)
+
+
+def test_dedup_groups_lsh_edges_match_exact_edges():
+    """The word-level LSH edge path at 0.95 reproduces the exact
+    word-Jaccard edge set (band recall ≈ 1-2e-12 at j≥0.95)."""
+    from ton_etl_ray.ops import dedup
+
+    lsh = _pairs_set(dedup.minhash_lsh_pairs(SF, threshold=0.95, ngram=1))
+    exact = _pairs_set(dedup.word_jaccard_pairs(SF, threshold=0.95))
+    assert lsh == exact
+
+
+def test_lsh_embedding_pairs_subset_of_exact():
+    """LSH embedding pairs ⊆ exact cosine pairs, with matching sims
+    (distributed join verify is exact); recall is the plane-band recall."""
+    from ton_etl_ray.ops import ann
+
+    lsh = _pairs_map(ann.lsh_embedding_pairs(SF, threshold=0.4), "sim")
+    ex = _pairs_map(ann.embedding_dedup_pairs(SF, threshold=0.4), "sim")
+    assert set(lsh) <= set(ex)
+    for k, v in lsh.items():
+        assert abs(v - ex[k]) < 1e-9
+    if len(ex) >= 5:
+        assert len(lsh) / len(ex) >= 0.3           # approximate by design
+
+
+def test_knn_ivf_subset_and_ordering():
+    from ton_etl_ray.ops import ann
+
+    ivf = ann.knn_ivf(SF)
+    exact = ann.knn_cosine(SF)
+    sims = ivf["sim"].to_pylist()
+    assert sims == sorted(sims, reverse=True)
+    assert len(sims) == 10
+    # IVF sims can never exceed the exact best
+    assert max(sims) <= max(exact["sim"].to_pylist()) + 1e-9
+    # the probed clusters must cover at least part of the true top-k
+    assert len(set(ivf["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist())) >= 1
+
+
+def test_no_driver_corpus_broadcast_in_verify():
+    """Regression guard: the near-dup verify paths must not call
+    to_pandas on the candidate Dataset or read the full corpus on the
+    driver (grep-level check on the source)."""
+    import inspect
+
+    from ton_etl_ray.ops import ann, dedup
+
+    src = inspect.getsource(dedup.minhash_lsh_pairs) + inspect.getsource(dedup._verify_pairs)
+    assert "to_pandas" not in src
+    assert "pq.read_table" not in src
+    src2 = inspect.getsource(ann.lsh_embedding_pairs) + inspect.getsource(ann._verify_cosine_pairs)
+    assert "to_pandas" not in src2
+    assert "pq.read_table" not in src2

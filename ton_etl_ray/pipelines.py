@@ -36,7 +36,15 @@ def docs_to_change_log(sf_dir: str, out_dir: str, *, versions: int = 3, seed: in
     events = []
     for v in range(versions):
         rng = np.random.default_rng(seed * 1000 + v)
-        lengths = rng.integers(8, 64, size=n)
+        # n_tok is md5-derived from (doc_id, version) so the FINAL state
+        # is SQL-expressible: DuckDB recomputes the same value with
+        # 8 + CAST('0x' || substr(md5(did || ':' || v), 1, 8) AS BIGINT) % 56
+        # — this is what gives cdc_replay a full value-hash oracle
+        lengths = np.array(
+            [8 + int(hashlib.md5(f"{d}:{v}".encode()).hexdigest()[:8], 16) % 56
+             for d in doc_ids],
+            dtype=np.int64,
+        )
         flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
