@@ -231,7 +231,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "percentile_values": """
             SELECT event_type,
+                   round(avg(value), 6) AS avg_value,
                    round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
                    round(quantile_cont(value, 0.95), 6) AS p95
             FROM events GROUP BY event_type
         """,

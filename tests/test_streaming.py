@@ -1,0 +1,120 @@
+"""Directory-watch micro-batch loop: N micro-batches == one-shot replay,
+idle drain, size trigger, durable resume after restart."""
+
+import glob
+import os
+import shutil
+
+from ton_etl_ray.cdc.replay import final_state_table, replay
+from ton_etl_ray.cdc.streaming import DirectoryWatcher, committed_inputs
+from ton_etl_ray.gen import write_change_log
+
+
+def _state_map(lake):
+    t = final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"])
+    return {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"]) for r in t.to_pylist()}
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_watch_microbatches_equal_oneshot(tmp_path):
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=9000, num_keys=600, seed=51, num_shards=9, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, idle_flush_sec=5.0, time_fn=clock)
+    try:
+        # shards arrive in waves; size trigger flushes pairs immediately
+        for i, f in enumerate(files[:6]):
+            shutil.copy(f, watch)
+            w.step()
+            clock.t += 1.0
+        # pending odd shard + the final wave
+        for f in files[6:]:
+            shutil.copy(f, watch)
+        w.step()
+        # idle drain: nothing new arrives; advance past idle_flush_sec
+        clock.t += 10.0
+        while w.step() is not None or w.pending:
+            clock.t += 10.0
+        assert len(w.epochs) >= 3
+    finally:
+        w.close()
+
+    # one-shot oracle over the same shards
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)
+
+
+def test_watch_resume_skips_committed_shards(tmp_path):
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=4000, num_keys=300, seed=52, num_shards=4, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    for f in files[:2]:
+        shutil.copy(f, watch)
+    w1 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                          max_batch_shards=2, time_fn=clock)
+    try:
+        w1.step()
+        assert len(w1.epochs) == 1
+    finally:
+        w1.close()
+
+    # restart: a NEW watcher must see shards 0-1 as done (from commits)
+    assert committed_inputs(lake) == {os.path.basename(f) for f in files[:2]}
+    for f in files[2:]:
+        shutil.copy(f, watch)
+    clock2 = FakeClock()
+    w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                          max_batch_shards=2, time_fn=clock2)
+    try:
+        w2.step()
+        assert len(w2.epochs) == 1
+        # exactly the new shards were ingested
+        assert w2.epochs[0]["epoch"] == 1
+    finally:
+        w2.close()
+
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)
+
+
+def test_idle_drain_flushes_partial_batch(tmp_path):
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=2000, num_keys=150, seed=53, num_shards=4, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=8, idle_flush_sec=5.0, time_fn=clock)
+    try:
+        shutil.copy(files[0], watch)
+        assert w.step() is None          # 1 shard < size trigger, not idle yet
+        clock.t += 4.0
+        assert w.step() is None          # still inside the idle window
+        clock.t += 2.0                   # 6 s since first pending → idle drain
+        res = w.step()
+        assert res is not None and res["epoch"] == 0
+    finally:
+        w.close()

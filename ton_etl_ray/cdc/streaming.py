@@ -1,0 +1,153 @@
+"""Continuous micro-batch operation: watch a directory of arriving
+change shards and drain them into the lake as committed epochs.
+
+The reference's parsers and exporters are long-running consumers with an
+idle-drain flush and a flush-before-commit barrier (reference
+parser/main.py:85-143 — poll loop, :98-113 — idle drain after
+``no messages for N seconds``; datalake/streaming.py:65-191 with the
+commit barrier at :170-177: flush all writers, THEN commit offsets).
+This module is the batch-engine analogue:
+
+- shards arriving in the watched directory play the Kafka topic;
+- a micro-batch is flushed when EITHER ``max_batch_shards`` have
+  accumulated (size trigger) OR ``idle_flush_sec`` passed since the
+  first pending shard with nothing new arriving (idle drain);
+- each flush is one ``IncrementalIngestor.ingest`` epoch — actors seal
+  (flush) their partitions and only then the epoch commit publishes,
+  which IS the flush-before-commit barrier (K4/W4): a crash between
+  seal and publish leaves no committed trace, and the shard set is
+  re-ingested next run;
+- processed-shard tracking is durable: every commit records its input
+  shard names, so a restarted watcher resumes exactly after the last
+  committed epoch (exactly-once over shard files).
+
+The loop is deterministic and test-drivable: the clock and sleep are
+injectable, and ``step()`` runs one poll+maybe-flush round without
+any real sleeping.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from collections.abc import Callable
+
+from . import sink
+from .incremental import IncrementalIngestor
+
+
+def committed_inputs(lake_dir: str) -> set[str]:
+    """Shard basenames already applied by ANY committed epoch."""
+    done: set[str] = set()
+    latest = sink.latest_epoch(lake_dir)
+    if latest is None:
+        return done
+    for name in os.listdir(lake_dir):
+        if not name.startswith("epoch-"):
+            continue
+        e = int(name.split("-")[1])
+        if e <= latest and sink.is_committed(lake_dir, e):
+            done.update(sink.read_commit(lake_dir, e).get("inputs", []))
+    return done
+
+
+class DirectoryWatcher:
+    """Micro-batch drain loop over a directory of arriving shards."""
+
+    def __init__(
+        self,
+        watch_dir: str,
+        lake_dir: str,
+        *,
+        num_partitions: int = 64,
+        num_actors: int = 4,
+        max_batch_shards: int = 8,
+        idle_flush_sec: float = 5.0,
+        time_fn: Callable[[], float] = time.monotonic,
+    ):
+        self.watch_dir = watch_dir
+        self.lake_dir = lake_dir
+        self.max_batch = max_batch_shards
+        self.idle_flush = idle_flush_sec
+        self.now = time_fn
+        self.ing = IncrementalIngestor(
+            lake_dir, num_partitions=num_partitions, num_actors=num_actors
+        )
+        # durable resume: shards named in committed epochs are done
+        self.done = committed_inputs(lake_dir)
+        self.pending: list[str] = []
+        self.first_pending_at: float | None = None
+        self.epochs: list[dict] = []
+
+    # -- one poll round ------------------------------------------------
+    def poll(self) -> int:
+        """Pick up newly arrived shards; returns how many were new."""
+        new = 0
+        for f in sorted(glob.glob(os.path.join(self.watch_dir, "*.parquet"))):
+            base = os.path.basename(f)
+            if base in self.done or f in self.pending:
+                continue
+            self.pending.append(f)
+            new += 1
+        if new and self.first_pending_at is None:
+            self.first_pending_at = self.now()
+        return new
+
+    def should_flush(self) -> bool:
+        if not self.pending:
+            return False
+        if len(self.pending) >= self.max_batch:
+            return True          # size trigger
+        return self.now() - self.first_pending_at >= self.idle_flush  # idle drain
+
+    def flush(self) -> dict | None:
+        """Ingest the pending micro-batch as one committed epoch
+        (seal-then-publish = the flush-before-commit barrier)."""
+        if not self.pending:
+            return None
+        batch, self.pending = self.pending[: self.max_batch], self.pending[self.max_batch:]
+        res = self.ing.ingest(batch)
+        # mark done only AFTER the commit published (ingest raised → the
+        # shards stay pending and are retried)
+        self.done.update(os.path.basename(f) for f in batch)
+        self.first_pending_at = self.now() if self.pending else None
+        self.epochs.append(res)
+        return res
+
+    def step(self) -> dict | None:
+        """One poll + conditional flush round (test-drivable, no sleep)."""
+        self.poll()
+        if self.should_flush():
+            return self.flush()
+        return None
+
+    def run(
+        self,
+        *,
+        poll_interval_sec: float = 1.0,
+        stop_after_idle_polls: int | None = None,
+        max_epochs: int | None = None,
+        sleep_fn: Callable[[float], None] = time.sleep,
+    ) -> list[dict]:
+        """Drain until idle for ``stop_after_idle_polls`` rounds (None =
+        forever) or ``max_epochs`` epochs were committed."""
+        idle = 0
+        while True:
+            new = self.poll()
+            flushed = None
+            if self.should_flush():
+                flushed = self.flush()
+            if new == 0 and flushed is None and not self.pending:
+                idle += 1
+                if stop_after_idle_polls is not None and idle >= stop_after_idle_polls:
+                    break
+            else:
+                idle = 0
+            if max_epochs is not None and len(self.epochs) >= max_epochs:
+                break
+            sleep_fn(poll_interval_sec)
+        return self.epochs
+
+    def close(self) -> None:
+        self.ing.close()

@@ -225,8 +225,8 @@ def windowed_hourly(sf_dir: str):
 
 
 def percentile_values(sf_dir: str):
-    """Percentiles per group (A6 latency gauges: avg/p50/p95,
-    prometheus_exporter performance.py:131-140)."""
+    """Percentiles per group (A6 latency gauges: avg/p50/p75/p95 — the
+    full family of prometheus_exporter performance.py:131-140)."""
     ensure_portable()
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
@@ -235,7 +235,9 @@ def percentile_values(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
+                "avg_value": [round(float(v.mean()), 6)],
                 "p50": [round(float(np.percentile(v, 50)), 6)],
+                "p75": [round(float(np.percentile(v, 75)), 6)],
                 "p95": [round(float(np.percentile(v, 95)), 6)],
             }
         )

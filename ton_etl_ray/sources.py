@@ -21,6 +21,10 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.
     ext = os.path.splitext(path)[1].lower()
     if ext in ("", ".parquet"):
         return rd.read_parquet(path, columns=columns, **kwargs)
+    if ext == ".avro":
+        from .sources_avro import read_avro_dataset
+
+        return read_avro_dataset(path, columns=columns)
     if ext == ".csv":
         ds = rd.read_csv(path, **kwargs)
     elif ext in (".json", ".jsonl"):
@@ -40,5 +44,9 @@ def write_table(ds: "rd.Dataset", path: str, *, fmt: str = "parquet", **kwargs) 
         ds.write_csv(path, **kwargs)
     elif fmt == "json":
         ds.write_json(path, **kwargs)
+    elif fmt == "avro":
+        from .sources_avro import write_avro_dir
+
+        write_avro_dir(ds, path, **kwargs)
     else:
         raise ValueError(f"unsupported sink format {fmt!r}")
