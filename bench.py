@@ -130,6 +130,10 @@ def run_bench() -> dict:
         "simhash_signatures", "doc_token_stats",
         "q3_top_orders", "q6_forecast_revenue", "sliding_window_counts",
         "word_jaccard_pairs", "bpe_token_count",
+        # round-2 additions: distributed-verify dedup, composed as-of
+        # query, decimal aggregation, embedding LSH with join verify
+        "ngram_jaccard_pairs", "lsh_embedding_pairs",
+        "order_lifecycle", "decimal_revenue", "cdc_replay",
     ]
     qtimes = {}
     if SKIP_QUERIES:

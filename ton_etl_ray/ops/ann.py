@@ -188,30 +188,46 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
                 ids.append(vec_ids)
                 bands_out.append(np.full(len(vec_ids), b, dtype=np.int64))
                 buckets.append(code.astype(np.int64))
+            band_arr = np.concatenate(bands_out)
+            bucket_arr = np.concatenate(buckets)
+            # coarse shard over (band, bucket): one map_groups call per
+            # tiny exact bucket is pure overhead — group vectorized
+            # inside each coarse shard instead (same trick as MinHash)
+            with np.errstate(over="ignore"):
+                shard = (
+                    (band_arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    ^ (bucket_arr.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+                ) % np.uint64(256)
             return pa.table(
                 {
                     "vec_id": pa.array(np.concatenate(ids), pa.int64()),
-                    "band": pa.array(np.concatenate(bands_out), pa.int64()),
-                    "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                    "band": pa.array(band_arr, pa.int64()),
+                    "bucket": pa.array(bucket_arr, pa.int64()),
+                    "shard": pa.array(shard.astype(np.int64), pa.int64()),
                 }
             )
 
     import pandas as pd
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.unique(g["vec_id"].to_numpy())
-        if len(ids) < 2:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "bucket"]):
+            ids = np.unique(grp["vec_id"].to_numpy())
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
-                         "id_b": pa.array(ids[ib], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
     from ..ops.dedup import _distinct_pairs
 
     cand = _distinct_pairs(
         ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
-        .groupby(["band", "bucket"])
+        .groupby("shard")
         .map_groups(pairs, batch_format="pandas")
     ).materialize()  # pair ids only — tiny relative to the vectors
     if cand.count() == 0:

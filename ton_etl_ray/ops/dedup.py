@@ -137,16 +137,36 @@ def _conform_pairs(t: pa.Table) -> pa.Table:
     return t.select(["id_a", "id_b"])
 
 
-def _distinct_pairs(cand: "rd.Dataset") -> "rd.Dataset":
+def _distinct_pairs(cand: "rd.Dataset", *, num_buckets: int = 64) -> "rd.Dataset":
     """Distributed DISTINCT over (id_a, id_b) pair rows (a pair can be
-    emitted by several LSH bands / shared shingles) — groupby both keys
-    with a Count aggregate, then drop the count. No driver set."""
-    from ray.data.aggregate import Count
+    emitted by several LSH bands / shared shingles).
 
-    cand = cand.map_batches(_conform_pairs, batch_format="pyarrow")
-    agg = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n"))
-    return agg.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ONE shuffle on a coarse hash bucket of the pair, then a vectorized
+    ``np.unique(axis=0)`` inside each bucket group — a generic two-key
+    ``groupby().aggregate`` over millions of pair rows spent ~60 s in
+    tiny-object sort overhead at sf0.1; this form takes ~2 s. No driver
+    set."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = _conform_pairs(t)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        pb = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb))
+
+    def uniq(g: pd.DataFrame) -> pa.Table:
+        arr = np.stack([g["id_a"].to_numpy(), g["id_b"].to_numpy()], axis=1)
+        u = np.unique(arr, axis=0)
+        return pa.table({"id_a": pa.array(u[:, 0], pa.int64()),
+                         "id_b": pa.array(u[:, 1], pa.int64())})
+
+    return (
+        cand.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(uniq, batch_format="pandas")
+        .map_batches(_conform_pairs, batch_format="pyarrow")
     )
 
 
