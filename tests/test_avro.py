@@ -97,3 +97,31 @@ def test_sources_dispatch(tmp_path):
     f = glob.glob(str(tmp_path / "avdir" / "*.avro"))[0]
     back = read_table(f)  # dispatch by .avro extension
     assert back.count() <= 60
+
+
+def test_write_avro_dir_distinct_blocks_no_collision(tmp_path):
+    """Distinct blocks whose FIRST column is identical must land in
+    distinct files (naming hashes the full block content)."""
+    import ray.data as rd
+
+    t = pa.table({
+        "kind": pa.array(["x"] * 400, pa.string()),   # constant first col
+        "v": pa.array(range(400), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    files = write_avro_dir(ds, str(tmp_path / "out"))
+    assert len(set(files)) == len(files)              # no overwrites
+    back = read_avro_dataset(str(tmp_path / "out")).to_pandas()
+    assert sorted(back["v"].tolist()) == list(range(400))
+
+
+def test_sources_roundtrip_dir(tmp_path):
+    """write_table(fmt='avro') directory reads back through read_table."""
+    import ray.data as rd
+
+    from ton_etl_ray.sources import read_table, write_table
+
+    t = _sample_table(80)
+    write_table(rd.from_arrow(t), str(tmp_path / "d"), fmt="avro")
+    back = read_table(str(tmp_path / "d"))
+    assert back.count() == 80

@@ -119,3 +119,28 @@ def test_enrich_actor_pool_pipeline():
     assert len(out) == 100
     assert out["fetch_ok"].all()
     assert (out.loc[out["key"] == "k1", "enrichment"] == '{"meta": "K1"}').all()
+
+
+def test_negative_cache_has_short_ttl():
+    """A transient outage must not poison keys for the full 24 h TTL:
+    failures are cached under neg_ttl_sec only."""
+    state = {"up": False}
+
+    def fetcher(k):
+        if not state["up"]:
+            raise ConnectionError("down")
+        return {"ok": k}
+
+    clock = FakeClock()
+    st = FetchEnrichStage(lambda: fetcher, key_col="key", max_retries=0,
+                          ttl_sec=86400.0, neg_ttl_sec=30.0,
+                          time_fn=clock.now, sleep_fn=clock.sleep)
+    out = st(_batch(["k"]))
+    assert out["fetch_ok"].to_pylist() == [False]
+    state["up"] = True
+    clock.t += 10.0
+    out = st(_batch(["k"]))                 # still inside neg TTL → cached fail
+    assert out["fetch_ok"].to_pylist() == [False]
+    clock.t += 25.0                         # past neg TTL → refetch succeeds
+    out = st(_batch(["k"]))
+    assert out["fetch_ok"].to_pylist() == [True]

@@ -118,3 +118,45 @@ def test_idle_drain_flushes_partial_batch(tmp_path):
         assert res is not None and res["epoch"] == 0
     finally:
         w.close()
+
+
+def test_failed_flush_keeps_shards_pending(tmp_path, monkeypatch):
+    """If ingest raises, the batch must stay pending (retried by the next
+    flush), not vanish into neither pending nor done."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=2000, num_keys=150, seed=54, num_shards=2, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    for f in files:
+        shutil.copy(f, watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, time_fn=clock)
+    try:
+        real_ingest = w.ing.ingest
+        calls = {"n": 0}
+
+        def flaky(batch):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected")
+            return real_ingest(batch)
+
+        monkeypatch.setattr(w.ing, "ingest", flaky)
+        w.poll()
+        with pytest.raises(RuntimeError):
+            w.flush()
+        assert len(w.pending) == 2          # batch retained
+        assert not w.done                   # nothing marked done
+        res = w.flush()                     # retry succeeds
+        assert res is not None and not w.pending
+    finally:
+        w.close()
+
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)

@@ -106,10 +106,13 @@ class DirectoryWatcher:
         (seal-then-publish = the flush-before-commit barrier)."""
         if not self.pending:
             return None
-        batch, self.pending = self.pending[: self.max_batch], self.pending[self.max_batch:]
+        batch, rest = self.pending[: self.max_batch], self.pending[self.max_batch:]
+        # self.pending is NOT mutated until ingest commits: if it raises,
+        # the epoch never published (ingest resets actor state) and the
+        # batch stays pending, so the caller's next flush retries it
         res = self.ing.ingest(batch)
-        # mark done only AFTER the commit published (ingest raised → the
-        # shards stay pending and are retried)
+        # mark done only AFTER the commit published
+        self.pending = rest
         self.done.update(os.path.basename(f) for f in batch)
         self.first_pending_at = self.now() if self.pending else None
         self.epochs.append(res)

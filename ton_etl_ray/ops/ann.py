@@ -12,8 +12,6 @@
 from __future__ import annotations
 
 import heapq
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -23,11 +21,7 @@ import ray
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import read_table
-
-
-def _t(sf_dir: str, name: str) -> str:
-    return os.path.join(sf_dir, f"{name}.parquet")
+from ._util import _t, read_table
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:

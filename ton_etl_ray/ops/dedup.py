@@ -17,8 +17,6 @@ all-pairs matmul, word_jaccard_pairs, is the exact ORACLE for sf≤0.01.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,13 +25,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import read_table
+from ._util import _t, read_table
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _t(sf_dir: str, name: str) -> str:
-    return os.path.join(sf_dir, f"{name}.parquet")
 
 
 import hashlib

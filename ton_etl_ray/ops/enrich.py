@@ -15,10 +15,9 @@ retry surface with mock fetchers (tests/test_enrich.py).
 
 Scale notes: the cache is per-actor (keys are NOT routed, so the worst
 case is one fetch per key per actor — route with a prior
-``groupby(key)`` if the fetch is expensive enough to matter);
-``max_concurrent_fetches`` bounds the pressure one actor puts on the
-external service; the stage is an ``ActorPoolMapOperator``, so total
-external concurrency = actors × that bound.
+``groupby(key)`` if the fetch is expensive enough to matter); the stage
+is an ``ActorPoolMapOperator``, so total pressure on the external
+service is bounded by the actor count × one in-flight batch each.
 """
 
 from __future__ import annotations
@@ -53,6 +52,8 @@ class FetchEnrichStage:
     key_col: column holding the fetch key.
     ttl_sec: cache entry lifetime (reference uses 24 h,
         jetton_metadata.py:121-128); expired entries are re-fetched.
+    neg_ttl_sec: lifetime for CACHED FAILURES (None enrichments) — short
+        so a recovered service is retried quickly.
     max_retries / backoff_base_sec: exponential backoff schedule for
         transient errors (jetton_metadata.py:40-66 retries IPFS 3×).
     cache_max: LRU bound so a long-lived actor can't grow unboundedly.
@@ -65,6 +66,7 @@ class FetchEnrichStage:
         *,
         key_col: str = "key",
         ttl_sec: float = 24 * 3600.0,
+        neg_ttl_sec: float = 60.0,
         max_retries: int = 3,
         backoff_base_sec: float = 0.05,
         cache_max: int = 100_000,
@@ -74,6 +76,10 @@ class FetchEnrichStage:
         self.fetch = fetcher_factory()
         self.key_col = key_col
         self.ttl = ttl_sec
+        # failures are cached SEPARATELY and briefly: caching a None for
+        # the full 24 h would turn one transient outage into a day of
+        # fetch_ok=False for every key it touched
+        self.neg_ttl = neg_ttl_sec
         self.max_retries = max_retries
         self.backoff = backoff_base_sec
         self.cache: OrderedDict[str, tuple[float, dict | None]] = OrderedDict()
@@ -88,7 +94,8 @@ class FetchEnrichStage:
         if ent is None:
             return None
         fetched_at, value = ent
-        if self.now() - fetched_at > self.ttl:
+        ttl = self.ttl if value is not None else self.neg_ttl
+        if self.now() - fetched_at > ttl:
             del self.cache[key]        # expired → refetch
             return None
         self.cache.move_to_end(key)    # LRU touch

@@ -82,6 +82,14 @@ class MediaFeatureStage:
         # pandas object columns (a full copy per stage at 100 TB)
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0:  # np.stack([]) would raise
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.string()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "feature": pa.array([], pa.list_(pa.float32(), FEATURE_DIM)),
+                }
+            )
         payloads = batch["payload"].combine_chunks() if isinstance(batch["payload"], pa.ChunkedArray) else batch["payload"]
         feats = np.stack([self._features(p.as_py()) for p in payloads])
         return pa.table(

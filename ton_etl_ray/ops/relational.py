@@ -19,8 +19,6 @@ aggregates use Ray's partial-combining ``groupby().aggregate``.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,11 +29,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .._pickle import ensure_portable
-from ._util import read_table
-
-
-def _t(sf_dir: str, name: str) -> str:
-    return os.path.join(sf_dir, f"{name}.parquet")
+from ._util import _t, read_table
 
 
 def _round_cols(t: pa.Table, cols: tuple[str, ...], digits: int = 2) -> pa.Table:
@@ -618,13 +612,11 @@ def decimal_revenue(sf_dir: str):
         return pa.table({"l_returnflag": t["l_returnflag"], "price_dec": dec})
 
     def to_cents(t: pa.Table) -> pa.Table:
-        # decimal(18,2) → exact integer cents: scale via string repr is
-        # exact (the decimal already holds 2 fractional digits)
-        cents = np.array(
-            [int(v.replace(".", "")) for v in pc.cast(t["price_dec"], pa.string()).to_pylist()],
-            dtype=np.int64,
-        )
-        return pa.table({"l_returnflag": t["l_returnflag"], "cents": pa.array(cents)})
+        # decimal → exact integer cents, fully vectorized: ×100 keeps
+        # scale 2 with a .00 fraction, so the int64 cast is lossless
+        wide = pc.cast(t["price_dec"], pa.decimal128(20, 2))
+        cents = pc.cast(pc.multiply(wide, pa.scalar(100, pa.int32())), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "cents": cents})
 
     agg = (
         ds.map_batches(to_decimal, batch_format="pyarrow")

@@ -19,11 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import read_table
-
-
-def _t(sf_dir: str, name: str) -> str:
-    return os.path.join(sf_dir, f"{name}.parquet")
+from ._util import _t, read_table
 
 
 def doc_token_stats(sf_dir: str):

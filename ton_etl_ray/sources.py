@@ -18,13 +18,19 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.
 
     Column pruning is pushed into the read for parquet; for row-oriented
     formats it is applied as an immediate projection."""
+    import glob as _glob
+
     ext = os.path.splitext(path)[1].lower()
-    if ext in ("", ".parquet"):
-        return rd.read_parquet(path, columns=columns, **kwargs)
-    if ext == ".avro":
+    if ext == ".avro" or (
+        os.path.isdir(path) and _glob.glob(os.path.join(path, "*.avro"))
+    ):
+        # a directory written by write_table(fmt="avro") has no extension
+        # — sniff its contents so the round-trip is symmetric
         from .sources_avro import read_avro_dataset
 
         return read_avro_dataset(path, columns=columns)
+    if ext in ("", ".parquet"):
+        return rd.read_parquet(path, columns=columns, **kwargs)
     if ext == ".csv":
         ds = rd.read_csv(path, **kwargs)
     elif ext in (".json", ".jsonl"):

@@ -283,7 +283,8 @@ def write_avro(table: pa.Table, path: str, *, codec: str = "deflate",
         out.write(sync)
 
     payload = out.getvalue()
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"  # unique per writer: two workers
+    # writing the same content-named part must not clobber each other's tmp
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
@@ -363,8 +364,12 @@ def read_avro_dataset(paths: str | list[str], *, columns: list[str] | None = Non
             tables.append(t.select(columns) if columns else t)
         return pa.concat_tables(tables, promote_options="permissive")
 
-    listing = rd.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
-    # batch_size=1 → one decode task per file (read parallelism = files)
+    # one BLOCK per file: from_arrow would produce a single block, and a
+    # map task covers a whole block, so without the split every decode
+    # would run serially in one task
+    listing = rd.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    )
     return listing.map_batches(decode, batch_format="pyarrow", batch_size=1)
 
 
@@ -383,10 +388,16 @@ def write_avro_dir(ds, out_dir: str, *, codec: str = "deflate") -> list[str]:
         if t.num_rows == 0:
             return pa.table({"file": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        digest = hashlib.sha256(
-            b"".join(str(t.column(c).to_pylist()).encode() for c in t.column_names[:1])
-            + str(t.num_rows).encode()
-        ).hexdigest()[:16]
+        # content hash over the FULL serialized block (first-column-only
+        # hashing collided for low-cardinality leading columns and
+        # silently overwrote distinct blocks). Content-identical blocks
+        # still dedupe to one file — the reference's sha256-naming
+        # semantics (datalake/main.py:161-164), and a retried task
+        # rewrites the same bytes to the same name (idempotent).
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        digest = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()[:20]
         path = os.path.join(out_dir, f"part-{digest}.avro")
         write_avro(t, path, codec=codec)
         return pa.table({"file": pa.array([os.path.basename(path)], pa.string()),
