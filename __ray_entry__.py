@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_counts": R.table_counts,
         "decimal_revenue": R.decimal_revenue,
         "order_lifecycle": R.order_lifecycle,
+        # external-fetch enrichment (P30 surface) with a deterministic
+        # fetcher so the enrichment JSON is SQL-recomputable
+        "enrich_event_types": __import__(
+            "ton_etl_ray.ops.enrich", fromlist=["enrich_event_types"]
+        ).enrich_event_types,
         # --- text analysis / dedup (training-data ops) ---
         "doc_token_stats": text.doc_token_stats,
         "bpe_token_count": text.bpe_token_count,
@@ -275,6 +280,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
             FROM u GROUP BY kind
+        """,
+        "enrich_event_types": """
+            SELECT event_id, event_type,
+                   '{"u": "' || upper(event_type) || '"}' AS enrichment,
+                   true AS fetch_ok
+            FROM events
         """,
         "decimal_revenue": """
             SELECT l_returnflag,

@@ -145,6 +145,24 @@ class FetchEnrichStage:
         return out.append_column("fetch_ok", pa.array(ok, pa.bool_()))
 
 
+def enrich_event_types(sf_dir: str):
+    """Oracle-checked demo of the enrichment stage: a deterministic
+    fetcher (upper-cases the key — no network) enriches every event by
+    its type, so DuckDB can recompute the exact enrichment JSON. Proves
+    the full actor path (cache, distinct-key fetch, JSON layout) under
+    the driver's value-hash gate."""
+    from ._util import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return enrich(
+        ds,
+        lambda: (lambda k: {"u": k.upper()}),
+        key_col="event_type",
+        concurrency=2,
+        batch_size=4096,
+    )
+
+
 def enrich(
     ds: "rd.Dataset",
     fetcher_factory: Callable[[], Callable[[str], dict]],

@@ -663,23 +663,54 @@ def order_lifecycle(sf_dir: str):
         )
     )
 
-    # as-of backward: previous order date of the same customer
+    # as-of backward: previous order date of the same customer. Shuffle
+    # on a COARSE custkey bucket (one map_groups call per tiny per-
+    # customer group is pure overhead); the exact per-customer as-of is
+    # vectorized inside each bucket.
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["o_custkey"], pa.scalar(255, pa.int64()))
+        return t.append_column("__cb", b)
+
+    prev_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("prev_orderdate", pa.timestamp("us"))]
+    )
+
     def prev_order(g: pd.DataFrame) -> pa.Table:
-        dates = g["o_orderdate"].to_numpy()
-        uniq = np.unique(dates)
-        idx = np.searchsorted(uniq, dates, side="left") - 1
-        prev = np.where(idx >= 0, uniq[np.maximum(idx, 0)], np.datetime64(sentinel))
+        okeys, custs, prevs = [], [], []
+        for _, grp in g.groupby("o_custkey"):
+            d = grp["o_orderdate"].to_numpy()
+            uniq = np.unique(d)
+            idx = np.searchsorted(uniq, d, side="left") - 1
+            prev = np.where(idx >= 0, uniq[np.maximum(idx, 0)], np.datetime64(sentinel))
+            okeys.append(grp["o_orderkey"].to_numpy())
+            custs.append(grp["o_custkey"].to_numpy())
+            prevs.append(prev)
+        if not okeys:
+            return prev_schema.empty_table()
         return pa.table(
             {
-                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
-                "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
-                "prev_orderdate": pa.array(prev).cast(pa.timestamp("us")),
+                "o_orderkey": pa.array(np.concatenate(okeys), pa.int64()),
+                "o_custkey": pa.array(np.concatenate(custs), pa.int64()),
+                "prev_orderdate": pa.array(np.concatenate(prevs)).cast(pa.timestamp("us")),
             }
         )
 
-    with_prev = orders.groupby("o_custkey").map_groups(prev_order, batch_format="pandas")
+    def conform_prev(t: pa.Table) -> pa.Table:
+        # empty shuffle partitions pass through with the bucketed input
+        # schema — normalize before the join
+        if "prev_orderdate" not in t.column_names:
+            return prev_schema.empty_table()
+        return t.select(prev_schema.names)
+
+    with_prev = (
+        orders.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(prev_order, batch_format="pandas")
+        .map_batches(conform_prev, batch_format="pyarrow")
+    )
 
     # large×large shuffle join on the order key
     joined = shuffle_join(with_prev, first_ship, "o_orderkey", num_partitions=16)
