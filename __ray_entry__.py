@@ -96,15 +96,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "dedup_groups": dedup.dedup_groups,
+        "dedup_filter_corpus": dedup.dedup_filter_corpus,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
         "approx_distinct_users": lambda sf: __import__(
             "ton_etl_ray.ops.sketch", fromlist=["approx_distinct"]
         ).approx_distinct(sf),                         # sketch → rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
+        "knn_batch": ann.knn_batch,
         "knn_ivf": ann.knn_ivf,                       # approximate → rows-only
         "embedding_dedup_pairs": lambda sf: ann.embedding_dedup_pairs(sf, threshold=0.4),
         "lsh_embedding_pairs": ann.lsh_embedding_pairs,  # approximate → rows-only
+        # --- multimodal plumbing (decode stubbed; deterministic fake
+        # features → rows-only checks over the synthetic media corpus) ---
+        "media_features": lambda sf: __import__(
+            "ton_etl_ray.ops.multimodal", fromlist=["media_features", "synth_media_table"]
+        ).media_features(
+            __import__("ton_etl_ray.ops.multimodal", fromlist=["synth_media_table"]).synth_media_table(256)
+        ),
+        "media_frame_sample": lambda sf: __import__(
+            "ton_etl_ray.ops.multimodal", fromlist=["media_frame_sample", "synth_media_table"]
+        ).media_frame_sample(
+            __import__("ton_etl_ray.ops.multimodal", fromlist=["synth_media_table"]).synth_media_table(256)
+        ),
     }
 
 
@@ -382,6 +396,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT walk.n, e.b FROM walk JOIN e ON e.a = walk.m
             )
             SELECT n AS doc_id, min(m) AS group_id FROM walk GROUP BY n
+        """,
+        "dedup_filter_corpus": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b FROM w a JOIN w b
+                ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s)) >= 0.95
+            ), e AS (
+                SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+            ), walk(n, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT walk.n, e.b FROM walk JOIN e ON e.a = walk.m
+            ), comp AS (
+                SELECT n AS doc_id, min(m) AS group_id FROM walk GROUP BY n
+            )
+            SELECT d.doc_id, d.n_chars, d.source
+            FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.doc_id = c.group_id
+        """,
+        "knn_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 8
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(s, 6) AS sim
+            FROM ranked WHERE rk <= 5
         """,
         "knn_cosine": """
             WITH q AS (

@@ -322,3 +322,59 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
             )
 
     return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=2)
+
+
+def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
+    """Batched multi-query cosine top-k — the production shape of
+    similarity search (one matmul per block against a BROADCAST query
+    matrix, per-block per-query partial top-k, tiny driver merge of
+    num_queries×k rows per block). Queries are the ``num_queries``
+    smallest vec_ids; exact → DuckDB window-rank oracle."""
+    ensure_portable()
+    full = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id"])
+    qids = np.sort(full["vec_id"].to_numpy())[:num_queries]
+    qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pos = {int(v): i for i, v in enumerate(qt["vec_id"].to_numpy())}
+    qm = np.stack([_emb_matrix(qt)[pos[int(q)]] for q in qids])
+    qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12, None)
+    qref = ray.put((qm, qids))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self):
+            self.qm, self.qids = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t)
+            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            sims = self.qm @ m.T                      # (Q, rows)
+            ids = t["vec_id"].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                keep = ids != self.qids[qi]           # exclude self
+                s, cand = sims[qi][keep], ids[keep]
+                if len(cand) > k:
+                    top = np.argpartition(-s, k)[:k]
+                    s, cand = s[top], cand[top]
+                out_q.extend([int(self.qids[qi])] * len(cand))
+                out_id.extend(cand.tolist())
+                out_s.extend(s.tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_id, pa.int64()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+    rows = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2).take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    oq, oid, osim = [], [], []
+    for q in sorted(by_q):
+        best = heapq.nlargest(k, by_q[q], key=lambda r: (r["sim"], -r["vec_id"]))
+        for r in best:
+            oq.append(q)
+            oid.append(r["vec_id"])
+            osim.append(round(float(r["sim"]), 6))
+    return pa.table({"query_id": pa.array(oq, pa.int64()),
+                     "vec_id": pa.array(oid, pa.int64()),
+                     "sim": pa.array(osim, pa.float64())})

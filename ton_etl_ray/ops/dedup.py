@@ -499,3 +499,28 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     if cand.count() == 0:
         return _EMPTY_PAIRS.empty_table()
     return _verify_pairs(sf_dir, cand, n=n, threshold=threshold)
+
+
+def dedup_filter_corpus(sf_dir: str, threshold: float = 0.95):
+    """Near-dup corpus FILTERING — the step an actual training-data
+    pipeline runs after group discovery: keep exactly ONE representative
+    (the min doc_id) per near-dup component and emit the surviving
+    corpus (doc_id, n_chars, source). Group discovery rides the
+    distributed LSH edge path (dedup_groups); survivors are selected
+    with a broadcast membership filter over the documents read — the
+    kept-set is bounded by #components, the corpus itself streams."""
+    ensure_portable()
+    import ray
+
+    groups = dedup_groups(sf_dir, threshold=threshold)
+    keep_mask = pc.equal(groups["doc_id"], groups["group_id"])
+    keep = groups.filter(keep_mask)["doc_id"]
+    kref = ray.put(keep)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keepers = ray.get(kref)
+        return t.filter(pc.is_in(t["doc_id"], value_set=keepers))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
