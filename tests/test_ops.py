@@ -95,7 +95,7 @@ def test_simhash_deterministic_and_close_for_dups():
     stage = SimHashStage()
     b = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f", "a b c d e f"]})
     out1, out2 = stage(b), stage(b)
-    assert out1["simhash"].tolist() == out2["simhash"].tolist()
+    assert out1["simhash"].to_pylist() == out2["simhash"].to_pylist()
     assert out1["simhash"][0] == out1["simhash"][1]
 
 

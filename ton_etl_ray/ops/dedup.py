@@ -318,19 +318,20 @@ class SimHashStage:
         with np.errstate(over="ignore"):
             return self.a * hs + self.b
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch["text"]:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        texts = batch["text"].tolist()
+        sigs = np.empty(len(texts), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
+        for i, text in enumerate(texts):
             hs = self._word_hashes(text)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            acc = np.where(bits > 0, 1, -1).sum(axis=0)
-            sig = 0
-            for k in np.nonzero(acc > 0)[0]:
-                sig |= 1 << int(k)
-            if sig >= 1 << 63:
-                sig -= 1 << 64
-            sigs.append(sig)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": pd.array(sigs, dtype="int64")})
+            # (words, 64) sign votes → one packed uint64, all vectorized
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            with np.errstate(over="ignore"):
+                sigs[i] = (weights * (acc > 0).astype(np.uint64)).sum()
+        return pa.table({"doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
+                         "simhash": pa.array(sigs.view(np.int64), pa.int64())})
 
 
 def simhash_signatures(sf_dir: str):
