@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text.doc_token_stats,
         "bpe_token_count": text.bpe_token_count,
         "dedup_docs_prefix": text.dedup_docs_prefix,
+        "top_tokens": text.top_tokens,
         "lang_id": text.lang_id,                      # heuristic → rows-only
         "quality_score": text.quality_score,          # heuristic → rows-only
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
@@ -344,6 +345,13 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
                    )) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        "top_tokens": """
+            SELECT token, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 20
         """,
         "dedup_docs_prefix": """
             SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id

@@ -160,3 +160,66 @@ def test_failed_flush_keeps_shards_pending(tmp_path, monkeypatch):
     lake2 = str(tmp_path / "lake2")
     replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
     assert _state_map(lake) == _state_map(lake2)
+
+
+def test_sigkill_mid_watch_then_new_watcher_recovers(tmp_path):
+    """SIGKILL a watcher subprocess mid-drain; a NEW watcher over the
+    same directory must finish the lake to exactly the one-shot state
+    (committed epochs resumed, uncommitted staging retried)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=40_000, num_keys=2_000, seed=55,
+                     num_shards=8, max_tok=16)
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    for f in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        shutil.copy(f, watch)
+    lake = str(tmp_path / "lake")
+
+    script = f"""
+import sys; sys.path.insert(0, {REPO!r})
+import ray; ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from ton_etl_ray.cdc.streaming import DirectoryWatcher
+w = DirectoryWatcher({watch!r}, {lake!r}, num_partitions=8, num_actors=1, max_batch_shards=2)
+w.run(poll_interval_sec=0.05, stop_after_idle_polls=3)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    from ton_etl_ray.cdc import sink as S
+
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # drained everything before we could kill — still valid
+        latest = S.latest_epoch(lake)
+        if latest is not None and latest >= 1:
+            os.kill(proc.pid, signal.SIGKILL)  # mid-drain: ≥2 epochs done
+            killed = True
+            break
+        time.sleep(0.05)
+    proc.wait(timeout=60)
+
+    # recovery: fresh watcher picks up exactly the un-committed shards
+    clock = FakeClock()
+    w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                          max_batch_shards=2, time_fn=clock)
+    try:
+        while True:
+            w2.poll()
+            if not w2.pending:
+                break
+            w2.flush()
+    finally:
+        w2.close()
+
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)
+    assert killed or S.latest_epoch(lake) is not None

@@ -190,3 +190,31 @@ def dedup_docs_prefix(sf_dir: str, prefix_len: int = 40):
         .groupby("prefix")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
+
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Corpus token-frequency top-k — the canonical map-reduce over a
+    text corpus (vocabulary building / stopword discovery). Per-batch
+    PARTIAL counts (split → explode → value_counts inside the map task)
+    bound the shuffle to (distinct-words-per-batch) rows, then one
+    grouped sum + sort-limit. Ties broken by token text so the result
+    is deterministic and oracle-checkable."""
+    ensure_portable()
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        vc = words.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    top = agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
+    return top
