@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, dedup, relational as R, text
+    from ton_etl_ray.ops import ann, dedup, enrich, multimodal, relational as R, sketch, text
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -81,9 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lifecycle": R.order_lifecycle,
         # external-fetch enrichment (P30 surface) with a deterministic
         # fetcher so the enrichment JSON is SQL-recomputable
-        "enrich_event_types": __import__(
-            "ton_etl_ray.ops.enrich", fromlist=["enrich_event_types"]
-        ).enrich_event_types,
+        "enrich_event_types": enrich.enrich_event_types,
         # --- text analysis / dedup (training-data ops) ---
         "doc_token_stats": text.doc_token_stats,
         "bpe_token_count": text.bpe_token_count,
@@ -99,9 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups": dedup.dedup_groups,
         "dedup_filter_corpus": dedup.dedup_filter_corpus,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
-        "approx_distinct_users": lambda sf: __import__(
-            "ton_etl_ray.ops.sketch", fromlist=["approx_distinct"]
-        ).approx_distinct(sf),                         # sketch → rows-only
+        "approx_distinct_users": sketch.approx_distinct,  # sketch → rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "knn_batch": ann.knn_batch,
@@ -110,15 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_embedding_pairs": ann.lsh_embedding_pairs,  # approximate → rows-only
         # --- multimodal plumbing (decode stubbed; deterministic fake
         # features → rows-only checks over the synthetic media corpus) ---
-        "media_features": lambda sf: __import__(
-            "ton_etl_ray.ops.multimodal", fromlist=["media_features", "synth_media_table"]
-        ).media_features(
-            __import__("ton_etl_ray.ops.multimodal", fromlist=["synth_media_table"]).synth_media_table(256)
+        "media_features": lambda sf: multimodal.media_features(
+            multimodal.synth_media_table(256)
         ),
-        "media_frame_sample": lambda sf: __import__(
-            "ton_etl_ray.ops.multimodal", fromlist=["media_frame_sample", "synth_media_table"]
-        ).media_frame_sample(
-            __import__("ton_etl_ray.ops.multimodal", fromlist=["synth_media_table"]).synth_media_table(256)
+        "media_frame_sample": lambda sf: multimodal.media_frame_sample(
+            multimodal.synth_media_table(256)
         ),
     }
 

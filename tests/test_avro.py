@@ -125,3 +125,17 @@ def test_sources_roundtrip_dir(tmp_path):
     write_table(rd.from_arrow(t), str(tmp_path / "d"), fmt="avro")
     back = read_table(str(tmp_path / "d"))
     assert back.count() == 80
+
+
+def test_write_avro_dir_unique_naming_preserves_duplicates(tmp_path):
+    """naming='unique' must persist byte-identical blocks separately
+    (exact multiplicity), where the default content naming dedupes."""
+    import ray.data as rd
+
+    t = pa.table({"v": pa.array([1, 2, 3, 4] * 100, pa.int64())})
+    # two byte-identical blocks
+    ds = rd.from_arrow(pa.concat_tables([t, t])).repartition(2)
+    files_u = write_avro_dir(ds, str(tmp_path / "uniq"), naming="unique")
+    back = read_avro_dataset(str(tmp_path / "uniq")).to_pandas()
+    assert len(back) == 800
+    assert len(set(files_u)) == len(files_u)

@@ -331,11 +331,11 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
     num_queries×k rows per block). Queries are the ``num_queries``
     smallest vec_ids; exact → DuckDB window-rank oracle."""
     ensure_portable()
-    full = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id"])
-    qids = np.sort(full["vec_id"].to_numpy())[:num_queries]
     qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qids = np.sort(qt["vec_id"].to_numpy())[:num_queries]
     pos = {int(v): i for i, v in enumerate(qt["vec_id"].to_numpy())}
-    qm = np.stack([_emb_matrix(qt)[pos[int(q)]] for q in qids])
+    M = _emb_matrix(qt)  # built ONCE (not per query)
+    qm = M[[pos[int(q)] for q in qids]]
     qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12, None)
     qref = ray.put((qm, qids))
 

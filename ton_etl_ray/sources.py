@@ -22,13 +22,27 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.
 
     ext = os.path.splitext(path)[1].lower()
     if ext == ".avro" or (
-        os.path.isdir(path) and _glob.glob(os.path.join(path, "*.avro"))
+        os.path.isdir(path)
+        and _glob.glob(os.path.join(path, "*.avro"))
+        and not _glob.glob(os.path.join(path, "*.parquet"))
     ):
         # a directory written by write_table(fmt="avro") has no extension
-        # — sniff its contents so the round-trip is symmetric
+        # — sniff its contents so the round-trip is symmetric. A MIXED
+        # directory (both formats) is ambiguous: refuse loudly rather
+        # than silently dropping one side, and likewise refuse reader
+        # kwargs the avro path can't honor.
+        if kwargs:
+            raise ValueError(
+                f"avro source does not support reader kwargs {sorted(kwargs)}"
+            )
         from .sources_avro import read_avro_dataset
 
         return read_avro_dataset(path, columns=columns)
+    if os.path.isdir(path) and _glob.glob(os.path.join(path, "*.avro")):
+        raise ValueError(
+            f"{path}: directory mixes .avro and .parquet parts — pass an "
+            "explicit file or a single-format directory"
+        )
     if ext in ("", ".parquet"):
         return rd.read_parquet(path, columns=columns, **kwargs)
     if ext == ".csv":

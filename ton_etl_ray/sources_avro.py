@@ -373,14 +373,30 @@ def read_avro_dataset(paths: str | list[str], *, columns: list[str] | None = Non
     return listing.map_batches(decode, batch_format="pyarrow", batch_size=1)
 
 
-def write_avro_dir(ds, out_dir: str, *, codec: str = "deflate") -> list[str]:
+def write_avro_dir(ds, out_dir: str, *, codec: str = "deflate",
+                   naming: str = "content") -> list[str]:
     """Dataset → directory of .avro part files, one per block, written
-    from inside the map tasks (sha256-content names mirror the
-    reference's datalake/main.py:161-164 naming)."""
+    from inside the map tasks.
+
+    ``naming`` picks the exactly-once trade-off (Ray Data gives map
+    tasks no stable identity, so no scheme gets both properties):
+
+    - ``"content"`` (default): sha256 of the full serialized block —
+      the reference's naming (datalake/main.py:161-164). A RETRIED task
+      rewrites the same bytes to the same name (idempotent), but two
+      byte-identical blocks dedupe to one file (duplicated data across
+      block boundaries collapses — acceptable for the lake's
+      append-dedup semantics, wrong if exact multiplicity matters).
+    - ``"unique"``: content hash + a uuid4 salt — every block persists
+      (exact multiplicity preserved), but a task retried AFTER its
+      write leaves a duplicate part behind.
+    """
     import hashlib
+    import uuid
 
     from ._pickle import ensure_portable
 
+    assert naming in ("content", "unique")
     ensure_portable()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -388,16 +404,15 @@ def write_avro_dir(ds, out_dir: str, *, codec: str = "deflate") -> list[str]:
         if t.num_rows == 0:
             return pa.table({"file": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
-        # content hash over the FULL serialized block (first-column-only
-        # hashing collided for low-cardinality leading columns and
-        # silently overwrote distinct blocks). Content-identical blocks
-        # still dedupe to one file — the reference's sha256-naming
-        # semantics (datalake/main.py:161-164), and a retried task
-        # rewrites the same bytes to the same name (idempotent).
+        # hash the FULL serialized block (first-column-only hashing
+        # collided for low-cardinality leading columns and silently
+        # overwrote DISTINCT blocks)
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, t.schema) as w:
             w.write_table(t)
         digest = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()[:20]
+        if naming == "unique":
+            digest = f"{digest}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(out_dir, f"part-{digest}.avro")
         write_avro(t, path, codec=codec)
         return pa.table({"file": pa.array([os.path.basename(path)], pa.string()),
