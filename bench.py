@@ -134,6 +134,7 @@ def run_bench() -> dict:
         # query, decimal aggregation, embedding LSH with join verify
         "ngram_jaccard_pairs", "lsh_embedding_pairs",
         "order_lifecycle", "decimal_revenue", "cdc_replay",
+        "top_tokens", "knn_batch", "enrich_event_types",
     ]
     qtimes = {}
     if SKIP_QUERIES:
