@@ -251,31 +251,62 @@ def topk_users(sf_dir: str, k: int = 10):
 
 
 def anti_join_customers(sf_dir: str):
-    """Broadcast anti-join (J10 excluded-rows filter): customers with no
-    orders."""
+    """SHUFFLE anti-join (J10 excluded-rows filter): customers with no
+    orders. The excluded side here is the ORDERS key set — billions of
+    keys at 100 TB, far too large to broadcast (the broadcast form of
+    J10 lives in ``replay(excluded_doc_ids=…)``, where the corrections
+    list is genuinely small). Both sides pre-reduce per batch (distinct
+    keys only), then one hash-bucket shuffle decides membership with a
+    vectorized isin inside each bucket."""
     ensure_portable()
-    import pyarrow.parquet as pq
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
 
-    keys = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
-    ref = ray.put(frozenset(keys["o_custkey"].to_pylist()))
-    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "c_name": t["c_name"],
+             "__side": pa.array(np.zeros(t.num_rows, np.int8))}
+        )
 
-    class Anti:
-        def __init__(self):
-            self.exclude = pa.array(sorted(ray.get(ref)), pa.int64())
+    def tag_orders(t: pa.Table) -> pa.Table:
+        # per-batch distinct: the shuffle carries unique keys per batch,
+        # not raw order rows
+        keys = pc.unique(t["o_custkey"])
+        return pa.table(
+            {"c_custkey": keys, "c_name": pa.nulls(len(keys), pa.string()),
+             "__side": pa.array(np.ones(len(keys), np.int8))}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=self.exclude))
-            return t.filter(mask)
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
 
-    out = ds.map_batches(Anti, batch_format="pyarrow", concurrency=2)
-    # materialize with schema preserved: an all-filtered Dataset would
-    # otherwise convert to a column-less DataFrame (result is small by
-    # construction — customers without orders)
-    batches = list(out.iter_batches(batch_format="pyarrow"))
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["c_custkey"], pa.scalar(63, pa.int64()))
+        return t.append_column("__b", b)
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        have_orders = g.loc[g["__side"] == 1, "c_custkey"].to_numpy()
+        cust_rows = g[g["__side"] == 0]
+        keep = ~np.isin(cust_rows["c_custkey"].to_numpy(), have_orders)
+        return pa.table(
+            {"c_custkey": pa.array(cust_rows["c_custkey"].to_numpy()[keep], pa.int64()),
+             "c_name": pa.array(cust_rows["c_name"].to_numpy()[keep], pa.string())}
+        )
+
+    out = (
+        both.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(anti, batch_format="pandas")
+    )
     schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
-    batches = [b for b in batches if b.num_rows]
-    return pa.concat_tables(batches) if batches else schema.empty_table()
+    batches = [
+        b for b in out.iter_batches(batch_format="pyarrow")
+        if b.num_rows and "c_custkey" in b.schema.names
+    ]
+    # (result is small by construction — customers without orders)
+    return (pa.concat_tables(batches).select(schema.names)
+            if batches else schema.empty_table())
 
 
 def except_users(sf_dir: str):
