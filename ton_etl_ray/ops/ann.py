@@ -15,6 +15,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -31,11 +32,35 @@ def _emb_matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(-1, dim)
 
 
+def _min_vec_rows(sf_dir: str, num: int) -> pa.Table:
+    """The ``num`` smallest-vec_id rows WITHOUT a full driver read:
+    parquet row-group statistics locate the groups that can hold the
+    global minima, and only those groups are decoded — O(row-group) not
+    O(table) driver work."""
+    pf = pq.ParquetFile(_t(sf_dir, "embeddings"))
+    vid_idx = pf.schema_arrow.get_field_index("vec_id")
+    mins = []
+    for rg in range(pf.num_row_groups):
+        st = pf.metadata.row_group(rg).column(vid_idx).statistics
+        mins.append((st.min if st is not None else -(1 << 62), rg))
+    mins.sort()
+    picked, total = [], 0
+    for _, rg in mins:
+        picked.append(rg)
+        total += pf.metadata.row_group(rg).num_rows
+        if total >= num:
+            break
+    t = pa.concat_tables(
+        pf.read_row_group(rg, columns=["vec_id", "embedding"]) for rg in picked
+    )
+    order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+    return t.take(order).slice(0, num)
+
+
 def _query_vector(sf_dir: str) -> tuple[np.ndarray, int]:
     """Deterministic query: the embedding of the smallest vec_id."""
-    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    i = int(np.argmin(t["vec_id"].to_numpy()))
-    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64), int(t["vec_id"][i].as_py())
+    t = _min_vec_rows(sf_dir, 1)
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64), int(t["vec_id"][0].as_py())
 
 
 def _bounded_sample(sf_dir: str, *, max_rows: int) -> pa.Table:
@@ -331,11 +356,9 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
     num_queries×k rows per block). Queries are the ``num_queries``
     smallest vec_ids; exact → DuckDB window-rank oracle."""
     ensure_portable()
-    qt = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qids = np.sort(qt["vec_id"].to_numpy())[:num_queries]
-    pos = {int(v): i for i, v in enumerate(qt["vec_id"].to_numpy())}
-    M = _emb_matrix(qt)  # built ONCE (not per query)
-    qm = M[[pos[int(q)] for q in qids]]
+    qt = _min_vec_rows(sf_dir, num_queries)  # row-group-pruned, not a full read
+    qids = qt["vec_id"].to_numpy()
+    qm = _emb_matrix(qt)
     qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12, None)
     qref = ray.put((qm, qids))
 
