@@ -223,3 +223,62 @@ w.run(poll_interval_sec=0.05, stop_after_idle_polls=3)
     replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
     assert _state_map(lake) == _state_map(lake2)
     assert killed or S.latest_epoch(lake) is not None
+
+
+def test_watch_debezium_jsonl_shards(tmp_path):
+    """Continuous consumption of the reference's wire format: Debezium
+    JSONL shards arrive, are normalized+staged per shard, ingested as
+    epochs, and a RESTARTED watcher skips the already-committed JSONL
+    shards (name mapping through the preprocessor)."""
+    import json
+
+    from ton_etl_ray.cdc.streaming import debezium_preprocessor
+
+    def shard(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    rows1 = [
+        {"__lsn": 1, "__op": "r", "__table": "d", "__source_ts_ms": 1,
+         "doc_id": "a", "n_tok": 2, "source": "web"},
+        {"__lsn": 2, "__op": "c", "__table": "d", "__source_ts_ms": 2,
+         "doc_id": "b", "n_tok": 1, "source": "code"},
+    ]
+    rows2 = [
+        {"__lsn": 3, "__op": "u", "__table": "d", "__source_ts_ms": 3,
+         "doc_id": "a", "n_tok": 7, "source": "web"},
+        {"__lsn": 4, "__op": "d", "__table": "d", "__source_ts_ms": 4,
+         "doc_id": "b", "n_tok": None, "source": None},
+    ]
+    shard(os.path.join(watch, "s1.jsonl"), rows1)
+
+    lake = str(tmp_path / "lake")
+    stage = str(tmp_path / "stage")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                         max_batch_shards=1, pattern="*.jsonl",
+                         preprocess=debezium_preprocessor(stage), time_fn=clock)
+    try:
+        w.step()
+        assert len(w.epochs) == 1
+        shard(os.path.join(watch, "s2.jsonl"), rows2)
+        w.step()
+        assert len(w.epochs) == 2
+    finally:
+        w.close()
+
+    state = {r["doc_id"]: r["n_tok"] for r in final_state_table(lake).to_pylist()}
+    assert state == {"a": 7}          # 'b' tombstoned, 'a' updated
+
+    # restart: both JSONL shards map to committed parquet names → done
+    w2 = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                          max_batch_shards=1, pattern="*.jsonl",
+                          preprocess=debezium_preprocessor(stage),
+                          time_fn=FakeClock())
+    try:
+        assert w2.poll() == 0 and not w2.pending
+    finally:
+        w2.close()

@@ -64,12 +64,20 @@ class DirectoryWatcher:
         num_actors: int = 4,
         max_batch_shards: int = 8,
         idle_flush_sec: float = 5.0,
+        pattern: str = "*.parquet",
+        preprocess: Callable[[str], str] | None = None,
         time_fn: Callable[[], float] = time.monotonic,
     ):
         self.watch_dir = watch_dir
         self.lake_dir = lake_dir
         self.max_batch = max_batch_shards
         self.idle_flush = idle_flush_sec
+        self.pattern = pattern
+        # optional per-shard converter (e.g. Debezium JSONL → parquet,
+        # the reference's wire format — see debezium_preprocessor);
+        # MUST be deterministic path→path so a restarted watcher can
+        # match committed inputs back to source shards
+        self.preprocess = preprocess
         self.now = time_fn
         self.ing = IncrementalIngestor(
             lake_dir, num_partitions=num_partitions, num_actors=num_actors
@@ -80,13 +88,17 @@ class DirectoryWatcher:
         self.first_pending_at: float | None = None
         self.epochs: list[dict] = []
 
+    def _is_done(self, base: str) -> bool:
+        # commits record the INGESTED (possibly preprocessed) name
+        return base in self.done or f"{base}.parquet" in self.done
+
     # -- one poll round ------------------------------------------------
     def poll(self) -> int:
         """Pick up newly arrived shards; returns how many were new."""
         new = 0
-        for f in sorted(glob.glob(os.path.join(self.watch_dir, "*.parquet"))):
+        for f in sorted(glob.glob(os.path.join(self.watch_dir, self.pattern))):
             base = os.path.basename(f)
-            if base in self.done or f in self.pending:
+            if self._is_done(base) or f in self.pending:
                 continue
             self.pending.append(f)
             new += 1
@@ -107,10 +119,11 @@ class DirectoryWatcher:
         if not self.pending:
             return None
         batch, rest = self.pending[: self.max_batch], self.pending[self.max_batch:]
+        ingest_paths = [self.preprocess(f) for f in batch] if self.preprocess else batch
         # self.pending is NOT mutated until ingest commits: if it raises,
         # the epoch never published (ingest resets actor state) and the
         # batch stays pending, so the caller's next flush retries it
-        res = self.ing.ingest(batch)
+        res = self.ing.ingest(ingest_paths)
         # mark done only AFTER the commit published
         self.pending = rest
         self.done.update(os.path.basename(f) for f in batch)
@@ -154,3 +167,31 @@ class DirectoryWatcher:
 
     def close(self) -> None:
         self.ing.close()
+
+
+def debezium_preprocessor(
+    staging_dir: str, *, numeric_fields: tuple[str, ...] = ()
+) -> Callable[[str], str]:
+    """Per-shard converter for watching a directory of Debezium JSONL
+    dumps (the reference's Kafka wire format, README.md:65-69): each
+    arriving ``*.jsonl`` shard is normalized (envelope → change columns,
+    'r' folded to 'c', numeric structs decoded) and staged as a parquet
+    shard named ``<original>.parquet`` — deterministic, so re-running
+    the converter is idempotent and a restarted watcher can match the
+    committed input names back to their JSONL sources."""
+    import pyarrow.json as pj
+    import pyarrow.parquet as pq
+
+    from .debezium import normalize_debezium_batch
+
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def convert(path: str) -> str:
+        out = os.path.join(staging_dir, os.path.basename(path) + ".parquet")
+        if os.path.exists(out):
+            return out  # idempotent retry
+        t = normalize_debezium_batch(pj.read_json(path), numeric_fields=numeric_fields)
+        sink.atomic_write_table(out, t)
+        return out
+
+    return convert
