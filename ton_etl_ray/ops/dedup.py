@@ -291,7 +291,19 @@ def exact_dedup_hash(sf_dir: str):
         from ..core.partition import hash64
 
         hh = np.ascontiguousarray(hash64(t["text"])).view(np.int64)
-        return pa.table({"content_hash": pa.array(hh, pa.int64()), "doc_id": t["doc_id"]})
+        # per-batch PARTIAL dedup (min doc_id per hash) before the
+        # shuffle: a million-duplicate document otherwise ships a million
+        # rows to one reducer — with the combiner it ships ≤1 row per
+        # hash per block (same bound as the CDC Normalize combiner)
+        import polars as pl
+
+        part = (
+            pl.DataFrame({"content_hash": hh, "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            .group_by("content_hash")
+            .agg(pl.col("doc_id").min())
+        )
+        return pa.table({"content_hash": pa.array(part["content_hash"].to_numpy(), pa.int64()),
+                         "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64())})
 
     out = (
         ds.map_batches(h, batch_format="pyarrow")

@@ -179,9 +179,19 @@ def dedup_docs_prefix(sf_dir: str, prefix_len: int = 40):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"prefix": pc.utf8_slice_codeunits(t["text"], 0, prefix_len), "doc_id": t["doc_id"]}
+        prefix = pc.utf8_slice_codeunits(t["text"], 0, prefix_len)
+        # per-batch partial min combiner: bounds the shuffle to ≤1 row
+        # per prefix per block (skew-proof for duplicate-heavy corpora)
+        import polars as pl
+
+        part = (
+            pl.DataFrame({"prefix": prefix.to_pylist(),
+                          "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            .group_by("prefix")
+            .agg(pl.col("doc_id").min())
         )
+        return pa.table({"prefix": pa.array(part["prefix"].to_list(), pa.string()),
+                         "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64())})
 
     from ray.data.aggregate import Min
 
