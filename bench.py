@@ -129,7 +129,11 @@ def run_bench() -> dict:
         "exact_dedup_hash", "minhash_lsh_pairs", "knn_cosine",
         "simhash_signatures", "doc_token_stats",
         "q3_top_orders", "q6_forecast_revenue", "sliding_window_counts",
-        "word_jaccard_pairs", "bpe_token_count",
+        # word_jaccard_pairs is deliberately absent: it is the declared
+        # sf≤0.01 ORACLE path (all-pairs incidence matmul), not a
+        # production operator — the production near-dup paths timed here
+        # are minhash/ngram/lsh with the distributed join verify
+        "bpe_token_count",
         # round-2 additions: distributed-verify dedup, composed as-of
         # query, decimal aggregation, embedding LSH with join verify
         "ngram_jaccard_pairs", "lsh_embedding_pairs",
