@@ -49,3 +49,53 @@ def test_compact_equals_oracle_any_log(events, rnd):
         for r in oracle_apply(t).to_pylist()
     }
     assert got == want
+
+
+def test_portable_shuffle_join_matches_pandas_merge():
+    """Property: the union-tag-bucket join equals a plain pandas merge
+    for random key distributions (incl. duplicate keys on both sides,
+    keys present on only one side, and list-typed payload columns)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hypothesis import given, settings, strategies as st
+
+    from ton_etl_ray.ops.relational import _portable_shuffle_join
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        lkeys=st.lists(st.integers(0, 12), min_size=0, max_size=30),
+        rkeys=st.lists(st.integers(0, 12), min_size=0, max_size=30),
+        seed=st.integers(0, 10_000),
+    )
+    def check(lkeys, rkeys, seed):
+        rng = np.random.default_rng(seed)
+        lt = pa.table({
+            "k": pa.array(lkeys, pa.int64()),
+            "lv": pa.array(rng.integers(0, 100, len(lkeys)), pa.int64()),
+            "feats": pa.array([[int(x)] * (i % 3) for i, x in enumerate(lkeys)],
+                              pa.list_(pa.int64())),
+        })
+        rt = pa.table({
+            "k": pa.array(rkeys, pa.int64()),
+            "rv": pa.array(rng.integers(0, 100, len(rkeys)), pa.int64()),
+        })
+        got = _portable_shuffle_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), "k", num_partitions=4,
+            left_schema=lt.schema, right_schema=rt.schema,
+        ).to_pandas()
+        want = lt.to_pandas().merge(rt.to_pandas(), on="k", how="inner")
+
+        def norm(df):
+            if df.empty:
+                return []
+            return sorted(
+                (int(k), int(lv), tuple(f), int(rv))
+                for k, lv, f, rv in zip(df["k"], df["lv"], df["feats"], df["rv"])
+            )
+
+        assert norm(got) == norm(want)
+
+    check()

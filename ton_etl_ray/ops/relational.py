@@ -443,6 +443,12 @@ def _portable_shuffle_join(
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def join_group(g: pd.DataFrame) -> pa.Table:
+        # a side that contributed ZERO blocks leaves its columns out of
+        # the unified group frame entirely (found by the join property
+        # test) — reinstate them as nulls so the merge sees both schemas
+        for c in (*left_cols, *right_cols, "__side"):
+            if c not in g.columns:
+                g[c] = None
         l = g.loc[g["__side"] == 0, left_cols]
         r = g.loc[g["__side"] == 1, right_cols]
         merged = l.merge(r, on=on, how=how)[out_schema.names]
