@@ -282,3 +282,40 @@ def test_watch_debezium_jsonl_shards(tmp_path):
         assert w2.poll() == 0 and not w2.pending
     finally:
         w2.close()
+
+
+def test_watcher_gc_collects_superseded_epochs(tmp_path):
+    """gc_every collects superseded epoch data files during the drain
+    without changing the final state or the done-shard tracking."""
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=6000, num_keys=300, seed=56, num_shards=6, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    for f in files:
+        shutil.copy(f, watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, gc_every=2, gc_keep_epochs=1,
+                         time_fn=clock)
+    try:
+        while True:
+            w.poll()
+            if not w.pending:
+                break
+            w.flush()
+        assert len(w.epochs) == 3
+    finally:
+        w.close()
+
+    # epoch-0 data files that were superseded (not inherited) are gone
+    from ton_etl_ray.cdc import sink as S
+
+    assert S.latest_epoch(lake) == 2
+    # resume metadata intact: all shards still recorded as done
+    assert committed_inputs(lake) == {os.path.basename(f) for f in files}
+
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)

@@ -66,6 +66,8 @@ class DirectoryWatcher:
         idle_flush_sec: float = 5.0,
         pattern: str = "*.parquet",
         preprocess: Callable[[str], str] | None = None,
+        gc_every: int | None = None,
+        gc_keep_epochs: int = 4,
         time_fn: Callable[[], float] = time.monotonic,
     ):
         self.watch_dir = watch_dir
@@ -78,6 +80,14 @@ class DirectoryWatcher:
         # MUST be deterministic path→path so a restarted watcher can
         # match committed inputs back to source shards
         self.preprocess = preprocess
+        # a long-running watcher accumulates one epoch dir per flush;
+        # gc_every=N collects superseded data files after every N
+        # committed epochs (inheritance-aware — sink.gc_epochs never
+        # touches files still referenced by kept commits, and never an
+        # in-progress epoch). done-shard tracking is unaffected: commit
+        # JSONs (which record inputs) are kept as lineage.
+        self.gc_every = gc_every
+        self.gc_keep = gc_keep_epochs
         self.now = time_fn
         self.ing = IncrementalIngestor(
             lake_dir, num_partitions=num_partitions, num_actors=num_actors
@@ -129,6 +139,8 @@ class DirectoryWatcher:
         self.done.update(os.path.basename(f) for f in batch)
         self.first_pending_at = self.now() if self.pending else None
         self.epochs.append(res)
+        if self.gc_every and len(self.epochs) % self.gc_every == 0:
+            sink.gc_epochs(self.lake_dir, keep_epochs=self.gc_keep)
         return res
 
     def step(self) -> dict | None:
