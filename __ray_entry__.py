@@ -46,10 +46,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
         return REGISTRY.select({"PropsDecode"}).run(sources)["props_decoded"]
 
+    def registry_enrich(sf: str):
+        import ray.data as rd
+
+        import ton_etl_ray.transforms  # noqa: F401
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
+        return REGISTRY.select({"MetadataEnrich"}).run(sources)["enriched_signups"]
+
     return {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
         "props_decode": props_decode,
+        "registry_enrich": registry_enrich,
         # --- CDC flagship: change-log n_tok is md5-derived from
         # (doc_id, version), so the replayed final state has a full
         # DuckDB value-hash oracle (rank-1 winner = version 2; every
@@ -124,6 +134,11 @@ def oracle_sql() -> dict[str, str]:
         "props_decode": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "registry_enrich": """
+            SELECT event_id, event_type,
+                   '{"u": "SIGNUP"}' AS enrichment, true AS fetch_ok
+            FROM events WHERE event_type = 'signup'
         """,
         "cdc_replay": """
             WITH d AS (

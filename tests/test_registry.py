@@ -63,3 +63,20 @@ def test_registry_run_fans_out():
     n_purchase = ev.filter(pa.compute.equal(ev["event_type"], "purchase")).num_rows
     assert len(trades) == n_purchase
     assert (trades["fee"] > 0).all()
+
+
+def test_metadata_enrich_transform():
+    """P30-shaped transform: prepared fetcher state, predicate gating,
+    enrichment columns on the side output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ton_etl_ray.transforms  # noqa: F401
+    from ton_etl_ray.registry import REGISTRY
+
+    sources = {"events": rd.read_parquet("/root/testdata/sf0.001/events.parquet")}
+    out = REGISTRY.select({"MetadataEnrich"}).run(sources)["enriched_signups"]
+    df = out.to_pandas()
+    assert (df["event_type"] == "signup").all()
+    assert df["fetch_ok"].all()
+    assert (df["enrichment"] == '{"u": "SIGNUP"}').all()

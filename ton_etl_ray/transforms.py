@@ -126,3 +126,37 @@ class BigErrorAlert(Transform):
                 "is_vip": pa.array(vip),
             }
         )
+
+
+@register
+class MetadataEnrich(Transform):
+    """P30-shaped registry transform: predicate on event type → enrich
+    each surviving row through the fetch-enrichment stage's cache/TTL/
+    retry machinery, with the client built in ``prepare()`` (once per
+    actor — the reference's Parser.prepare + jetton_metadata fetch
+    pipeline, jetton_metadata.py:27-66). The default fetcher is
+    deterministic (no network here), so the output is oracle-checkable;
+    a deployment registers the same class with a real client factory."""
+
+    source = "events"
+    emits = "enriched_signups"
+
+    def __init__(self, fetcher_factory=None):
+        self.fetcher_factory = fetcher_factory or (
+            lambda: (lambda k: {"u": k.upper()})
+        )
+        self.stage = None
+
+    def prepare(self) -> None:
+        from .ops.enrich import FetchEnrichStage
+
+        self.stage = FetchEnrichStage(self.fetcher_factory, key_col="event_type")
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        return pc.equal(batch["event_type"], "signup")
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        if self.stage is None:  # direct-call path (tests without actors)
+            self.prepare()
+        out = self.stage(batch.select(["event_id", "event_type"]))
+        return out.select(["event_id", "event_type", "enrichment", "fetch_ok"])
