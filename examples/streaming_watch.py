@@ -35,13 +35,23 @@ os.makedirs(incoming)
 write_change_log(src, num_events=30_000, num_keys=2_000, seed=7, num_shards=6, max_tok=16)
 shards = sorted(glob.glob(os.path.join(src, "*.parquet")))
 
+def arrive(path: str) -> None:
+    """Producer contract: write OUTSIDE the watch dir (or to a .tmp
+    name), then atomically rename into place — the watcher must never
+    observe a half-copied shard (its quiescence gate is only a backstop)."""
+    tmp = os.path.join(incoming, "." + os.path.basename(path) + ".tmp")
+    shutil.copy(path, tmp)
+    os.replace(tmp, os.path.join(incoming, os.path.basename(path)))
+
+
 watcher = DirectoryWatcher(incoming, lake, num_partitions=16, num_actors=2,
-                           max_batch_shards=2, idle_flush_sec=0.5)
+                           max_batch_shards=2, idle_flush_sec=0.5,
+                           stable_polls=0)  # producer renames atomically
 try:
     # simulate arrival in three waves; each step() polls + maybe flushes
     for wave in (shards[:2], shards[2:5], shards[5:]):
         for f in wave:
-            shutil.copy(f, incoming)
+            arrive(f)
         watcher.step()
     # idle drain of any partial batch
     import time

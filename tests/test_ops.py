@@ -183,3 +183,86 @@ def test_media_resize_and_frame_sample():
     frames2 = media_frame_sample(synth_media_table(num_rows=32), every=1).to_pandas()
     assert frames.sort_values(["media_id", "frame_idx"])["frame_sig"].tolist() == \
            frames2.sort_values(["media_id", "frame_idx"])["frame_sig"].tolist()
+
+
+def test_min_vec_rows_interleaved_row_groups(tmp_path):
+    """Row groups whose vec_id ranges interleave: greedy-by-stats.min
+    alone returns [0, 1000] for RG1={0,1000}, RG2={1,2} (ADVICE r2) —
+    the fixpoint re-check must read RG2 and return [0, 1]."""
+    from ton_etl_ray.ops import ann
+
+    emb_t = pa.list_(pa.float32())
+    t1 = pa.table({"vec_id": pa.array([0, 1000], pa.int64()),
+                   "embedding": pa.array([[0.0, 1.0]] * 2, emb_t)})
+    t2 = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                   "embedding": pa.array([[1.0, 0.0]] * 2, emb_t)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    w = pq.ParquetWriter(str(d / "embeddings.parquet"), t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    got = ann._min_vec_rows(str(d), 2)
+    assert got["vec_id"].to_pylist() == [0, 1]
+    got4 = ann._min_vec_rows(str(d), 4)
+    assert got4["vec_id"].to_pylist() == [0, 1, 2, 1000]
+
+
+def test_partial_topk_breaks_ties_by_vec_id():
+    from ton_etl_ray.ops.ann import _topk_ties
+
+    sims = np.array([1.0, 1.0, 1.0, 0.5])
+    ids = np.array([30, 10, 20, 5])
+    s, i = _topk_ties(sims, ids, 2)
+    assert i.tolist() == [10, 20] and s.tolist() == [1.0, 1.0]
+    # short input: keeps everything, ranked deterministically
+    s2, i2 = _topk_ties(np.array([0.5, 0.9]), np.array([7, 3]), 5)
+    assert i2.tolist() == [3, 7]
+
+
+def test_knn_cosine_duplicate_embeddings_deterministic(tmp_path):
+    """Exact cosine ties (duplicate embeddings) at the k boundary must
+    resolve to the LOWER vec_ids — the (sim DESC, vec_id ASC) rank the
+    DuckDB oracle uses (ADVICE r2)."""
+    from ton_etl_ray.ops.ann import knn_cosine
+
+    emb = pa.table({"vec_id": pa.array(list(range(20)), pa.int64()),
+                    "embedding": pa.array([[1.0, 2.0, 3.0]] * 20,
+                                          pa.list_(pa.float32()))})
+    d = tmp_path / "sf"
+    d.mkdir()
+    w = pq.ParquetWriter(str(d / "embeddings.parquet"), emb.schema)
+    for i in range(0, 20, 5):
+        w.write_table(emb.slice(i, 5))  # several row groups → several partials
+    w.close()
+    got = knn_cosine(str(d), k=10)
+    assert got["vec_id"].to_pylist() == list(range(1, 11))
+
+
+def test_minhash_drops_empty_shingle_docs(tmp_path):
+    """Docs with fewer words than the shingle width can never reach a
+    nonzero Jaccard; they must emit NO bucket rows (previously they all
+    shared the sentinel signature → one quadratic bucket, ADVICE r2)."""
+    from ton_etl_ray.ops.dedup import MinHashStage, minhash_lsh_pairs
+
+    stage = MinHashStage(num_perm=16, bands=4, ngram=3)
+    import pandas as pd
+
+    out = stage(pd.DataFrame({"doc_id": [1, 2, 3], "text": ["ab", "a b", ""]}))
+    assert out.num_rows == 0
+
+    # end-to-end: 50 short docs + one planted near-dup pair
+    texts = ["tiny doc"] * 50 + [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    docs = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    res = minhash_lsh_pairs(str(d), threshold=0.9)
+    t = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if isinstance(t, pa.Table):
+        t = t.to_pandas()
+    assert list(map(tuple, t[["id_a", "id_b"]].to_numpy())) == [(50, 51)]

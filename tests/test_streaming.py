@@ -33,7 +33,7 @@ def test_watch_microbatches_equal_oneshot(tmp_path):
     lake = str(tmp_path / "lake")
     clock = FakeClock()
     w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                         max_batch_shards=2, idle_flush_sec=5.0, time_fn=clock)
+                         max_batch_shards=2, idle_flush_sec=5.0, stable_polls=0, time_fn=clock)
     try:
         # shards arrive in waves; size trigger flushes pairs immediately
         for i, f in enumerate(files[:6]):
@@ -70,7 +70,7 @@ def test_watch_resume_skips_committed_shards(tmp_path):
     for f in files[:2]:
         shutil.copy(f, watch)
     w1 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                          max_batch_shards=2, time_fn=clock)
+                          max_batch_shards=2, stable_polls=0, time_fn=clock)
     try:
         w1.step()
         assert len(w1.epochs) == 1
@@ -83,7 +83,7 @@ def test_watch_resume_skips_committed_shards(tmp_path):
         shutil.copy(f, watch)
     clock2 = FakeClock()
     w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                          max_batch_shards=2, time_fn=clock2)
+                          max_batch_shards=2, stable_polls=0, time_fn=clock2)
     try:
         w2.step()
         assert len(w2.epochs) == 1
@@ -107,7 +107,7 @@ def test_idle_drain_flushes_partial_batch(tmp_path):
     lake = str(tmp_path / "lake")
     clock = FakeClock()
     w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                         max_batch_shards=8, idle_flush_sec=5.0, time_fn=clock)
+                         max_batch_shards=8, idle_flush_sec=5.0, stable_polls=0, time_fn=clock)
     try:
         shutil.copy(files[0], watch)
         assert w.step() is None          # 1 shard < size trigger, not idle yet
@@ -135,7 +135,7 @@ def test_failed_flush_keeps_shards_pending(tmp_path, monkeypatch):
     lake = str(tmp_path / "lake")
     clock = FakeClock()
     w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                         max_batch_shards=2, time_fn=clock)
+                         max_batch_shards=2, stable_polls=0, time_fn=clock)
     try:
         real_ingest = w.ing.ingest
         calls = {"n": 0}
@@ -209,7 +209,7 @@ w.run(poll_interval_sec=0.05, stop_after_idle_polls=3)
     # recovery: fresh watcher picks up exactly the un-committed shards
     clock = FakeClock()
     w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
-                          max_batch_shards=2, time_fn=clock)
+                          max_batch_shards=2, stable_polls=0, time_fn=clock)
     try:
         while True:
             w2.poll()
@@ -260,7 +260,7 @@ def test_watch_debezium_jsonl_shards(tmp_path):
     clock = FakeClock()
     w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
                          max_batch_shards=1, pattern="*.jsonl",
-                         preprocess=debezium_preprocessor(stage), time_fn=clock)
+                         preprocess=debezium_preprocessor(stage), stable_polls=0, time_fn=clock)
     try:
         w.step()
         assert len(w.epochs) == 1
@@ -277,11 +277,55 @@ def test_watch_debezium_jsonl_shards(tmp_path):
     w2 = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
                           max_batch_shards=1, pattern="*.jsonl",
                           preprocess=debezium_preprocessor(stage),
-                          time_fn=FakeClock())
+                          stable_polls=0, time_fn=FakeClock())
     try:
         assert w2.poll() == 0 and not w2.pending
     finally:
         w2.close()
+
+
+def test_quiescence_gate_defers_growing_file(tmp_path):
+    """A shard still being copied into the watch dir must NOT be ingested
+    until its size/mtime stop changing (ADVICE r2: partial ingest +
+    done-marking = permanent silent loss); once quiescent it is ingested
+    exactly once with its FULL contents. Temp/dot names are ignored."""
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=2000, num_keys=150, seed=57, num_shards=2, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, stable_polls=1, time_fn=clock)
+    try:
+        # simulate a slow copy: write the first half, poll, then the rest
+        data = open(files[0], "rb").read()
+        dst = os.path.join(watch, os.path.basename(files[0]))
+        with open(dst, "wb") as f:
+            f.write(data[: len(data) // 2])
+        assert w.poll() == 0 and not w.pending and w.warming
+        with open(dst, "ab") as f:
+            f.write(data[len(data) // 2 :])
+        assert w.poll() == 0 and not w.pending   # size changed → still unstable
+        assert w.poll() == 1                     # unchanged across a poll → pending
+        # producer temporaries are never picked up
+        shutil.copy(files[1], os.path.join(watch, "x.parquet.tmp"))
+        shutil.copy(files[1], dst + ".partial")
+        n_before = len(w.pending)
+        w.poll()
+        assert len(w.pending) == n_before
+        shutil.copy(files[1], watch)
+        w.poll()                                 # first sighting of shard 2
+        assert w.poll() == 1                     # stable → pending
+        w.flush()
+    finally:
+        w.close()
+
+    lake2 = str(tmp_path / "lake2")
+    replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
+    assert _state_map(lake) == _state_map(lake2)
 
 
 def test_watcher_gc_collects_superseded_epochs(tmp_path):
@@ -298,7 +342,7 @@ def test_watcher_gc_collects_superseded_epochs(tmp_path):
     clock = FakeClock()
     w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
                          max_batch_shards=2, gc_every=2, gc_keep_epochs=1,
-                         time_fn=clock)
+                         stable_polls=0, time_fn=clock)
     try:
         while True:
             w.poll()

@@ -21,6 +21,16 @@ This module is the batch-engine analogue:
   shard names, so a restarted watcher resumes exactly after the last
   committed epoch (exactly-once over shard files).
 
+Producer contract: shards SHOULD be written elsewhere and atomically
+renamed into the watch directory (``os.replace``) — a half-copied file
+that gets ingested is recorded as done and its remaining rows would be
+silently lost. As defense in depth the watcher also applies a
+write-quiescence gate (``stable_polls``, default 1): a file only
+becomes pending once its (size, mtime_ns) is unchanged across that
+many consecutive polls, and ``.tmp``/``.partial``/dot-prefixed names
+are never picked up. Producers that DO rename atomically can pass
+``stable_polls=0`` to skip the one-poll latency.
+
 The loop is deterministic and test-drivable: the clock and sleep are
 injectable, and ``step()`` runs one poll+maybe-flush round without
 any real sleeping.
@@ -68,6 +78,7 @@ class DirectoryWatcher:
         preprocess: Callable[[str], str] | None = None,
         gc_every: int | None = None,
         gc_keep_epochs: int = 4,
+        stable_polls: int = 1,
         time_fn: Callable[[], float] = time.monotonic,
     ):
         self.watch_dir = watch_dir
@@ -88,6 +99,13 @@ class DirectoryWatcher:
         # JSONs (which record inputs) are kept as lineage.
         self.gc_every = gc_every
         self.gc_keep = gc_keep_epochs
+        # write-quiescence gate: (size, mtime_ns) must repeat across
+        # stable_polls consecutive polls before a file becomes pending
+        # (a shard mid-copy otherwise gets ingested PARTIALLY and its
+        # name recorded as done — permanent silent loss). 0 = trust the
+        # producer to rename-into-place atomically.
+        self.stable = stable_polls
+        self._seen: dict[str, tuple[int, int, int]] = {}
         self.now = time_fn
         self.ing = IncrementalIngestor(
             lake_dir, num_partitions=num_partitions, num_actors=num_actors
@@ -104,17 +122,44 @@ class DirectoryWatcher:
 
     # -- one poll round ------------------------------------------------
     def poll(self) -> int:
-        """Pick up newly arrived shards; returns how many were new."""
+        """Pick up newly arrived (and write-quiescent) shards; returns
+        how many became pending this round."""
         new = 0
+        current: set[str] = set()
         for f in sorted(glob.glob(os.path.join(self.watch_dir, self.pattern))):
             base = os.path.basename(f)
+            if base.startswith(".") or base.endswith((".tmp", ".partial")):
+                continue  # in-flight producer temporaries
             if self._is_done(base) or f in self.pending:
                 continue
+            try:
+                st = os.stat(f)
+            except FileNotFoundError:
+                continue  # deleted between glob and stat
+            current.add(f)
+            if self.stable > 0:
+                sig = (st.st_size, st.st_mtime_ns)
+                prev = self._seen.get(f)
+                if prev is None or prev[:2] != sig:
+                    self._seen[f] = (*sig, 0)  # first sighting / still growing
+                    continue
+                if prev[2] + 1 < self.stable:
+                    self._seen[f] = (*sig, prev[2] + 1)
+                    continue
+            self._seen.pop(f, None)
             self.pending.append(f)
             new += 1
+        # drop tracking for files that vanished or were promoted
+        self._seen = {k: v for k, v in self._seen.items() if k in current and k not in self.pending}
         if new and self.first_pending_at is None:
             self.first_pending_at = self.now()
         return new
+
+    @property
+    def warming(self) -> bool:
+        """True while some observed file is still inside the quiescence
+        gate — callers' idle detection must treat this as activity."""
+        return bool(self._seen)
 
     def should_flush(self) -> bool:
         if not self.pending:
@@ -166,7 +211,7 @@ class DirectoryWatcher:
             flushed = None
             if self.should_flush():
                 flushed = self.flush()
-            if new == 0 and flushed is None and not self.pending:
+            if new == 0 and flushed is None and not self.pending and not self.warming:
                 idle += 1
                 if stop_after_idle_polls is not None and idle >= stop_after_idle_polls:
                     break

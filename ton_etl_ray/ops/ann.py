@@ -50,9 +50,23 @@ def _min_vec_rows(sf_dir: str, num: int) -> pa.Table:
         total += pf.metadata.row_group(rg).num_rows
         if total >= num:
             break
-    t = pa.concat_tables(
-        pf.read_row_group(rg, columns=["vec_id", "embedding"]) for rg in picked
-    )
+    # greedy-by-stats.min alone is wrong when row groups interleave
+    # (RG1={0,1000}, RG2={1,2}, num=2 would return [0,1000]): after
+    # accumulating num rows, ALSO read every unpicked group whose
+    # stats.min is <= the num-th smallest value collected so far, to
+    # fixpoint — the bound only tightens, so this terminates
+    picked_set = set(picked)
+    chunks = [pf.read_row_group(rg, columns=["vec_id", "embedding"]) for rg in picked]
+    while True:
+        vals = np.sort(np.concatenate([c["vec_id"].to_numpy() for c in chunks]))
+        bound = vals[min(num, len(vals)) - 1]
+        extra = [rg for m, rg in mins if rg not in picked_set and m <= bound]
+        if not extra:
+            break
+        for rg in extra:
+            picked_set.add(rg)
+            chunks.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+    t = pa.concat_tables(chunks)
     order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
     return t.take(order).slice(0, num)
 
@@ -75,6 +89,20 @@ def _bounded_sample(sf_dir: str, *, max_rows: int) -> pa.Table:
         if total >= max_rows:
             break
     return pa.concat_tables(chunks).slice(0, max_rows)
+
+
+def _topk_ties(sims: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact partial top-k under the (sim DESC, vec_id ASC) rank that the
+    driver merge and the DuckDB oracle use. Plain ``argpartition`` breaks
+    ties arbitrarily at the k boundary, so an exact cosine tie (duplicate
+    embeddings) could discard the lower vec_id the oracle keeps: keep
+    every row tied with the k-th value, then rank deterministically."""
+    if len(ids) > k:
+        kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+        sel = sims >= kth
+        sims, ids = sims[sel], ids[sel]
+    order = np.lexsort((ids, -sims))[:k]
+    return sims[order], ids[order]
 
 
 def knn_cosine(sf_dir: str, k: int = 10):
@@ -100,10 +128,7 @@ def knn_cosine(sf_dir: str, k: int = 10):
             sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
             ids = t["vec_id"].to_numpy()
             keep = ids != self.qid  # exclude the query itself
-            sims, ids = sims[keep], ids[keep]
-            if len(ids) > k:
-                top = np.argpartition(-sims, k)[:k]
-                sims, ids = sims[top], ids[top]
+            sims, ids = _topk_ties(sims[keep], ids[keep], k)
             return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
 
     partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
@@ -157,9 +182,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
             keep = np.isin(cl, list(self.probe)) & (t["vec_id"].to_numpy() != self.qid)
             sims = mmn[keep] @ self.q
             ids = t["vec_id"].to_numpy()[keep]
-            if len(ids) > k:
-                top = np.argpartition(-sims, k)[:k]
-                sims, ids = sims[top], ids[top]
+            sims, ids = _topk_ties(sims, ids, k)
             return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
 
     rows = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=2).take_all()
@@ -376,10 +399,7 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
             out_q, out_id, out_s = [], [], []
             for qi in range(len(self.qids)):
                 keep = ids != self.qids[qi]           # exclude self
-                s, cand = sims[qi][keep], ids[keep]
-                if len(cand) > k:
-                    top = np.argpartition(-s, k)[:k]
-                    s, cand = s[top], cand[top]
+                s, cand = _topk_ties(sims[qi][keep], ids[keep], k)
                 out_q.extend([int(self.qids[qi])] * len(cand))
                 out_id.extend(cand.tolist())
                 out_s.extend(s.tolist())

@@ -80,10 +80,20 @@ class MinHashStage:
         self.ngram = ngram
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
+        # drop empty-shingle docs BEFORE banding: they'd all share the
+        # sentinel signature and pile into one bucket in every band (a
+        # quadratic candidate explosion verified down to jaccard 0.0),
+        # yet can never reach a nonzero Jaccard — skipping them is
+        # semantics-preserving for any threshold > 0
+        shingle_sets = [_shingles(text, self.ngram) for text in batch["text"]]
+        keep = [i for i, s in enumerate(shingle_sets) if s]
+        n = len(keep)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bkey": pa.array([], pa.int64())})
         sigs = np.empty((n, self.h.num_perm), dtype=np.uint64)
-        for i, text in enumerate(batch["text"]):
-            sigs[i] = self.h.signature(_shingles(text, self.ngram))
+        for row, i in enumerate(keep):
+            sigs[row] = self.h.signature(shingle_sets[i])
         # one bucket key per (doc, band): mix the band's signature rows +
         # the band id into a single 63-bit key, vectorized
         mix = np.uint64(0x9E3779B97F4A7C15)
@@ -95,7 +105,7 @@ class MinHashStage:
                     acc = (acc ^ sigs[:, r]) * mix
                 bkey[:, b] = acc
         bkey = (bkey >> np.uint64(1)).astype(np.int64)  # 63-bit, json/arrow safe
-        doc_ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
+        doc_ids = np.repeat(batch["doc_id"].to_numpy()[keep], self.bands)
         # return an Arrow table: pandas-built blocks re-attach the
         # b'pandas' schema metadata that downstream concats can't hash
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),

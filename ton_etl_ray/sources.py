@@ -67,6 +67,12 @@ def write_table(ds: "rd.Dataset", path: str, *, fmt: str = "parquet", **kwargs) 
     elif fmt == "avro":
         from .sources_avro import write_avro_dir
 
+        # the generic table sink must preserve row MULTIPLICITY: the
+        # content-hash naming scheme collapses byte-identical blocks
+        # into one part file, which is the LAKE's append-dedup contract
+        # but surprising for a plain write — default to unique names
+        # here and let lake callers opt into naming="content"
+        kwargs.setdefault("naming", "unique")
         write_avro_dir(ds, path, **kwargs)
     else:
         raise ValueError(f"unsupported sink format {fmt!r}")
