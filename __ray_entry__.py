@@ -55,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sources = {"events": rd.read_parquet(f"{sf}/events.parquet")}
         return REGISTRY.select({"MetadataEnrich"}).run(sources)["enriched_signups"]
 
+    def derived_publish(sf: str):
+        from ton_etl_ray.pipelines import flagship_watch_derived
+
+        return flagship_watch_derived(sf)
+
     return {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
@@ -65,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB value-hash oracle (rank-1 winner = version 2; every
         # 10th doc row tombstoned) ---
         "cdc_replay": lambda sf: flagship(sf).select_columns(["doc_id", "n_tok", "source"]),
+        # continuous derive-and-publish: micro-batch watcher epochs each
+        # commit the UpdateFeed side table under the flush-before-commit
+        # barrier; the union of committed epochs must equal the one-shot
+        # SQL derivation over the same deterministic change log
+        "derived_publish": derived_publish,
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
@@ -102,7 +112,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall<1 → rows-only
-        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.5),
+        # df_cap=256 is the production stop-phrase guard; max df at the
+        # oracle scales is single-digit, so the exact-recall contract (and
+        # the DuckDB oracle) is unaffected. df_cap=None stays reachable for
+        # the strict exactness variant.
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, threshold=0.5, df_cap=256),
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "dedup_groups": dedup.dedup_groups,
         "dedup_filter_corpus": dedup.dedup_filter_corpus,
@@ -139,6 +154,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type,
                    '{"u": "SIGNUP"}' AS enrichment, true AS fetch_ok
             FROM events WHERE event_type = 'signup'
+        """,
+        "derived_publish": """
+            WITH d AS (
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did
+                FROM documents
+            ), v AS (SELECT 1 AS v UNION ALL SELECT 2 AS v)
+            SELECT did AS doc_id,
+                   CAST(8 + CAST(concat('0x', substr(md5(did || ':' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % 56
+                        AS INT) AS n_tok
+            FROM d CROSS JOIN v
         """,
         "cdc_replay": """
             WITH d AS (

@@ -94,3 +94,64 @@ def test_no_driver_corpus_broadcast_in_verify():
     src2 = inspect.getsource(ann.lsh_embedding_pairs) + inspect.getsource(ann._verify_cosine_pairs)
     assert "to_pandas" not in src2
     assert "pq.read_table" not in src2
+
+
+def test_mass_duplication_bounded_candidates(tmp_path):
+    """VERDICT r2 #1: a corpus with 10^4 copies of one doc must complete
+    with BOUNDED candidate rows (star edges, O(n) per hot bucket), and
+    grouping must still collapse the copies into one component."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops import dedup
+
+    n_dup = 10_000
+    texts = (["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * n_dup
+             + ["one entirely different document about graph label propagation",
+                "another unrelated text mentioning arrow record batches"])
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["web"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    res = dedup.minhash_lsh_pairs(str(d), threshold=0.9, hot_bucket_cap=64)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if isinstance(df, pa.Table):
+        df = df.to_pandas()
+    # star edges: n-1 verified pairs (all jaccard 1.0), not n(n-1)/2≈5e7
+    assert len(df) == n_dup - 1
+    assert set(df["id_a"]) == {0} and set(df["id_b"]) == set(range(1, n_dup))
+    assert (df["jaccard"] == 1.0).all()
+
+    groups = dedup.dedup_groups(str(d), threshold=0.9).to_pandas()
+    g = dict(zip(groups["doc_id"], groups["group_id"]))
+    assert all(g[i] == 0 for i in range(n_dup))          # one component
+    assert g[n_dup] == n_dup and g[n_dup + 1] == n_dup + 1  # singletons
+
+    kept = dedup.dedup_filter_corpus(str(d), threshold=0.9).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, n_dup, n_dup + 1]
+
+
+def test_connected_components_chain_and_forest():
+    """Min-label propagation must traverse multi-hop chains (diameter >
+    1) and keep disjoint components separate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ton_etl_ray.ops.graph import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    edges = pa.table({
+        "id_a": pa.array([1, 2, 3, 4, 10, 11, 10, 20], pa.int64()),
+        "id_b": pa.array([2, 3, 4, 5, 11, 12, 12, 21], pa.int64()),
+    })
+    out = connected_components(rd.from_arrow(edges)).to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -140,11 +140,11 @@ def test_failed_flush_keeps_shards_pending(tmp_path, monkeypatch):
         real_ingest = w.ing.ingest
         calls = {"n": 0}
 
-        def flaky(batch):
+        def flaky(batch, **kw):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected")
-            return real_ingest(batch)
+            return real_ingest(batch, **kw)
 
         monkeypatch.setattr(w.ing, "ingest", flaky)
         w.poll()
@@ -363,3 +363,107 @@ def test_watcher_gc_collects_superseded_epochs(tmp_path):
     lake2 = str(tmp_path / "lake2")
     replay(src, lake2, num_partitions=8, hot_share_threshold=1.0)
     assert _state_map(lake) == _state_map(lake2)
+
+
+def _derive_registry():
+    import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY
+    from ton_etl_ray.registry import REGISTRY
+
+    return REGISTRY.select({"UpdateFeed"})
+
+
+def test_watch_derive_equals_oneshot_registry_run(tmp_path):
+    """N micro-batch epochs' committed side outputs must union to exactly
+    the one-shot REGISTRY.run over the same shards (continuous
+    derive-and-publish, S3's full form), and every committed epoch must
+    have emitted one metrics gauge row."""
+    import json
+
+    import ray.data as rd
+
+    from ton_etl_ray.cdc.streaming import derived_table
+    from ton_etl_ray.pipelines import docs_to_change_log
+
+    src = str(tmp_path / "chg")
+    files = docs_to_change_log("/root/testdata/sf0.001", src, num_shards=6)
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, stable_polls=0,
+                         derive=_derive_registry(), time_fn=clock)
+    try:
+        for f in files:
+            shutil.copy(f, watch)
+            w.step()
+            clock.t += 1.0
+        w.poll()
+        while w.pending:
+            w.flush()
+        n_epochs = len(w.epochs)
+        assert n_epochs >= 3
+        # V8: one gauge row per committed epoch, in memory AND durable
+        assert [m["epoch"] for m in w.metrics] == [e["epoch"] for e in w.epochs]
+        assert all(m["events_routed"] > 0 and m["events_per_sec"] > 0
+                   and "window_events_per_sec" in m and "watermark_lsn" in m
+                   for m in w.metrics)
+        with open(os.path.join(lake, "metrics.jsonl")) as f:
+            assert len(f.readlines()) == n_epochs
+    finally:
+        w.close()
+
+    got = derived_table(lake, "updated_docs").to_pandas()
+    oneshot = _derive_registry().run(
+        {"changes": rd.read_parquet(files)}
+    )["updated_docs"].to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "n_tok"]].to_numpy()))
+    assert key(got) == key(oneshot)
+
+
+def test_failed_derive_keeps_epoch_uncommitted(tmp_path):
+    """A crash inside the derive step must leave NO committed trace —
+    neither lake state nor derived side outputs (the flush-before-commit
+    barrier covers side tables too); the retry then publishes both."""
+    import pytest
+
+    from ton_etl_ray.cdc import sink as S
+    from ton_etl_ray.cdc.streaming import derived_table
+    from ton_etl_ray.pipelines import docs_to_change_log
+
+    src = str(tmp_path / "chg")
+    files = docs_to_change_log("/root/testdata/sf0.001", src, num_shards=2)
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    for f in files:
+        shutil.copy(f, watch)
+    lake = str(tmp_path / "lake")
+    w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                         max_batch_shards=2, stable_polls=0,
+                         derive=_derive_registry(), time_fn=FakeClock())
+    try:
+        real = w._derive_outputs
+        calls = {"n": 0}
+
+        def flaky(files_, epoch):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                real(files_, epoch)          # partial side-output files land…
+                raise RuntimeError("injected mid-derive")
+            return real(files_, epoch)
+
+        w._derive_outputs = flaky
+        w.poll()
+        with pytest.raises(RuntimeError):
+            w.flush()
+        assert S.latest_epoch(lake) is None          # nothing committed
+        with pytest.raises(FileNotFoundError):
+            derived_table(lake, "updated_docs")      # staged files invisible
+        assert len(w.pending) == 2 and not w.metrics
+        res = w.flush()                              # retry re-derives
+        assert res is not None and res["epoch"] == 0
+        assert derived_table(lake, "updated_docs").count() > 0
+        assert [m["epoch"] for m in w.metrics] == [0]
+    finally:
+        w.close()

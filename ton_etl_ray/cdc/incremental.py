@@ -135,8 +135,17 @@ class IncrementalIngestor:
             for p in parts:
                 self.owner[p] = a
 
-    def ingest(self, changes: str | list[str]) -> dict:
-        """Apply one micro-batch (a set of change shards) as a new epoch."""
+    def ingest(self, changes: str | list[str], *, derive=None) -> dict:
+        """Apply one micro-batch (a set of change shards) as a new epoch.
+
+        ``derive``, if given, is ``fn(files, epoch) -> dict[str, str]``:
+        it runs INSIDE the epoch lock, after the appliers sealed and
+        BEFORE the commit publishes (the flush-before-commit barrier of
+        the reference's streaming exporter, datalake/streaming.py:99-121
+        and :170-177 — flush all writers, THEN commit offsets). Whatever
+        side-output tables it writes are recorded in the epoch commit
+        under ``derived``; a crash before publish leaves them
+        uncommitted, and the retry re-derives over the same shard set."""
         files = sorted(glob.glob(os.path.join(changes, "*.parquet"))) if isinstance(changes, str) else list(changes)
         prev = sink.latest_epoch(self.lake_dir)
         epoch = 0 if prev is None else prev + 1
@@ -146,7 +155,7 @@ class IncrementalIngestor:
         lock = sink.acquire_epoch_lock(self.lake_dir, epoch)
         try:
             sink.clear_staging(self.lake_dir, epoch)
-            return self._ingest_locked(files, prev, epoch, staging)
+            return self._ingest_locked(files, prev, epoch, staging, derive)
         except BaseException:
             # the epoch never committed, but rows may sit in actor buffers
             # and seal() may have mutated resident state — discard BOTH so
@@ -160,7 +169,8 @@ class IncrementalIngestor:
         finally:
             sink.release_epoch_lock(lock)
 
-    def _ingest_locked(self, files: list[str], prev: int | None, epoch: int, staging: str) -> dict:
+    def _ingest_locked(self, files: list[str], prev: int | None, epoch: int,
+                       staging: str, derive=None) -> dict:
         schemas = [pq.read_schema(f) for f in files]
         if prev is not None:
             prev_schema = sink.lake_schema(self.lake_dir, prev)
@@ -207,12 +217,18 @@ class IncrementalIngestor:
             rows_total += partitions[str(p)]["rows"]
             max_lsn = max(max_lsn, partitions[str(p)]["max_lsn"])
 
+        # side-output derivation runs BEFORE publish (seal-then-publish):
+        # derived files exist on disk but are invisible to readers until
+        # the commit lands with their paths
+        derived = derive(files, epoch) if derive is not None else {}
+
         state_schema = pa.schema([f for f in unified if f.name not in ("op", "ts_ms")])
         sink.publish_epoch(
             self.lake_dir, epoch, partitions,
             {"num_partitions": self.P, "num_salts": 0, "hot_keys": [],
              "inputs": [os.path.basename(f) for f in files],
-             "rows_total": rows_total, "max_lsn": max_lsn},
+             "rows_total": rows_total, "max_lsn": max_lsn,
+             **({"derived": derived} if derived else {})},
             state_schema,
         )
         return {"epoch": epoch, "rows_total": rows_total, "routed": int(total_routed),

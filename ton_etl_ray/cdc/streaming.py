@@ -79,6 +79,9 @@ class DirectoryWatcher:
         gc_every: int | None = None,
         gc_keep_epochs: int = 4,
         stable_polls: int = 1,
+        derive=None,
+        derive_source: str = "changes",
+        metrics_window_sec: float = 60.0,
         time_fn: Callable[[], float] = time.monotonic,
     ):
         self.watch_dir = watch_dir
@@ -106,6 +109,20 @@ class DirectoryWatcher:
         # producer to rename-into-place atomically.
         self.stable = stable_polls
         self._seen: dict[str, tuple[int, int, int]] = {}
+        # continuous derive-and-publish (S3's full form): a
+        # TransformRegistry whose ``derive_source``-keyed transforms run
+        # over every micro-batch INSIDE the seal-then-publish barrier —
+        # side-output tables land under lake/derived/<table>/epoch-N and
+        # become visible only when the epoch commit records them
+        # (reference datalake/streaming.py:65-191, barrier :99-121)
+        self.derive = derive
+        self.derive_source = derive_source
+        # rolling-window gauges (K7/A5 continuous form, the reference's
+        # prometheus performance gauges with window cleanup,
+        # prometheus_exporter gauges/performance/performance.py:64-125)
+        self.metrics_window = metrics_window_sec
+        self.metrics: list[dict] = []
+        self._window: list[tuple[float, int]] = []
         self.now = time_fn
         self.ing = IncrementalIngestor(
             lake_dir, num_partitions=num_partitions, num_actors=num_actors
@@ -168,9 +185,57 @@ class DirectoryWatcher:
             return True          # size trigger
         return self.now() - self.first_pending_at >= self.idle_flush  # idle drain
 
+    def _derive_outputs(self, files: list[str], epoch: int) -> dict[str, str]:
+        """Run the derive registry over the micro-batch and stage the
+        side-output tables for this epoch. Called by ingest() inside the
+        epoch lock, BEFORE publish — a crashed attempt's partial files
+        are wiped and re-derived on retry (deterministic paths)."""
+        import shutil
+
+        import ray.data as rd
+
+        rel: dict[str, str] = {}
+        ds = rd.read_parquet(files)
+        for table, out in self.derive.run({self.derive_source: ds}).items():
+            out_dir = os.path.join(self.lake_dir, "derived", table, f"epoch-{epoch:06d}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            out.write_parquet(out_dir)
+            rel[table] = os.path.relpath(out_dir, self.lake_dir)
+        return rel
+
+    def _emit_metrics(self, res: dict, wall_sec: float) -> dict:
+        """One gauge row per committed epoch + a rolling-window rate with
+        window cleanup. Appended to ``metrics.jsonl`` AFTER the commit
+        (observability, not state: a crash between commit and append
+        loses at most one row, never corrupts the lake)."""
+        import json
+
+        now = self.now()
+        self._window.append((now, res["routed"]))
+        cutoff = now - self.metrics_window
+        self._window = [(t, n) for t, n in self._window if t >= cutoff]
+        span = max(now - self._window[0][0], wall_sec, 1e-9)
+        row = {
+            "epoch": res["epoch"],
+            "events_routed": res["routed"],
+            "rows_total": res["rows_total"],
+            "flush_sec": round(wall_sec, 6),
+            "events_per_sec": round(res["routed"] / max(wall_sec, 1e-9), 3),
+            "window_events_per_sec": round(sum(n for _, n in self._window) / span, 3),
+            "watermark_lsn": sink.read_commit(self.lake_dir, res["epoch"])["max_lsn"],
+            "pending_shards": len(self.pending),
+        }
+        self.metrics.append(row)
+        with open(os.path.join(self.lake_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+        return row
+
     def flush(self) -> dict | None:
         """Ingest the pending micro-batch as one committed epoch
-        (seal-then-publish = the flush-before-commit barrier)."""
+        (seal-then-publish = the flush-before-commit barrier); derive
+        registry side outputs inside the same barrier; emit one metrics
+        gauge row per committed epoch."""
         if not self.pending:
             return None
         batch, rest = self.pending[: self.max_batch], self.pending[self.max_batch:]
@@ -178,12 +243,17 @@ class DirectoryWatcher:
         # self.pending is NOT mutated until ingest commits: if it raises,
         # the epoch never published (ingest resets actor state) and the
         # batch stays pending, so the caller's next flush retries it
-        res = self.ing.ingest(ingest_paths)
+        t0 = self.now()
+        res = self.ing.ingest(
+            ingest_paths,
+            derive=self._derive_outputs if self.derive is not None else None,
+        )
         # mark done only AFTER the commit published
         self.pending = rest
         self.done.update(os.path.basename(f) for f in batch)
         self.first_pending_at = self.now() if self.pending else None
         self.epochs.append(res)
+        self._emit_metrics(res, self.now() - t0)
         if self.gc_every and len(self.epochs) % self.gc_every == 0:
             sink.gc_epochs(self.lake_dir, keep_epochs=self.gc_keep)
         return res
@@ -224,6 +294,30 @@ class DirectoryWatcher:
 
     def close(self) -> None:
         self.ing.close()
+
+
+def derived_table(lake_dir: str, table: str):
+    """Read a continuously-derived side-output table: the union of every
+    COMMITTED epoch's staged directory for ``table``. Uncommitted
+    leftovers from a crashed flush are invisible (their epoch commit
+    never recorded them) — the read side of the derive barrier."""
+    import ray.data as rd
+
+    latest = sink.latest_epoch(lake_dir)
+    dirs = []
+    if latest is not None:
+        for name in sorted(os.listdir(lake_dir)):
+            if not name.startswith("epoch-"):
+                continue
+            e = int(name.split("-")[1])
+            if e <= latest and sink.is_committed(lake_dir, e):
+                rel = sink.read_commit(lake_dir, e).get("derived", {}).get(table)
+                if rel:
+                    dirs.append(os.path.join(lake_dir, rel))
+    if not dirs:
+        raise FileNotFoundError(f"no committed epochs derived table {table!r} under {lake_dir}")
+    files = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    return rd.read_parquet(files)
 
 
 def debezium_preprocessor(

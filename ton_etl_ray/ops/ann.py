@@ -195,7 +195,8 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
     )
 
 
-def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 12, bands: int = 3):
+def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 12, bands: int = 3,
+                        hot_bucket_cap: int | None = 1024):
     """Scale-path embedding near-dup: random-hyperplane LSH bucketing.
 
     No broadcast of the full matrix: sign-hash each vector against
@@ -252,13 +253,21 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
     import pandas as pd
 
     def pairs(g: pd.DataFrame) -> pa.Table:
+        from .dedup import _LOG, _bucket_edges
+
         out_a, out_b = [], []
+        dropped = 0
         for _, grp in g.groupby(["band", "bucket"]):
             ids = np.unique(grp["vec_id"].to_numpy())
-            if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
+            # hot-bucket cap: identical embeddings share every plane sign
+            # → one bucket per band; star edges bound the emission to O(n)
+            dropped += _bucket_edges(ids, hot_bucket_cap, out_a, out_b)
+        if dropped:
+            _LOG.warning(
+                "lsh_embedding_pairs: %d over-cap bucket pair(s) dropped "
+                "(hot_bucket_cap=%s, star edges emitted instead)",
+                dropped, hot_bucket_cap,
+            )
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
@@ -282,47 +291,101 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
     return _verify_cosine_pairs(sf_dir, cand, threshold=threshold)
 
 
+_COSINE_OUT = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
+)
+
+
 def _verify_cosine_pairs(sf_dir: str, cand: "rd.Dataset", *, threshold: float):
-    """Exact cosine over candidate (id_a, id_b) pairs via partitioned
-    joins against the embeddings table (the verify half of every
-    embedding near-dup path)."""
+    """Exact cosine over candidate (id_a, id_b) pairs: ONE partitioned
+    join against the embeddings table (each pair exploded into two
+    tagged sides), then a pair-bucket regroup and a vectorized einsum —
+    the single-feature-pass shape shared with dedup._verify_pairs."""
     from .relational import _portable_shuffle_join
 
     emb_t = pa.list_(pa.float32())
-    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    ea_schema = pa.schema([("id_a", pa.int64()), ("emb_a", emb_t)])
-    eb_schema = pa.schema([("id_b", pa.int64()), ("emb_b", emb_t)])
-    j1_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("emb_a", emb_t)])
-
     emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ea = emb.map_batches(lambda t: t.rename_columns(["id_a", "emb_a"]).replace_schema_metadata(None),
-                         batch_format="pyarrow")
-    eb = emb.map_batches(lambda t: t.rename_columns(["id_b", "emb_b"]).replace_schema_metadata(None),
-                         batch_format="pyarrow")
-    j1 = _portable_shuffle_join(cand, ea, "id_a", num_partitions=16,
-                                left_schema=cand_schema, right_schema=ea_schema)
-    j2 = _portable_shuffle_join(j1, eb, "id_b", num_partitions=16,
-                                left_schema=j1_schema, right_schema=eb_schema)
+    emb = emb.map_batches(
+        lambda t: t.rename_columns(["node", "emb"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
 
-    def verify(t: pa.Table) -> pa.Table:
-        if "emb_a" not in t.column_names or "emb_b" not in t.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        a = _list_matrix(t["emb_a"])
-        b = _list_matrix(t["emb_b"])
-        a = a / np.clip(np.linalg.norm(a, axis=1, keepdims=True), 1e-12, None)
-        b = b / np.clip(np.linalg.norm(b, axis=1, keepdims=True), 1e-12, None)
-        sims = np.einsum("ij,ij->i", a, b)
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    sides_schema = pa.schema(
+        [("node", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8())]
+    )
+    emb_schema = pa.schema([("node", pa.int64()), ("emb", emb_t)])
+    j = _portable_shuffle_join(
+        cand.map_batches(explode_sides, batch_format="pyarrow"),
+        emb, "node", num_partitions=16,
+        left_schema=sides_schema, right_schema=emb_schema,
+    )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if "emb" not in t.column_names:
+            return pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8()),
+                 ("emb", emb_t), ("__pb", pa.int64())]
+            ).empty_table()
+        t = t.select(["id_a", "id_b", "side", "emb"])
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def verify(df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        if "emb" not in df.columns or not len(df):
+            return _COSINE_OUT.empty_table()
+        df = df.sort_values(["id_a", "id_b", "side"], kind="mergesort")
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        s = df["side"].to_numpy()
+        ok = (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (s[:-1] == 0) & (s[1:] == 1)
+        i0 = np.nonzero(ok)[0]
+        if not len(i0):
+            return _COSINE_OUT.empty_table()
+        emb_col = df["emb"].to_numpy()
+        ma = np.stack([np.asarray(e, dtype=np.float64) for e in emb_col[i0]])
+        mb = np.stack([np.asarray(e, dtype=np.float64) for e in emb_col[i0 + 1]])
+        ma = ma / np.clip(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12, None)
+        mb = mb / np.clip(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12, None)
+        sims = np.einsum("ij,ij->i", ma, mb)
         keep = sims >= threshold
         return pa.table(
             {
-                "id_a": t["id_a"].filter(pa.array(keep)),
-                "id_b": t["id_b"].filter(pa.array(keep)),
+                "id_a": pa.array(a[i0][keep], pa.int64()),
+                "id_b": pa.array(b[i0][keep], pa.int64()),
                 "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    return (
+        j.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(verify, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b", "sim"])
+            if "sim" in t.column_names else _COSINE_OUT.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def _list_matrix(col) -> np.ndarray:

@@ -104,3 +104,43 @@ def flagship(sf_dir: str, work_dir: str | None = None, *, num_partitions: int = 
     docs_to_change_log(sf_dir, chg)
     replay(chg, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
     return read_lake(lake)
+
+
+def flagship_watch_derived(sf_dir: str, work_dir: str | None = None, *,
+                           num_partitions: int = 8):
+    """documents → change log → CONTINUOUS micro-batch watcher ingest
+    with derive-and-publish (S3's full form): each flushed epoch also
+    runs the ``UpdateFeed`` registry transform over its micro-batch and
+    commits the ``updated_docs`` side table under the same
+    seal-then-publish barrier. Returns the committed derived table — at
+    every point in time it reflects exactly the committed epochs, the
+    continuous analogue of the reference's streaming exporter
+    (datalake/streaming.py:65-191)."""
+    from . import transforms  # noqa: F401 — populates REGISTRY
+    from .cdc.streaming import DirectoryWatcher, derived_table
+    from .registry import REGISTRY
+
+    if work_dir is None:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        work_dir = f"/tmp/tonray_watchderive_{tag}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    chg = os.path.join(work_dir, "changes")
+    watch = os.path.join(work_dir, "incoming")
+    lake = os.path.join(work_dir, "lake")
+    os.makedirs(watch)
+    shards = docs_to_change_log(sf_dir, chg)
+    w = DirectoryWatcher(
+        watch, lake, num_partitions=num_partitions, num_actors=2,
+        max_batch_shards=2, stable_polls=0,
+        derive=REGISTRY.select({"UpdateFeed"}),
+    )
+    try:
+        for p in shards:  # shards arrive in waves, micro-batched
+            shutil.copy(p, watch)
+            w.step()
+        w.poll()
+        while w.pending:
+            w.flush()
+    finally:
+        w.close()
+    return derived_table(lake, "updated_docs")

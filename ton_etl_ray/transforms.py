@@ -160,3 +160,22 @@ class MetadataEnrich(Transform):
             self.prepare()
         out = self.stage(batch.select(["event_id", "event_type"]))
         return out.select(["event_id", "event_type", "enrichment", "fetch_ok"])
+
+
+@register
+class UpdateFeed(Transform):
+    """Continuous derive-and-publish transform over the CDC change
+    stream itself (S3's full form, reference datalake/streaming.py:65-191
+    — the exporter that converts each consumed change and re-publishes it
+    as a normalized side table): every update event in a micro-batch is
+    emitted to the ``updated_docs`` table, committed under the ingest
+    epoch's seal-then-publish barrier via ``DirectoryWatcher(derive=…)``."""
+
+    source = "changes"
+    emits = "updated_docs"
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        return pc.equal(batch["op"], "u")
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "n_tok": batch["n_tok"]})
