@@ -144,3 +144,44 @@ def test_negative_cache_has_short_ttl():
     clock.t += 25.0                         # past neg TTL → refetch succeeds
     out = st(_batch(["k"]))
     assert out["fetch_ok"].to_pylist() == [True]
+
+
+def test_enrich_routed_fetches_each_key_exactly_once():
+    """enrich_routed: the documented groupby(key) routing — every
+    distinct key is fetched exactly once across the whole run (the
+    unrouted pool bounds it per-actor, not globally), and the output
+    matches the unrouted stage row-for-row."""
+    import ray
+    import ray.data as rd
+
+    from ton_etl_ray.ops.enrich import enrich, enrich_routed
+
+    @ray.remote
+    class FetchLog:
+        def __init__(self):
+            self.counts = {}
+
+        def inc(self, key):
+            self.counts[key] = self.counts.get(key, 0) + 1
+
+        def get(self):
+            return self.counts
+
+    log = FetchLog.remote()
+
+    def factory():
+        def fetch(k):
+            ray.get(log.inc.remote(k))
+            return {"u": k.upper()}
+        return fetch
+
+    keys = [f"k{i % 7}" for i in range(500)]
+    ds = rd.from_arrow(pa.table({"id": list(range(500)), "key": keys}))
+    routed = enrich_routed(ds, factory, key_col="key", num_buckets=4).to_pandas()
+    counts = ray.get(log.get.remote())
+    assert set(counts) == {f"k{i}" for i in range(7)}
+    assert all(c == 1 for c in counts.values())        # once per key GLOBALLY
+
+    plain = enrich(ds, factory, key_col="key").to_pandas()
+    key_of = lambda df: sorted(map(tuple, df[["id", "enrichment", "fetch_ok"]].to_numpy()))
+    assert key_of(routed) == key_of(plain)

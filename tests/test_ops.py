@@ -66,6 +66,25 @@ def test_knn_ivf_recall():
     assert len(exact & approx) >= 5  # probing half the clusters keeps most of top-10
 
 
+def test_knn_ivf_recall_guard_sf001():
+    """Recall@10 vs the exact path at sf0.01 with the DEFAULT parameters
+    the query registry uses — the quality guard for the one approximate
+    path with no oracle (VERDICT r2 #7)."""
+    from ton_etl_ray.ops.ann import knn_cosine, knn_ivf
+
+    sf = "/root/testdata/sf0.01"
+    exact = set(knn_cosine(sf, k=10)["vec_id"].to_pylist())
+    approx = set(knn_ivf(sf, k=10)["vec_id"].to_pylist())
+    # near-uniform synthetic embeddings are IVF's worst case; measured
+    # 0.6 at the default (8 clusters, 3 probes) — guard at 0.5
+    assert len(exact & approx) / 10 >= 0.5
+
+    # cluster count scales down with a tiny corpus instead of training
+    # 8 centroids on 20 vectors (empty clusters would zero the recall)
+    tiny = knn_ivf(sf, k=5, num_clusters=512, probes=2)
+    assert tiny.num_rows == 5
+
+
 def test_minhash_finds_planted_duplicates(tmp_path):
     from ton_etl_ray.ops.dedup import minhash_lsh_pairs
 

@@ -321,7 +321,8 @@ def derived_table(lake_dir: str, table: str):
 
 
 def debezium_preprocessor(
-    staging_dir: str, *, numeric_fields: tuple[str, ...] = ()
+    staging_dir: str, *, numeric_fields: tuple[str, ...] = (),
+    infer_stable_schema: bool = False,
 ) -> Callable[[str], str]:
     """Per-shard converter for watching a directory of Debezium JSONL
     dumps (the reference's Kafka wire format, README.md:65-69): each
@@ -329,19 +330,45 @@ def debezium_preprocessor(
     'r' folded to 'c', numeric structs decoded) and staged as a parquet
     shard named ``<original>.parquet`` — deterministic, so re-running
     the converter is idempotent and a restarted watcher can match the
-    committed input names back to their JSONL sources."""
+    committed input names back to their JSONL sources.
+
+    ``infer_stable_schema=True`` samples the FIRST shard through
+    ``schema_infer.infer_schema`` (the generate_schema.py analogue) and
+    parses every subsequent shard against that pinned scalar schema:
+    an all-null column in a later shard keeps its discovered type
+    instead of degrading to null, and numeric-looking strings can't
+    flip types mid-stream. New columns still flow (parsed loosely, then
+    unified by the engine's schema evolution); nested columns (decimal
+    structs) are left to the parser so ``numeric_fields`` decoding
+    keeps working. A RESTARTED watcher re-samples from the first shard
+    it converts — committed shards are matched by name before
+    conversion, and the lake unifies schemas across epochs either way."""
     import pyarrow.json as pj
-    import pyarrow.parquet as pq
+    import pyarrow.parquet as pq  # noqa: F401
 
     from .debezium import normalize_debezium_batch
+    from .schema_infer import infer_schema_jsonl
 
     os.makedirs(staging_dir, exist_ok=True)
+    state = {"schema": None}
 
     def convert(path: str) -> str:
         out = os.path.join(staging_dir, os.path.basename(path) + ".parquet")
         if os.path.exists(out):
             return out  # idempotent retry
-        t = normalize_debezium_batch(pj.read_json(path), numeric_fields=numeric_fields)
+        if infer_stable_schema:
+            if state["schema"] is None:
+                state["schema"] = infer_schema_jsonl(path, json_as_string=False)
+            raw = pj.read_json(
+                path,
+                parse_options=pj.ParseOptions(
+                    explicit_schema=state["schema"],
+                    unexpected_field_behavior="infer",
+                ),
+            )
+        else:
+            raw = pj.read_json(path)
+        t = normalize_debezium_batch(raw, numeric_fields=numeric_fields)
         sink.atomic_write_table(out, t)
         return out
 

@@ -142,7 +142,7 @@ def knn_cosine(sf_dir: str, k: int = 10):
     )
 
 
-def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
+def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 3):
     """IVF-bucketed approximate top-k: assign every vector to its nearest
     deterministic centroid, search only the ``probes`` closest clusters.
     Approximate → rows-only driver check (no oracle SQL)."""
@@ -157,6 +157,11 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 2):
     sample = _bounded_sample(sf_dir, max_rows=65536)
     m = _emb_matrix(sample)
     m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    # scale the cluster count with the observed sample: fewer than ~32
+    # vectors per centroid gives noisy Lloyd means and empty clusters
+    # (probing then prunes real neighbors), so a small corpus caps the
+    # requested num_clusters down
+    num_clusters = min(num_clusters, max(1, len(m) // 32))
     rng = np.random.default_rng(1234)
     cent = m[rng.choice(len(m), size=min(num_clusters, len(m)), replace=False)]
     assign = np.argmax(m @ cent.T, axis=1)

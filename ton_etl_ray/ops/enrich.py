@@ -14,10 +14,11 @@ inject a real client at the call site; tests drive the full cache/TTL/
 retry surface with mock fetchers (tests/test_enrich.py).
 
 Scale notes: the cache is per-actor (keys are NOT routed, so the worst
-case is one fetch per key per actor — route with a prior
-``groupby(key)`` if the fetch is expensive enough to matter); the stage
-is an ``ActorPoolMapOperator``, so total pressure on the external
-service is bounded by the actor count × one in-flight batch each.
+case is one fetch per key per actor); ``enrich_routed`` below is the
+``groupby(key)``-routed variant that guarantees one fetch per key per
+RUN when the fetch is expensive enough to justify the shuffle. Either
+way the stage is an ``ActorPoolMapOperator``, so total pressure on the
+external service is bounded by the actor count × one in-flight batch.
 """
 
 from __future__ import annotations
@@ -182,4 +183,43 @@ def enrich(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def enrich_routed(
+    ds: "rd.Dataset",
+    fetcher_factory: Callable[[], Callable[[str], dict]],
+    *,
+    key_col: str,
+    num_buckets: int = 16,
+    **stage_kwargs,
+) -> "rd.Dataset":
+    """Key-ROUTED enrichment: the ``groupby(key)`` option from the scale
+    notes, made concrete. Rows are shuffled by a hash bucket of the key
+    before the fetch stage, so every distinct key is resolved by exactly
+    ONE group — one fetch per key per run, however many actors execute —
+    where the unrouted ``enrich`` bounds it at one fetch per key per
+    ACTOR. Use when the fetch is expensive enough that the extra shuffle
+    is cheaper than (actor_count - 1) redundant fetches per key; the
+    per-actor TTL cache matters less here because the bucket assignment
+    is sticky across runs (same hash)."""
+    ensure_portable()
+    from ..core.partition import hash64
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__kb", pa.array(b, pa.int64()))
+
+    def run_group(g: pa.Table) -> pa.Table:
+        if "__kb" in g.column_names:
+            g = g.drop_columns(["__kb"])
+        stage = FetchEnrichStage(fetcher_factory, key_col=key_col, **stage_kwargs)
+        return stage(g)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(run_group, batch_format="pyarrow")
     )
