@@ -309,7 +309,7 @@ def _verify_cosine_pairs(sf_dir: str, cand: "rd.Dataset", *, threshold: float):
     from .relational import _portable_shuffle_join
 
     emb_t = pa.list_(pa.float32())
-    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = emb.map_batches(
         lambda t: t.rename_columns(["node", "emb"]).replace_schema_metadata(None),
         batch_format="pyarrow",

@@ -629,7 +629,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
                          "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
     cand = (
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        # no batch_size: one task per input block — a row-count batch
+        # bound makes Ray bundle the small doc blocks into 2 fat tasks,
+        # serializing the posting-list explosion AND leaving the sort
+        # with 2 partitions
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(pairs, batch_format="pandas")
     )
