@@ -36,11 +36,17 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = "/tmp/tonray_training_corpus"
 shutil.rmtree(OUT, ignore_errors=True)
 
-# --- 1. near-dup keep-set (distributed LSH edges + union-find) --------
-groups = dedup.dedup_groups(SF, threshold=0.95)
-keep_ids = groups.filter(pc.equal(groups["doc_id"], groups["group_id"]))["doc_id"]
+# --- 1. near-dup keep-set (distributed LSH edges + label propagation) -
+# dedup_groups is a Ray Dataset now; the keep-set here is the example's
+# broadcast gate (bounded at this scale — the fully-distributed filter
+# is dedup.dedup_filter_corpus's semi-join)
+groups_t = dedup.dedup_groups(SF, threshold=0.95).to_pandas()
+keep_ids = pa.array(
+    groups_t.loc[groups_t["doc_id"] == groups_t["group_id"], "doc_id"].to_numpy(),
+    pa.int64(),
+)
 kref = ray.put(keep_ids)
-n_docs = groups.num_rows
+n_docs = len(groups_t)
 print(f"near-dup components: keeping {len(keep_ids)} of {n_docs} docs")
 
 # --- 2. stream the corpus through quality + dedup gates ---------------

@@ -104,3 +104,49 @@ def test_watch_drifting_jsonl_stream(tmp_path):
     rows = {r["doc_id"]: r for r in state.to_pylist()}
     assert rows["a"]["n_tok"] is None and rows["a"]["lang"] == "en"
     assert rows["b"]["n_tok"] == 5 and rows["b"]["lang"] is None
+
+
+def test_drift_contradicting_pin_does_not_wedge(tmp_path):
+    """A column that samples all-null (omitted from the pin) or pins as
+    string but later carries numbers must not wedge the watcher: the
+    contradicting shard degrades to per-shard inference and the stream
+    advances (code-review r3 finding)."""
+    from ton_etl_ray.cdc.replay import final_state_table
+    from ton_etl_ray.cdc.streaming import DirectoryWatcher, debezium_preprocessor
+
+    def shard(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    # shard 1: "score" is all-null (no observable type), "weight" samples
+    # as int → pinned int64
+    shard(os.path.join(watch, "s1.jsonl"), [
+        {"__lsn": 1, "__op": "c", "__table": "d", "__source_ts_ms": 1,
+         "doc_id": "a", "n_tok": 2, "source": "web", "score": None, "weight": 2},
+    ])
+    lake = str(tmp_path / "lake")
+    pre = debezium_preprocessor(str(tmp_path / "stage"), infer_stable_schema=True)
+    w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                         max_batch_shards=1, pattern="*.jsonl",
+                         preprocess=pre, stable_polls=0)
+    try:
+        w.step()
+        # shard 2: score turns out NUMERIC (was unsampleable → must have
+        # been omitted from the pin, not pinned string), and weight —
+        # pinned int64 — now carries a float: the explicit-schema parse
+        # fails, the shard degrades to per-shard inference, and the
+        # engine's widening evolution (int64 → float64) finishes the job
+        shard(os.path.join(watch, "s2.jsonl"), [
+            {"__lsn": 2, "__op": "u", "__table": "d", "__source_ts_ms": 2,
+             "doc_id": "a", "n_tok": 3, "source": "web", "score": 0.5, "weight": 3.7},
+        ])
+        w.step()
+        assert len(w.epochs) == 2        # stream advanced, no wedge
+    finally:
+        w.close()
+    rows = {r["doc_id"]: r for r in final_state_table(lake).to_pylist()}
+    assert rows["a"]["n_tok"] == 3 and rows["a"]["score"] == 0.5
+    assert rows["a"]["weight"] == 3.7

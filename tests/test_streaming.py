@@ -467,3 +467,55 @@ def test_failed_derive_keeps_epoch_uncommitted(tmp_path):
         assert [m["epoch"] for m in w.metrics] == [0]
     finally:
         w.close()
+
+
+def test_derive_with_zero_matching_rows(tmp_path):
+    """A micro-batch where the derive transform matches NOTHING must not
+    poison the derived table: the commit records no file-less path, the
+    reader raises FileNotFoundError until real rows land, then returns
+    exactly the later epochs' rows (code-review r3 finding)."""
+    import pytest
+
+    from ton_etl_ray.cdc.streaming import derived_table
+    from ton_etl_ray.gen import write_change_log
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=3000, num_keys=2500, seed=58,
+                     num_shards=3, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    # force the log head to be insert-only: UpdateFeed (op=='u') matches
+    # nothing in epoch 0
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    t0 = _pq.read_table(files[0])
+    _pq.write_table(t0.filter(_pc.equal(t0["op"], "c")), files[0])
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                         max_batch_shards=1, stable_polls=0,
+                         derive=_derive_registry(), time_fn=FakeClock())
+    try:
+        import pyarrow.parquet as pq
+
+        from ton_etl_ray.cdc import sink as S
+
+        n_updates = []
+        for f in files:
+            ops = pq.read_table(f, columns=["op"])["op"].to_pylist()
+            n_updates.append(sum(1 for o in ops if o == "u"))
+            shutil.copy(f, watch)
+            w.step()
+        assert len(w.epochs) == 3
+        if n_updates[0] == 0:
+            c0 = S.read_commit(lake, 0)
+            assert "updated_docs" not in c0.get("derived", {})
+        total = sum(n_updates)
+        if total == 0:
+            with pytest.raises(FileNotFoundError):
+                derived_table(lake, "updated_docs")
+        else:
+            assert derived_table(lake, "updated_docs").count() == total
+    finally:
+        w.close()

@@ -51,13 +51,19 @@ def infer_schema(
     max_records: int = 1000,
     inject_cdc: bool = True,
     json_as_string: bool = True,
+    omit_unknown: bool = False,
 ) -> pa.Schema:
     """Sample up to ``max_records`` dict records → ``pa.Schema``.
 
     ``json_as_string=False`` omits dict/list-valued columns from the
     schema instead of stringifying them — for callers that hand the
     schema to a parser which must keep nested values structured (e.g.
-    Debezium decimal structs decoded downstream)."""
+    Debezium decimal structs decoded downstream).
+
+    ``omit_unknown=True`` omits all-null columns instead of the string
+    fallback — for callers that PIN the result as a parser schema: a
+    column with no observed type pinned to string would reject the
+    first shard that reveals it to be numeric."""
     seen: dict[str, set] = {}
     order: list[str] = []
     for rec in islice(iter(records), max_records):
@@ -71,6 +77,11 @@ def infer_schema(
     for name in order:
         t = seen[name]
         if not t:
+            if omit_unknown:
+                _LOG.warning(
+                    "infer_schema: column %r has no non-null sample — omitted", name
+                )
+                continue
             _LOG.warning(
                 "infer_schema: column %r has no non-null sample — using string", name
             )

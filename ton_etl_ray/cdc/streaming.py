@@ -200,7 +200,11 @@ class DirectoryWatcher:
             out_dir = os.path.join(self.lake_dir, "derived", table, f"epoch-{epoch:06d}")
             shutil.rmtree(out_dir, ignore_errors=True)
             out.write_parquet(out_dir)
-            rel[table] = os.path.relpath(out_dir, self.lake_dir)
+            # a micro-batch where the transform matched ZERO rows writes
+            # no part files (write_parquet skips empty datasets) — record
+            # nothing so readers never chase a file-less path
+            if glob.glob(os.path.join(out_dir, "*.parquet")):
+                rel[table] = os.path.relpath(out_dir, self.lake_dir)
         return rel
 
     def _emit_metrics(self, res: dict, wall_sec: float) -> dict:
@@ -314,9 +318,9 @@ def derived_table(lake_dir: str, table: str):
                 rel = sink.read_commit(lake_dir, e).get("derived", {}).get(table)
                 if rel:
                     dirs.append(os.path.join(lake_dir, rel))
-    if not dirs:
-        raise FileNotFoundError(f"no committed epochs derived table {table!r} under {lake_dir}")
     files = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
+        raise FileNotFoundError(f"no committed epochs derived table {table!r} under {lake_dir}")
     return rd.read_parquet(files)
 
 
@@ -343,8 +347,8 @@ def debezium_preprocessor(
     keeps working. A RESTARTED watcher re-samples from the first shard
     it converts — committed shards are matched by name before
     conversion, and the lake unifies schemas across epochs either way."""
+    import pyarrow as pa
     import pyarrow.json as pj
-    import pyarrow.parquet as pq  # noqa: F401
 
     from .debezium import normalize_debezium_batch
     from .schema_infer import infer_schema_jsonl
@@ -358,14 +362,34 @@ def debezium_preprocessor(
             return out  # idempotent retry
         if infer_stable_schema:
             if state["schema"] is None:
-                state["schema"] = infer_schema_jsonl(path, json_as_string=False)
-            raw = pj.read_json(
-                path,
-                parse_options=pj.ParseOptions(
-                    explicit_schema=state["schema"],
-                    unexpected_field_behavior="infer",
-                ),
-            )
+                # omit_unknown: a column with no non-null sample must NOT
+                # be pinned to string — the first shard revealing it as
+                # numeric would then be unparseable forever (the convert
+                # is deterministic, so the watcher would wedge)
+                state["schema"] = infer_schema_jsonl(
+                    path, json_as_string=False, omit_unknown=True
+                )
+            try:
+                raw = pj.read_json(
+                    path,
+                    parse_options=pj.ParseOptions(
+                        explicit_schema=state["schema"],
+                        unexpected_field_behavior="infer",
+                    ),
+                )
+            except pa.ArrowInvalid as ex:
+                # a shard that genuinely contradicts the pinned schema
+                # (e.g. a sampled-as-string column now carrying numbers)
+                # degrades to free inference for THIS shard rather than
+                # wedging the stream; the engine's schema evolution
+                # unifies the divergence downstream
+                import logging
+
+                logging.getLogger("ton_etl_ray.cdc.streaming").warning(
+                    "stable-schema parse of %s failed (%s); falling back "
+                    "to per-shard inference", os.path.basename(path), ex,
+                )
+                raw = pj.read_json(path)
         else:
             raw = pj.read_json(path)
         t = normalize_debezium_batch(raw, numeric_fields=numeric_fields)

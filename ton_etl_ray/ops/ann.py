@@ -302,71 +302,24 @@ _COSINE_OUT = pa.schema(
 
 
 def _verify_cosine_pairs(sf_dir: str, cand: "rd.Dataset", *, threshold: float):
-    """Exact cosine over candidate (id_a, id_b) pairs: ONE partitioned
-    join against the embeddings table (each pair exploded into two
-    tagged sides), then a pair-bucket regroup and a vectorized einsum —
-    the single-feature-pass shape shared with dedup._verify_pairs."""
-    from .relational import _portable_shuffle_join
+    """Exact cosine over candidate (id_a, id_b) pairs: the shared
+    single-payload-pass scaffolding (``dedup._pair_payload_join``) with
+    a vectorized einsum kernel."""
+    from .dedup import _adjacent_pairs, _pair_payload_join
 
-    emb_t = pa.list_(pa.float32())
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = emb.map_batches(
         lambda t: t.rename_columns(["node", "emb"]).replace_schema_metadata(None),
         batch_format="pyarrow",
     )
-
-    def explode_sides(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
-                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
-                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
-                "side": pa.array(
-                    np.concatenate([np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]),
-                    pa.int8(),
-                ),
-            }
-        )
-
-    sides_schema = pa.schema(
-        [("node", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8())]
-    )
-    emb_schema = pa.schema([("node", pa.int64()), ("emb", emb_t)])
-    j = _portable_shuffle_join(
-        cand.map_batches(explode_sides, batch_format="pyarrow"),
-        emb, "node", num_partitions=16,
-        left_schema=sides_schema, right_schema=emb_schema,
-    )
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        if "emb" not in t.column_names:
-            return pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8()),
-                 ("emb", emb_t), ("__pb", pa.int64())]
-            ).empty_table()
-        t = t.select(["id_a", "id_b", "side", "emb"])
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+    bucketed = _pair_payload_join(cand, emb, pa.field("emb", pa.list_(pa.float32())))
 
     def verify(df: "pd.DataFrame") -> pa.Table:
-        import pandas as pd  # noqa: F401
-
         if "emb" not in df.columns or not len(df):
             return _COSINE_OUT.empty_table()
-        df = df.sort_values(["id_a", "id_b", "side"], kind="mergesort")
-        a = df["id_a"].to_numpy()
-        b = df["id_b"].to_numpy()
-        s = df["side"].to_numpy()
-        ok = (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (s[:-1] == 0) & (s[1:] == 1)
-        i0 = np.nonzero(ok)[0]
+        a, b, i0, emb_col = _adjacent_pairs(df, "emb")
         if not len(i0):
             return _COSINE_OUT.empty_table()
-        emb_col = df["emb"].to_numpy()
         ma = np.stack([np.asarray(e, dtype=np.float64) for e in emb_col[i0]])
         mb = np.stack([np.asarray(e, dtype=np.float64) for e in emb_col[i0 + 1]])
         ma = ma / np.clip(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12, None)
@@ -382,8 +335,7 @@ def _verify_cosine_pairs(sf_dir: str, cand: "rd.Dataset", *, threshold: float):
         )
 
     return (
-        j.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("__pb")
+        bucketed.groupby("__pb")
         .map_groups(verify, batch_format="pandas")
         .map_batches(
             lambda t: t.select(["id_a", "id_b", "sim"])

@@ -203,22 +203,19 @@ def _distinct_pairs(cand: "rd.Dataset", *, num_buckets: int = 64) -> "rd.Dataset
     )
 
 
-def _verify_pairs(
-    sf_dir: str, cand: "rd.Dataset", *, n: int, threshold: float
-):
-    """Distributed exact-Jaccard verification of candidate (id_a, id_b)
-    pairs in a SINGLE feature pass: each pair is exploded into two
-    (doc_id, id_a, id_b, side) rows, ONE hash-partitioned shuffle join
-    brings the per-doc shingle features to each side (features are
-    computed once over the corpus, not once per join side — the r2
-    regression), then the rows regroup by pair and a vectorized polars
-    list-intersection computes Jaccard. No driver materialization, no
-    broadcast of the corpus. Returns (id_a, id_b, jaccard)."""
+def _pair_payload_join(
+    cand: "rd.Dataset", payload_ds: "rd.Dataset", payload: pa.Field,
+    *, num_partitions: int = 16,
+) -> "rd.Dataset":
+    """Shared verify scaffolding (single-payload-pass shape, used by both
+    the Jaccard and the cosine verify): each candidate pair explodes into
+    two (node, id_a, id_b, side) rows, ONE hash-partitioned shuffle join
+    brings the per-node payload (``payload.name`` column of
+    ``payload_ds``, keyed by its ``node`` column) to each side — the
+    payload is computed and shuffled once, not once per join side — and
+    the joined rows regroup under a coarse pair-hash bucket ``__pb``.
+    Consume the groups with ``_adjacent_pairs``."""
     from .relational import _portable_shuffle_join
-
-    feats = _feature_dataset(sf_dir, n).map_batches(
-        lambda t: t.rename_columns(["node", "feats"]), batch_format="pyarrow"
-    )
 
     def explode_sides(t: pa.Table) -> pa.Table:
         t = _conform_pairs(t)
@@ -236,45 +233,70 @@ def _verify_pairs(
             }
         )
 
-    feat_t = pa.list_(pa.int64())
     sides_schema = pa.schema(
         [("node", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8())]
     )
-    feats_schema = pa.schema([("node", pa.int64()), ("feats", feat_t)])
+    join_schema = pa.schema([("node", pa.int64()), payload])
+    empty_bucketed = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8()),
+         payload, ("__pb", pa.int64())]
+    )
     j = _portable_shuffle_join(
         cand.map_batches(explode_sides, batch_format="pyarrow"),
-        feats, "node", num_partitions=16,
-        left_schema=sides_schema, right_schema=feats_schema,
+        payload_ds, "node", num_partitions=num_partitions,
+        left_schema=sides_schema, right_schema=join_schema,
     )
 
-    # regroup by pair: coarse hash bucket over (id_a, id_b), exact pairing
-    # vectorized inside each bucket (pairs are distinct → exactly 2 rows)
     def pair_bucket(t: pa.Table) -> pa.Table:
-        if "feats" not in t.column_names:
-            return _VERIFY_IN_SCHEMA.empty_table()
-        t = t.select(["id_a", "id_b", "side", "feats"])
+        if payload.name not in t.column_names:
+            return empty_bucketed.empty_table()
+        t = t.select(["id_a", "id_b", "side", payload.name])
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
         return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
 
+    return j.map_batches(pair_bucket, batch_format="pyarrow")
+
+
+def _adjacent_pairs(df: pd.DataFrame, payload_col: str):
+    """Pair the two sides of each candidate back up inside one ``__pb``
+    group: sort by (id_a, id_b, side) and mask side-0 rows immediately
+    followed by their side-1 twin. Distinct pairs contribute ≤2 rows; a
+    pair whose side dropped out of the inner payload join (unknown node
+    id) is skipped. Returns (id_a, id_b, i0, payload_values) where rows
+    ``i0`` / ``i0+1`` of ``payload_values`` are the two sides."""
+    df = df.sort_values(["id_a", "id_b", "side"], kind="mergesort")
+    a = df["id_a"].to_numpy()
+    b = df["id_b"].to_numpy()
+    s = df["side"].to_numpy()
+    ok = (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (s[:-1] == 0) & (s[1:] == 1)
+    i0 = np.nonzero(ok)[0]
+    return a, b, i0, df[payload_col].to_numpy()
+
+
+def _verify_pairs(
+    sf_dir: str, cand: "rd.Dataset", *, n: int, threshold: float
+):
+    """Distributed exact-Jaccard verification of candidate (id_a, id_b)
+    pairs in a SINGLE feature pass (``_pair_payload_join``), with a
+    vectorized polars list-intersection kernel — no driver
+    materialization, no broadcast of the corpus, no per-pair Python
+    loop. Returns (id_a, id_b, jaccard)."""
+    feats = _feature_dataset(sf_dir, n).map_batches(
+        lambda t: t.rename_columns(["node", "feats"]), batch_format="pyarrow"
+    )
+    bucketed = _pair_payload_join(cand, feats, pa.field("feats", pa.list_(pa.int64())))
+
     def verify(df: pd.DataFrame) -> pa.Table:
         if "feats" not in df.columns or not len(df):
             return _EMPTY_PAIRS.empty_table()
-        df = df.sort_values(["id_a", "id_b", "side"], kind="mergesort")
-        a = df["id_a"].to_numpy()
-        b = df["id_b"].to_numpy()
-        s = df["side"].to_numpy()
-        # distinct pairs contribute ≤2 rows; a pair whose side dropped out
-        # of the inner feature join (unknown doc id) is skipped
-        ok = (a[:-1] == a[1:]) & (b[:-1] == b[1:]) & (s[:-1] == 0) & (s[1:] == 1)
-        i0 = np.nonzero(ok)[0]
+        a, b, i0, feats_col = _adjacent_pairs(df, "feats")
         if not len(i0):
             return _EMPTY_PAIRS.empty_table()
         import polars as pl
 
-        feats_col = df["feats"].to_numpy()
         # equal-length numpy values make polars infer a FIXED-SIZE Array
         # dtype (which list ops reject) regardless of the dtype hint —
         # cast explicitly to List
@@ -304,8 +326,7 @@ def _verify_pairs(
         )
 
     return (
-        j.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("__pb")
+        bucketed.groupby("__pb")
         .map_groups(verify, batch_format="pandas")
         .map_batches(
             lambda t: t.select(["id_a", "id_b", "jaccard"])
@@ -313,12 +334,6 @@ def _verify_pairs(
             batch_format="pyarrow",
         )
     )
-
-
-_VERIFY_IN_SCHEMA = pa.schema(
-    [("id_a", pa.int64()), ("id_b", pa.int64()), ("side", pa.int8()),
-     ("feats", pa.list_(pa.int64())), ("__pb", pa.int64())]
-)
 
 
 _EMPTY_PAIRS = pa.schema(

@@ -16,9 +16,12 @@ retry surface with mock fetchers (tests/test_enrich.py).
 Scale notes: the cache is per-actor (keys are NOT routed, so the worst
 case is one fetch per key per actor); ``enrich_routed`` below is the
 ``groupby(key)``-routed variant that guarantees one fetch per key per
-RUN when the fetch is expensive enough to justify the shuffle. Either
-way the stage is an ``ActorPoolMapOperator``, so total pressure on the
-external service is bounded by the actor count × one in-flight batch.
+RUN when the fetch is expensive enough to justify the shuffle. The
+concurrent-pressure bound on the external service differs by variant:
+``enrich`` is an ``ActorPoolMapOperator`` (actor count × one in-flight
+batch each), while ``enrich_routed`` runs as ``map_groups`` TASKS — its
+bound is ``num_buckets`` concurrent groups, so size ``num_buckets`` to
+the service's quota.
 """
 
 from __future__ import annotations
@@ -202,8 +205,16 @@ def enrich_routed(
     ACTOR. Use when the fetch is expensive enough that the extra shuffle
     is cheaper than (actor_count - 1) redundant fetches per key; the
     per-actor TTL cache matters less here because the bucket assignment
-    is sticky across runs (same hash)."""
+    is sticky across runs (same hash). Runs as ``map_groups`` tasks, so
+    concurrent external pressure is bounded by ``num_buckets`` (not an
+    actor pool — ``concurrency``/``batch_size`` do not apply here)."""
     ensure_portable()
+    for bad in ("concurrency", "batch_size"):
+        if bad in stage_kwargs:
+            raise TypeError(
+                f"enrich_routed has no {bad!r}: routing runs as map_groups "
+                "tasks; bound concurrency with num_buckets instead"
+            )
     from ..core.partition import hash64
 
     def bucket(t: pa.Table) -> pa.Table:

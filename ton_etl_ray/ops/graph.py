@@ -46,6 +46,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    num_partitions: int = 8,
 ) -> "rd.Dataset":
     """Connected components over an undirected edge Dataset.
 
@@ -77,6 +78,14 @@ def connected_components(
         )
 
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # the loop's cost at SMALL edge counts is pure per-block barrier
+    # overhead (each round = 2 sort-exchanges whose partition count
+    # follows input blocks): coalesce a tiny edge set scattered across
+    # many map-output blocks down to a handful; a genuinely large edge
+    # set keeps its layout (the repartition would be a full shuffle)
+    target = max(4, min(64, edges_sym.count() // 200_000 + 4))
+    if edges_sym.num_blocks() > target:
+        edges_sym = edges_sym.repartition(target).materialize()
 
     # round 0 fused with init: label[v] = min(v, min neighbor)
     def init_labels(t: pa.Table) -> pa.Table:
@@ -107,7 +116,7 @@ def connected_components(
             edges_sym.map_batches(
                 lambda t: t.rename_columns(["node", "dst"]), batch_format="pyarrow"
             ),
-            labels, "node", num_partitions=16,
+            labels, "node", num_partitions=num_partitions,
             left_schema=sym_schema, right_schema=_LABEL_SCHEMA,
         ).map_batches(
             lambda t: pa.table({"node": t["dst"], "label": t["label"]})
@@ -122,6 +131,12 @@ def connected_components(
             .map_batches(_conform_labels, batch_format="pyarrow")
             .materialize()
         )
+        # the union doubles the block count every round (msgs blocks +
+        # label blocks feed the next sort), so iteration wall time grows
+        # geometrically with pure barrier overhead — re-coalesce the
+        # label set to the edge-derived target each round
+        if labels.num_blocks() > target:
+            labels = labels.repartition(target).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             return labels

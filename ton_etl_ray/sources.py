@@ -71,7 +71,10 @@ def write_table(ds: "rd.Dataset", path: str, *, fmt: str = "parquet", **kwargs) 
         # content-hash naming scheme collapses byte-identical blocks
         # into one part file, which is the LAKE's append-dedup contract
         # but surprising for a plain write — default to unique names
-        # here and let lake callers opt into naming="content"
+        # here and let lake callers opt into naming="content". The
+        # trade-off (write_avro_dir docstring): a map task retried
+        # AFTER its write leaves a duplicate part; pass
+        # naming="content" for retry-idempotent appends instead.
         kwargs.setdefault("naming", "unique")
         write_avro_dir(ds, path, **kwargs)
     else:
