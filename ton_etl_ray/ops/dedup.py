@@ -35,22 +35,57 @@ _LOG = logging.getLogger("ton_etl_ray.ops.dedup")
 _MERSENNE = (1 << 61) - 1
 
 
-import hashlib
+_SHINGLE_SEED = 7331
+
+
+def _shingle_table(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc DISTINCT word n-gram shingle hashes (61-bit).
+
+    Returns ``(values, offsets)`` with ``values[offsets[i]:offsets[i+1]]``
+    holding doc i's sorted distinct shingle hashes. The whole batch runs
+    as Rust-vectorized polars kernels (split → explode → windowed concat
+    within each doc → seeded hash → distinct) — the per-doc Python
+    loop with a per-shingle blake2b was the slowest map stage in the
+    near-dup family (VERDICT r2 minor #6). The seeded polars hash is
+    process-stable (LSH buckets must agree across workers; asserted by
+    tests/test_text.py)."""
+    import polars as pl
+
+    if not texts:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    df = pl.DataFrame(
+        {"i": pl.Series(np.arange(len(texts), dtype=np.int64)), "t": texts}
+    )
+    ex = df.with_columns(pl.col("t").str.split(" ").alias("w")).drop("t").explode("w")
+    if n > 1:
+        ex = ex.with_columns(
+            [pl.col("w").shift(-k).over("i").alias(f"_w{k}") for k in range(1, n)]
+        ).drop_nulls()
+        gram = pl.concat_str(
+            [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)], separator="\x1f"
+        )
+    else:
+        gram = pl.col("w")
+    sh = (
+        ex.select(
+            pl.col("i"),
+            (gram.hash(seed=_SHINGLE_SEED) % _MERSENNE).cast(pl.Int64).alias("h"),
+        )
+        .unique(subset=["i", "h"])
+        .sort(["i", "h"])
+    )
+    i_arr = sh["i"].to_numpy()
+    counts = np.bincount(i_arr, minlength=len(texts))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return sh["h"].to_numpy().astype(np.uint64), offsets
 
 
 def _shingles(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingles hashed to 61-bit ints (blake2b, C speed —
-    never Python's randomized hash(): LSH buckets must agree across
-    worker processes)."""
-    words = text.split(" ")
-    return {
-        int.from_bytes(
-            hashlib.blake2b("\x1f".join(words[i : i + n]).encode(), digest_size=8).digest(),
-            "big",
-        )
-        % _MERSENNE
-        for i in range(max(0, len(words) - n + 1))
-    }
+    """Scalar reference form of ``_shingle_table`` (same hash, same
+    distinct semantics) — kept for tests and one-off callers."""
+    vals, _ = _shingle_table([text], n)
+    return set(int(v) for v in vals)
 
 
 class _MinHasher:
@@ -90,15 +125,27 @@ class MinHashStage:
         # quadratic candidate explosion verified down to jaccard 0.0),
         # yet can never reach a nonzero Jaccard — skipping them is
         # semantics-preserving for any threshold > 0
-        shingle_sets = [_shingles(text, self.ngram) for text in batch["text"]]
-        keep = [i for i, s in enumerate(shingle_sets) if s]
+        vals, offs = _shingle_table(list(batch["text"]), self.ngram)
+        lens = np.diff(offs)
+        keep = np.nonzero(lens > 0)[0]
         n = len(keep)
         if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "bkey": pa.array([], pa.int64())})
+        # batch-vectorized signatures: hash every shingle under every
+        # permutation, then a segmented min per doc (np.minimum.reduceat
+        # over the doc offsets — empty docs contribute no values, so the
+        # kept docs' segments stay contiguous). Permutations go in
+        # chunks to bound the (chunk × total_shingles) temporary.
+        starts = offs[keep]
         sigs = np.empty((n, self.h.num_perm), dtype=np.uint64)
-        for row, i in enumerate(keep):
-            sigs[row] = self.h.signature(shingle_sets[i])
+        M = np.uint64(_MERSENNE)
+        for c0 in range(0, self.h.num_perm, 16):
+            a = self.h.a[c0 : c0 + 16]
+            b = self.h.b[c0 : c0 + 16]
+            with np.errstate(over="ignore"):
+                hv = (a[:, None] * vals[None, :] + b[:, None]) % M
+            sigs[:, c0 : c0 + 16] = np.minimum.reduceat(hv, starts, axis=1).T
         # one bucket key per (doc, band): mix the band's signature rows +
         # the band id into a single 63-bit key, vectorized
         mix = np.uint64(0x9E3779B97F4A7C15)
@@ -123,11 +170,12 @@ def _feature_dataset(sf_dir: str, n: int) -> "rd.Dataset":
     side of the distributed verify join."""
 
     def fn(t: pa.Table) -> pa.Table:
-        feats = [
-            sorted(_shingles(tx, n)) for tx in t["text"].to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": t["doc_id"], "feats": pa.array(feats, pa.list_(pa.int64()))}
+        vals, offs = _shingle_table(t["text"].to_pylist(), n)
+        feats = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vals.astype(np.int64), pa.int64())
+        )
+        return pa.table({"doc_id": t["doc_id"], "feats": feats}).cast(
+            pa.schema([("doc_id", pa.int64()), ("feats", pa.list_(pa.int64()))])
         )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -449,27 +497,42 @@ class SimHashStage:
         self.a = np.uint64(rng.integers(1, _MERSENNE))
         self.b = np.uint64(rng.integers(0, _MERSENNE))
 
-    def _word_hashes(self, text: str) -> np.ndarray:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         import polars as pl
 
-        hs = pl.Series(text.split(" ")).hash(seed=4242).to_numpy()
-        with np.errstate(over="ignore"):
-            return self.a * hs + self.b
-
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         texts = batch["text"].tolist()
-        sigs = np.empty(len(texts), dtype=np.uint64)
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        # batch-vectorized: explode every doc's words (MULTISET — repeats
+        # vote repeatedly), hash in one Rust kernel, then segmented sign
+        # votes per doc via np.add.reduceat — no per-doc Python loop
+        df = pl.DataFrame(
+            {"i": pl.Series(np.arange(len(texts), dtype=np.int64)), "t": texts}
+        )
+        ex = (
+            df.with_columns(pl.col("t").str.split(" ").alias("w"))
+            .drop("t").explode("w")
+            .select(pl.col("i"), pl.col("w").hash(seed=4242).alias("h"))
+        )
+        i_arr = ex["i"].to_numpy()
+        hs = ex["h"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hs = self.a * hs + self.b
+        counts = np.bincount(i_arr, minlength=len(texts))
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
         shifts = np.arange(64, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
-        for i, text in enumerate(texts):
-            hs = self._word_hashes(text)
-            # (words, 64) sign votes → one packed uint64, all vectorized
-            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            with np.errstate(over="ignore"):
-                sigs[i] = (weights * (acc > 0).astype(np.uint64)).sum()
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits - 1                                  # (words, 64)
+        acc = np.add.reduceat(votes, offsets, axis=0)          # (docs, 64)
+        # every doc has ≥1 word ("".split(" ") == [""]), so segments are
+        # non-empty and reduceat's empty-segment quirk can't trigger
+        with np.errstate(over="ignore"):
+            sigs = (weights[None, :] * (acc > 0).astype(np.uint64)).sum(axis=1)
         return pa.table({"doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
-                         "simhash": pa.array(sigs.view(np.int64), pa.int64())})
+                         "simhash": pa.array(sigs.astype(np.uint64).view(np.int64), pa.int64())})
 
 
 def simhash_signatures(sf_dir: str):
@@ -610,15 +673,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        sh, ids = [], []
-        for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = _shingles(tx, n)
-            sh.extend(s)
-            ids.extend([d] * len(s))
-        shard = np.fromiter((x & 255 for x in sh), dtype=np.int64, count=len(sh))
+        vals, offs = _shingle_table(t["text"].to_pylist(), n)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs))
+        sh = vals.astype(np.int64)
         return pa.table(
             {"shingle": pa.array(sh, pa.int64()), "doc_id": pa.array(ids, pa.int64()),
-             "shard": pa.array(shard, pa.int64())}
+             "shard": pa.array(sh & 255, pa.int64())}
         )
 
     def pairs(g: pd.DataFrame) -> pa.Table:
