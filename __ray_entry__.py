@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups": dedup.dedup_groups,
         "dedup_filter_corpus": dedup.dedup_filter_corpus,
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
+        "simhash_pairs": dedup.simhash_pairs,         # engine-hash sigs → rows-only
         "approx_distinct_users": sketch.approx_distinct,  # sketch → rows-only
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,

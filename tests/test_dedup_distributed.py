@@ -155,3 +155,51 @@ def test_connected_components_chain_and_forest():
     lab = dict(zip(out["node"], out["label"]))
     assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_simhash_pairs_exact_vs_bruteforce(tmp_path):
+    """simhash_pairs has recall 1 GIVEN the signatures (pigeonhole over
+    max_hamming+1 bands) and exact popcount verify — must equal a
+    brute-force Hamming scan of the same signature set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops import dedup
+
+    rng = np.random.default_rng(9)
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    texts = []
+    for i in range(120):
+        words = base.split(" ")
+        # light perturbations create a spectrum of Hamming distances
+        for _ in range(rng.integers(0, 4)):
+            words[rng.integers(0, len(words))] = f"w{rng.integers(0, 30)}"
+        texts.append(" ".join(words))
+    texts += [f"completely unrelated document number {i} about arrow batches {i*i}"
+              for i in range(40)]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    got = dedup.simhash_pairs(str(d), max_hamming=3)
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if isinstance(df, pa.Table):
+        df = df.to_pandas()
+    got_pairs = {(a, b): h for a, b, h in
+                 zip(df["id_a"], df["id_b"], df["hamming"])}
+
+    sigs = dedup.simhash_signatures(str(d)).to_pandas().sort_values("doc_id")
+    s = sigs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    want = {}
+    for i in range(len(ids)):
+        x = np.ascontiguousarray(s[i] ^ s[i + 1:])
+        ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+        for j in np.nonzero(ham <= 3)[0]:
+            want[(int(ids[i]), int(ids[i + 1 + j]))] = int(ham[j])
+    assert got_pairs == want and len(want) > 0

@@ -744,3 +744,106 @@ def dedup_filter_corpus(sf_dir: str, threshold: float = 0.95):
         left_schema=docs_schema,
         right_schema=pa.schema([("doc_id", pa.int64())]),
     )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  hot_bucket_cap: int | None = 1024):
+    """Near-dup pairs by SimHash Hamming distance — the banded LSH over
+    the 64-bit signatures that completes the dedup family (signatures
+    alone were A-family output; this is their pair consumer).
+
+    The 64-bit signature is split into ``max_hamming + 1`` bands: by
+    pigeonhole, any pair within ``max_hamming`` differing bits matches
+    at least one band EXACTLY, so candidate recall is 1 given the
+    signatures; the verify is an exact popcount(xor) filter through the
+    shared single-payload-pass join. Rows-only check (signatures derive
+    from the engine's seeded hash, not SQL-recomputable); exactness is
+    asserted in pytest against a brute-force Hamming scan of the same
+    signatures. Hot buckets (e.g. 10^6 identical docs → identical
+    signatures) emit star edges like every other LSH path here."""
+    ensure_portable()
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    sigs = simhash_signatures(sf_dir).materialize()  # reused twice below
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        out_id, out_key = [], []
+        for b in range(bands):
+            lo = b * width
+            hi = 64 if b == bands - 1 else (b + 1) * width  # last band absorbs remainder
+            chunk = (s >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1))
+            with np.errstate(over="ignore"):
+                key = ((np.uint64(b + 1) * mix) ^ chunk) * mix
+            out_id.append(ids)
+            out_key.append((key >> np.uint64(1)).astype(np.int64))
+        bkey = np.concatenate(out_key)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+             "bkey": pa.array(bkey, pa.int64()),
+             "shard": pa.array(bkey & 255, pa.int64())}
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        dropped = 0
+        dup = g[g.duplicated("bkey", keep=False)]
+        for _, grp in dup.groupby("bkey"):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            dropped += _bucket_edges(ids, hot_bucket_cap, out_a, out_b)
+        if dropped:
+            _LOG.warning(
+                "simhash_pairs: %d over-cap bucket pair(s) dropped "
+                "(hot_bucket_cap=%s, star edges emitted instead)",
+                dropped, hot_bucket_cap,
+            )
+        if not out_a:
+            return _CAND_SCHEMA.empty_table()
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    cand = _distinct_pairs(
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs, batch_format="pandas")
+    ).materialize()
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+    )
+    if cand.count() == 0:
+        return out_schema.empty_table()
+
+    sig_payload = sigs.map_batches(
+        lambda t: t.rename_columns(["node", "sig"]), batch_format="pyarrow"
+    )
+    bucketed = _pair_payload_join(cand, sig_payload, pa.field("sig", pa.int64()))
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if "sig" not in df.columns or not len(df):
+            return out_schema.empty_table()
+        a, b, i0, sig_col = _adjacent_pairs(df, "sig")
+        if not len(i0):
+            return out_schema.empty_table()
+        sa = sig_col[i0].astype(np.int64).view(np.uint64)
+        sb = sig_col[i0 + 1].astype(np.int64).view(np.uint64)
+        xor = np.ascontiguousarray(sa ^ sb)
+        ham = np.unpackbits(xor.view(np.uint8)).reshape(-1, 64).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {"id_a": pa.array(a[i0][keep], pa.int64()),
+             "id_b": pa.array(b[i0][keep], pa.int64()),
+             "hamming": pa.array(ham[keep], pa.int64())}
+        )
+
+    return (
+        bucketed.groupby("__pb")
+        .map_groups(verify, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b", "hamming"])
+            if "hamming" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )

@@ -426,15 +426,36 @@ def _portable_shuffle_join(
     out_schema = pa.schema(
         list(left_schema) + [f for f in right_schema if f.name != on]
     )
-    left = left.map_batches(
-        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
-        batch_format="pyarrow",
+    # both sides are conformed to ONE full schema (typed nulls for the
+    # other side's columns) BEFORE the union, and the group merge stays
+    # in Arrow/polars end-to-end. The previous pandas form let Ray's
+    # heterogeneous-block group concat NaN-fill the missing side, which
+    # silently coerced int64 payload columns to float64 — values above
+    # 2^53 (e.g. 64-bit hash signatures) lost their low bits in the join
+    # (caught by the simhash_pairs brute-force parity test).
+    full_schema = pa.schema(
+        list(left_schema)
+        + [f for f in right_schema if f.name not in left_schema.names]
+        + [pa.field("__side", pa.int8())]
     )
-    right = right.map_batches(
-        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
-        batch_format="pyarrow",
+
+    def conform(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = []
+            for f in full_schema:
+                if f.name == "__side":
+                    cols.append(pa.array(np.full(t.num_rows, side, np.int8), pa.int8()))
+                elif f.name in t.column_names:
+                    cols.append(t[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=full_schema)
+
+        return fn
+
+    both = left.map_batches(conform(0), batch_format="pyarrow").union(
+        right.map_batches(conform(1), batch_format="pyarrow")
     )
-    both = left.union(right)
 
     def bucket(t: pa.Table) -> pa.Table:
         from ..core.partition import hash64
@@ -442,22 +463,20 @@ def _portable_shuffle_join(
         b = (hash64(t[on]) % np.uint64(num_partitions)).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
-    def join_group(g: pd.DataFrame) -> pa.Table:
-        # a side that contributed ZERO blocks leaves its columns out of
-        # the unified group frame entirely (found by the join property
-        # test) — reinstate them as nulls so the merge sees both schemas
-        for c in (*left_cols, *right_cols, "__side"):
-            if c not in g.columns:
-                g[c] = None
-        l = g.loc[g["__side"] == 0, left_cols]
-        r = g.loc[g["__side"] == 1, right_cols]
-        merged = l.merge(r, on=on, how=how)[out_schema.names]
-        t = pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
-        return t.replace_schema_metadata(None)  # from_pandas attaches
-        # b'pandas' metadata, which makes downstream block concats warn
+    def join_group(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        l = pl.from_arrow(g.filter(pa.array(side == 0)).select(left_cols))
+        r = pl.from_arrow(g.filter(pa.array(side == 1)).select(right_cols))
+        merged = l.join(r, on=on, how=how, maintain_order="left_right")
+        t = merged.select(out_schema.names).to_arrow()
+        # polars emits large_string/large_list — normalize to the caller's
+        # exact schema so empty merges can't degrade list types either
+        return t.cast(out_schema).replace_schema_metadata(None)
 
     return both.map_batches(bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
-        join_group, batch_format="pandas"
+        join_group, batch_format="pyarrow"
     )
 
 
