@@ -139,6 +139,13 @@ def run_bench() -> dict:
         "ngram_jaccard_pairs", "lsh_embedding_pairs",
         "order_lifecycle", "decimal_revenue", "cdc_replay",
         "top_tokens", "knn_batch", "enrich_event_types",
+        # round-3 additions: Hamming-banded signature pairs, distributed
+        # connected-component grouping (min-label propagation), and the
+        # continuous watcher derive-and-publish pipeline.
+        # dedup_filter_corpus is deliberately absent: it re-runs the
+        # identical edge-discovery + CC pipeline and adds one semi-join,
+        # so timing it doubles ~20 s of wall for no extra signal.
+        "simhash_pairs", "dedup_groups", "derived_publish",
     ]
     qtimes = {}
     if SKIP_QUERIES:

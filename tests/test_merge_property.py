@@ -80,7 +80,12 @@ def test_portable_shuffle_join_matches_pandas_merge():
         })
         rt = pa.table({
             "k": pa.array(rkeys, pa.int64()),
-            "rv": pa.array(rng.integers(0, 100, len(rkeys)), pa.int64()),
+            # payloads ABOVE 2^53: a join that routes int64 through a
+            # float64 anywhere corrupts the low bits (the pandas group
+            # concat did exactly that before the Arrow/polars rewrite)
+            "rv": pa.array(
+                rng.integers(0, 100, len(rkeys)) + ((1 << 62) + 1), pa.int64()
+            ),
         })
         got = _portable_shuffle_join(
             rd.from_arrow(lt), rd.from_arrow(rt), "k", num_partitions=4,

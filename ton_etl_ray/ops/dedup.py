@@ -414,7 +414,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, *, ngram: int = 3,
     bands_ds = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
-        batch_format="pandas", batch_size=2048, concurrency=2,
+        # one task per input block (a row-count batch bound bundles the
+        # small doc blocks into 2 fat tasks and serializes every
+        # downstream stage); the autoscaling (1, 4) pool keeps hashing
+        # parallel WITHOUT deadlocking a small session — a fixed pool of
+        # 4 pins every CPU of a 4-cpu test cluster and the read tasks
+        # starve
+        batch_format="pandas", concurrency=(1, 4),
     )
 
     # shuffle on a COARSE key (bkey % 256): per-bucket groups are mostly
@@ -538,7 +544,7 @@ class SimHashStage:
 def simhash_signatures(sf_dir: str):
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
+    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=(1, 4))
 
 
 def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
