@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, dedup, enrich, multimodal, relational as R, sketch, text
+    from ton_etl_ray.ops import ann, dedup, enrich, multimodal, relational as R, sampling, sketch, text
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,          # heuristic → rows-only
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
+        # deterministic curation sampling (pure-arithmetic hash → exact
+        # SQL oracles; no RNG state, reproducible at any cluster size)
+        "hash_sample": sampling.hash_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "budget_pack": sampling.budget_pack,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # LSH recall<1 → rows-only
         # df_cap=256 is the production stop-phrase guard; max df at the
         # oracle scales is single-digit, so the exact-recall contract (and
@@ -165,6 +170,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 + CAST(concat('0x', substr(md5(did || ':' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % 56
                         AS INT) AS n_tok
             FROM d CROSS JOIN v
+        """,
+        "hash_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rk
+                FROM documents
+            ) SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 20
+        """,
+        "budget_pack": """
+            WITH c AS (
+                SELECT doc_id, source, n_chars,
+                       CAST(sum(n_chars) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_chars
+                FROM documents
+            ) SELECT doc_id, source, n_chars, cum_chars
+            FROM c WHERE cum_chars <= 5000
         """,
         "cdc_replay": """
             WITH d AS (

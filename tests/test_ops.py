@@ -285,3 +285,31 @@ def test_minhash_drops_empty_shingle_docs(tmp_path):
     if isinstance(t, pa.Table):
         t = t.to_pandas()
     assert list(map(tuple, t[["id_a", "id_b"]].to_numpy())) == [(50, 51)]
+
+
+def test_sampling_family_properties():
+    """hash_sample/stratified_sample/budget_pack: deterministic across
+    runs, per-stratum invariants hold (the DuckDB oracles check exact
+    values; these check the operator contracts)."""
+    from ton_etl_ray.ops.sampling import budget_pack, hash_sample, stratified_sample
+
+    s1 = hash_sample(SF, rate_pct=10).to_pandas()
+    s2 = hash_sample(SF, rate_pct=10).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])      # reproducible
+    n_docs = pq.read_table(f"{SF}/documents.parquet").num_rows
+    assert 0 < len(s1) < n_docs
+    # monotone in rate: a 10% sample is a subset of a 30% sample
+    s3 = hash_sample(SF, rate_pct=30).to_pandas()
+    assert set(s1["doc_id"]) <= set(s3["doc_id"])
+
+    st = stratified_sample(SF, per_group=5).to_pandas()
+    per = st.groupby("source")["doc_id"].count()
+    assert (per <= 5).all() and len(per) > 1
+    assert st["doc_id"].is_unique
+
+    bp = budget_pack(SF, budget_chars=3000).to_pandas()
+    g = bp.groupby("source")
+    assert (g["cum_chars"].max() <= 3000).all()
+    for _, grp in g:
+        grp = grp.sort_values("doc_id")
+        assert (grp["n_chars"].cumsum().to_numpy() == grp["cum_chars"].to_numpy()).all()
