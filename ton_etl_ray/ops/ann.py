@@ -258,26 +258,12 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
     import pandas as pd
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        from .dedup import _LOG, _bucket_edges
+        # hot-bucket cap: identical embeddings share every plane sign →
+        # one bucket per band; star edges bound the emission to O(n)
+        from .dedup import _grouped_bucket_pairs
 
-        out_a, out_b = [], []
-        dropped = 0
-        for _, grp in g.groupby(["band", "bucket"]):
-            ids = np.unique(grp["vec_id"].to_numpy())
-            # hot-bucket cap: identical embeddings share every plane sign
-            # → one bucket per band; star edges bound the emission to O(n)
-            dropped += _bucket_edges(ids, hot_bucket_cap, out_a, out_b)
-        if dropped:
-            _LOG.warning(
-                "lsh_embedding_pairs: %d over-cap bucket pair(s) dropped "
-                "(hot_bucket_cap=%s, star edges emitted instead)",
-                dropped, hot_bucket_cap,
-            )
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+        return _grouped_bucket_pairs(g, ["band", "bucket"], "vec_id",
+                                     hot_bucket_cap, "lsh_embedding_pairs")
 
     from ..ops.dedup import _distinct_pairs
 

@@ -209,6 +209,31 @@ def _bucket_edges(ids: np.ndarray, cap: int | None, out_a: list, out_b: list) ->
     return n * (n - 1) // 2 - (n - 1)
 
 
+def _grouped_bucket_pairs(
+    g: pd.DataFrame, by, id_col: str, cap: int | None, op_name: str
+) -> pa.Table:
+    """One coarse-shard group → candidate pair rows: group by the exact
+    bucket key(s) ``by``, emit all-pairs (bucket ≤ cap) or star edges
+    per bucket via ``_bucket_edges``, log the total drop. The shared
+    emitter body of every LSH-family operator (minhash / simhash /
+    embedding-plane buckets)."""
+    out_a, out_b = [], []
+    dropped = 0
+    dup = g[g.duplicated(by, keep=False)]  # singleton buckets pair nothing
+    for _, grp in dup.groupby(by):
+        ids = np.unique(grp[id_col].to_numpy())
+        dropped += _bucket_edges(ids, cap, out_a, out_b)
+    if dropped:
+        _LOG.warning(
+            "%s: %d over-cap bucket pair(s) dropped (hot_bucket_cap=%s, "
+            "star edges emitted instead)", op_name, dropped, cap,
+        )
+    if not out_a:
+        return _CAND_SCHEMA.empty_table()
+    return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
 def _conform_pairs(t: pa.Table) -> pa.Table:
     # Ray's map_groups passes EMPTY sort partitions through with the
     # UPSTREAM schema — normalize them so downstream groupbys see one
@@ -431,22 +456,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, *, ngram: int = 3,
         return t.append_column("shard", shard)
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b = [], []
-        dropped = 0
-        dup = g[g.duplicated("bkey", keep=False)]
-        for _, grp in dup.groupby("bkey"):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            dropped += _bucket_edges(ids, hot_bucket_cap, out_a, out_b)
-        if dropped:
-            _LOG.warning(
-                "minhash_lsh_pairs: %d over-cap bucket pair(s) dropped "
-                "(hot_bucket_cap=%s, star edges emitted instead)",
-                dropped, hot_bucket_cap,
-            )
-        if not out_a:
-            return _CAND_SCHEMA.empty_table()
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+        return _grouped_bucket_pairs(g, "bkey", "doc_id", hot_bucket_cap,
+                                     "minhash_lsh_pairs")
 
     cand = (
         bands_ds.map_batches(shard_key, batch_format="pyarrow")
@@ -526,15 +537,30 @@ class SimHashStage:
         with np.errstate(over="ignore"):
             hs = self.a * hs + self.b
         counts = np.bincount(i_arr, minlength=len(texts))
-        offsets = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
         shifts = np.arange(64, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
-        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-        votes = 2 * bits - 1                                  # (words, 64)
-        acc = np.add.reduceat(votes, offsets, axis=0)          # (docs, 64)
-        # every doc has ≥1 word ("".split(" ") == [""]), so segments are
-        # non-empty and reduceat's empty-segment quirk can't trigger
+        # doc-boundary word chunks bound the (chunk_words, 64) bit
+        # temporaries: an unbounded block of text would otherwise
+        # allocate 64 int8 bytes per WORD of the whole block in one shot
+        # (the peak is now ~64 MiB per chunk, or one pathological doc).
+        # Every doc has ≥1 word ("".split(" ") == [""]), so reduceat
+        # segments are non-empty and its empty-segment quirk can't fire.
+        CHUNK_WORDS = 1 << 20
+        n_docs = len(texts)
+        acc = np.empty((n_docs, 64), dtype=np.int32)
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= CHUNK_WORDS:
+                d1 += 1
+            seg = hs[offsets[d0] : offsets[d1]]
+            bits = ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            votes = 2 * bits - 1                               # (chunk_words, 64) int8
+            rel = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+            acc[d0:d1] = np.add.reduceat(votes, rel, axis=0, dtype=np.int32)
+            d0 = d1
         with np.errstate(over="ignore"):
             sigs = (weights[None, :] * (acc > 0).astype(np.uint64)).sum(axis=1)
         return pa.table({"doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
@@ -781,7 +807,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         for b in range(bands):
             lo = b * width
             hi = 64 if b == bands - 1 else (b + 1) * width  # last band absorbs remainder
-            chunk = (s >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1))
+            # hi-lo == 64 (max_hamming=0: one full-width band) makes
+            # 1 << 64 shift-count UB in numpy — use the explicit full mask
+            mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if hi - lo == 64
+                    else (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1))
+            chunk = (s >> np.uint64(lo)) & mask
             with np.errstate(over="ignore"):
                 key = ((np.uint64(b + 1) * mix) ^ chunk) * mix
             out_id.append(ids)
@@ -794,22 +824,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         )
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b = [], []
-        dropped = 0
-        dup = g[g.duplicated("bkey", keep=False)]
-        for _, grp in dup.groupby("bkey"):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            dropped += _bucket_edges(ids, hot_bucket_cap, out_a, out_b)
-        if dropped:
-            _LOG.warning(
-                "simhash_pairs: %d over-cap bucket pair(s) dropped "
-                "(hot_bucket_cap=%s, star edges emitted instead)",
-                dropped, hot_bucket_cap,
-            )
-        if not out_a:
-            return _CAND_SCHEMA.empty_table()
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+        return _grouped_bucket_pairs(g, "bkey", "doc_id", hot_bucket_cap,
+                                     "simhash_pairs")
 
     cand = _distinct_pairs(
         sigs.map_batches(band_rows, batch_format="pyarrow")

@@ -75,7 +75,10 @@ def stratified_sample(sf_dir: str, per_group: int = 20, group_col: str = "source
         df["__h"] = _doc_hash(df["doc_id"].to_numpy()).astype(np.int64)
         df = (
             df.sort_values(["__h", "doc_id"], kind="mergesort")
-            .groupby(group_col, sort=False)
+            # dropna=False: a null stratum is still a stratum (SQL
+            # PARTITION BY groups nulls together; pandas' default would
+            # silently discard those rows before the shuffle)
+            .groupby(group_col, sort=False, dropna=False)
             .head(per_group)
         )
         return pa.table({
