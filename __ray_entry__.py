@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, dedup, enrich, multimodal, relational as R, sampling, sketch, text
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, sketch, text
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,          # heuristic → rows-only
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
+        # corpus-global statistics joined back per doc (vocabulary/eval
+        # set ride the term-sharded shuffle — never broadcast)
+        "tfidf_top_terms": corpus.tfidf_top_terms,
+        "unigram_logppl": corpus.unigram_logppl,
+        "contamination_check": corpus.contamination_check,
         # deterministic curation sampling (pure-arithmetic hash → exact
         # SQL oracles; no RNG state, reproducible at any cluster size)
         "hash_sample": sampling.hash_sample,
@@ -415,6 +420,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token
             LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(n.n / df.df), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 5
+        """,
+        "unigram_logppl": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt)
+            SELECT tf.doc_id,
+                   round(sum(tf.tf * -ln(cnt.cnt / tot.t)) / sum(tf.tf), 4) AS logppl
+            FROM tf JOIN cnt USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
+        """,
+        "contamination_check": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(ws[i:i+7], ' ')
+                               FOR i IN generate_series(1, len(ws)-7)]) AS ng
+                FROM w
+            ),
+            e AS (SELECT DISTINCT ng FROM d WHERE doc_id % 20 = 0)
+            SELECT d.doc_id, count(*) AS n_overlap
+            FROM d JOIN e USING (ng)
+            WHERE d.doc_id % 20 <> 0 GROUP BY 1
         """,
         "dedup_docs_prefix": """
             SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id

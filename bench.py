@@ -146,6 +146,10 @@ def run_bench() -> dict:
         # identical edge-discovery + CC pipeline and adds one semi-join,
         # so timing it doubles ~20 s of wall for no extra signal.
         "simhash_pairs", "dedup_groups", "derived_publish",
+        # round-3 corpus-global statistics: term-sharded shuffle joins
+        # the global aggregate (vocabulary / unigram LM / eval n-gram
+        # fingerprints) back per document — never broadcast
+        "tfidf_top_terms", "unigram_logppl", "contamination_check",
     ]
     qtimes = {}
     if SKIP_QUERIES:

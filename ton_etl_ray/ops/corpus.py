@@ -1,0 +1,339 @@
+"""Corpus-level statistics operators over ``documents`` — the family of
+LLM-training-data ops whose score depends on a GLOBAL corpus aggregate
+joined back per document: TF-IDF term relevance, unigram-LM quality
+scoring (the CCNet-style perplexity-filter analogue), and train/eval
+n-gram contamination detection.
+
+Shared shape (and the reason these live in one module): stage 1 emits
+exact per-document partial rows inside ``map_batches`` (each document's
+text is one row, so per-doc term counts need no shuffle), stage 2
+shuffles ONCE on a coarse hash shard of the term/n-gram key and
+computes the global statistic vectorized inside ``map_groups`` (a
+per-term group would be mostly size ≤ a few rows — pure barrier
+overhead), stage 3 shuffles back to the document to reduce the score.
+The global-side table (vocabulary / eval n-gram set) is never
+broadcast and never touches the driver: at 100 TB a vocabulary or eval
+fingerprint set is itself a large dataset, so the join-back is a
+shuffle on the same key the statistic was computed on.
+
+Float parity with the DuckDB oracles: scores are ``np.round``-ed
+(true-divide round matches DuckDB ``round()``; ``pc.round`` is one ulp
+off) and per-doc sums are rounded at 4 decimals so summation-order
+low-bit drift cannot flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._pickle import ensure_portable
+from ._util import _t, read_table
+
+_TERM_SHARDS = 256  # coarse key-shard count for the global-statistic shuffle
+_DOC_SHARDS = 64    # coarse doc-shard count for the per-doc reduce
+
+
+def _doc_count(sf_dir: str) -> int:
+    """Exact corpus row count from parquet footer metadata — no read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+
+
+def _tf_rows(sf_dir: str):
+    """(doc_id, term, tf) — exact per-document term frequencies.
+
+    Terms are single-space pieces (== DuckDB ``unnest(string_split)``).
+    Each document is complete within one input row, so the counts are
+    final after the map stage — nothing to combine."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+            }
+        )
+        tf = (
+            df.explode("w")
+            .group_by(["doc_id", "w"])
+            .len()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(tf["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(tf["w"].to_list(), pa.string()),
+                "tf": pa.array(tf["len"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _with_term_shard(ds, col: str = "term"):
+    def shard(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        # seeded polars hash: process-stable (tests/test_text.py pins the
+        # same property for the shingle hash) — shards must agree across
+        # workers
+        h = pl.Series(t[col].to_pylist()).hash(seed=0x5EED) % _TERM_SHARDS
+        return t.append_column("shard", pa.array(h.to_numpy().astype(np.int64)))
+
+    return ds.map_batches(shard, batch_format="pyarrow")
+
+
+_TFIDF_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("term", pa.string()), ("rank", pa.int64()),
+     ("score", pa.float64())]
+)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-document top-``k`` TF-IDF terms (rank by score DESC, term ASC).
+
+    score = round(tf * ln(N / df), 6) with N = corpus doc count and
+    df = docs containing the term. The df computation and the score
+    both happen in the term-sharded ``map_groups`` (a term's rows are
+    co-located by the shard key, and rows are unique per (doc, term),
+    so df is just the term's group size); the top-k reduce then
+    shuffles by document. Vocabulary never touches the driver."""
+    ensure_portable()
+    n_docs = float(_doc_count(sf_dir))
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        df_per_term = g.groupby("term")["doc_id"].transform("size").to_numpy()
+        s = np.round(g["tf"].to_numpy() * np.log(n_docs / df_per_term), 6)
+        dshard = g["doc_id"].to_numpy() % _DOC_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "score": pa.array(s, pa.float64()),
+                "dshard": pa.array(dshard.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()),
+         ("score", pa.float64()), ("dshard", pa.int64())]
+    )
+
+    def conform_scored(t: pa.Table) -> pa.Table:
+        if "score" not in t.column_names:  # empty sort partition passthrough
+            return scored_schema.empty_table()
+        return t.select(scored_schema.names)
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k)
+        rank = g.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(g["term"].to_numpy(), pa.string()),
+                "rank": pa.array(rank.to_numpy().astype(np.int64), pa.int64()),
+                "score": pa.array(g["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    def conform_out(t: pa.Table) -> pa.Table:
+        if "rank" not in t.column_names:
+            return _TFIDF_SCHEMA.empty_table()
+        return t.select(_TFIDF_SCHEMA.names)
+
+    scored = (
+        _with_term_shard(_tf_rows(sf_dir))
+        .groupby("shard")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(conform_scored, batch_format="pyarrow")
+    )
+    return (
+        scored.groupby("dshard")
+        .map_groups(topk, batch_format="pandas")
+        .map_batches(conform_out, batch_format="pyarrow")
+    )
+
+
+_PPL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("logppl", pa.float64())])
+
+
+def unigram_logppl(sf_dir: str):
+    """Per-document unigram-LM negative log-likelihood (mean nats/token)
+    — the quality-filter statistic of CCNet-style corpus curation: score
+    a document by how surprising its tokens are under the corpus's own
+    unigram distribution; high ``logppl`` = rare-token noise, low =
+    boilerplate.
+
+    logppl(doc) = round( sum_t tf_t * -ln(cnt_t / T) / n_words , 4 )
+    with cnt_t = corpus frequency of term t and T = total corpus tokens.
+    T comes from a scalar pre-pass; cnt joins back via the same
+    term-sharded shuffle as :func:`tfidf_top_terms` (the unigram table
+    IS the vocabulary — never broadcast, never on the driver). Rounded
+    at 4 decimals so per-doc summation order can't flip the low bit."""
+    ensure_portable()
+
+    # pass 1: scalar total token count (streamed aggregate, text column
+    # only; at 100 TB this is the cheap pass — one int64 per block)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        n = pc.sum(pc.list_value_length(pc.split_pattern(t["text"], pattern=" ")))
+        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    total = float(
+        sum(pc.sum(b["n"]).as_py() for b in
+            ds.map_batches(wc, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        cnt = g.groupby("term")["tf"].transform("sum").to_numpy().astype(np.float64)
+        tf = g["tf"].to_numpy()
+        part = tf * -np.log(cnt / total)
+        dshard = g["doc_id"].to_numpy() % _DOC_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "part": pa.array(part, pa.float64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "dshard": pa.array(dshard.astype(np.int64), pa.int64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("part", pa.float64()),
+         ("tf", pa.int64()), ("dshard", pa.int64())]
+    )
+
+    def conform_part(t: pa.Table) -> pa.Table:
+        if "part" not in t.column_names:
+            return part_schema.empty_table()
+        return t.select(part_schema.names)
+
+    def reduce_doc(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False).agg(
+            s=("part", "sum"), n=("tf", "sum")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(), pa.int64()),
+                "logppl": pa.array(
+                    np.round(agg["s"].to_numpy() / agg["n"].to_numpy(), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def conform_out(t: pa.Table) -> pa.Table:
+        if "logppl" not in t.column_names:
+            return _PPL_SCHEMA.empty_table()
+        return t.select(_PPL_SCHEMA.names)
+
+    parts = (
+        _with_term_shard(_tf_rows(sf_dir))
+        .groupby("shard")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(conform_part, batch_format="pyarrow")
+    )
+    return (
+        parts.groupby("dshard")
+        .map_groups(reduce_doc, batch_format="pandas")
+        .map_batches(conform_out, batch_format="pyarrow")
+    )
+
+
+_CONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_overlap", pa.int64())])
+
+
+def contamination_check(sf_dir: str, n: int = 8, eval_mod: int = 20):
+    """Train/eval contamination: for every TRAIN document, count the
+    distinct word ``n``-grams it shares with ANY document of the held-out
+    eval set (here docs with ``doc_id % eval_mod == 0`` — a deterministic
+    stand-in for a benchmark fingerprint table). Emits only contaminated
+    docs (n_overlap ≥ 1) — the decontamination shortlist.
+
+    Scale shape: distinct (n-gram, doc) rows shuffle once on a coarse
+    n-gram hash shard; inside each shard group the eval/train match is a
+    vectorized membership test, and the emission is one row per (train
+    doc, shared n-gram) — linear in the true answer, not quadratic in
+    bucket size (no pairing; contrast ops/dedup.py hot-bucket notes).
+    The eval fingerprint set is never broadcast: it rides the same
+    shuffle as the train side, keyed identically, so a benchmark suite
+    of any size stays distributed."""
+    ensure_portable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ngram_rows(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+            }
+        ).explode("w")
+        if n > 1:
+            df = df.with_columns(
+                [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
+                 for k in range(1, n)]
+            ).drop_nulls()
+            gram = pl.concat_str(
+                [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)],
+                separator=" ",
+            )
+        else:
+            gram = pl.col("w")
+        out = (
+            df.select(pl.col("doc_id"), gram.alias("ng"))
+            .unique(subset=["doc_id", "ng"])
+        )
+        shard = out["ng"].hash(seed=0x5EED) % _TERM_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "ng": pa.array(out["ng"].to_list(), pa.string()),
+                "shard": pa.array(shard.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def match(g: pd.DataFrame) -> pa.Table:
+        is_eval = (g["doc_id"].to_numpy() % eval_mod) == 0
+        g = g.assign(is_eval=is_eval)
+        has_eval = g.groupby("ng", sort=False)["is_eval"].transform("max")
+        hits = g[~g["is_eval"] & has_eval.to_numpy()]
+        # (ng, doc_id) rows are distinct → size == distinct shared grams;
+        # each n-gram lives in exactly one shard, so per-shard partials
+        # sum exactly
+        part = hits.groupby("doc_id", sort=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(part.index.to_numpy(), pa.int64()),
+                "cnt": pa.array(part.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt_schema = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+
+    def conform_cnt(t: pa.Table) -> pa.Table:
+        if "cnt" not in t.column_names:
+            return cnt_schema.empty_table()
+        return t.select(cnt_schema.names)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(ngram_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(match, batch_format="pandas")
+        .map_batches(conform_cnt, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_overlap"))
+    )
+    return out
