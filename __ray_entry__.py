@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "lang_id": text.lang_id,                      # heuristic → rows-only
         "quality_score": text.quality_score,          # heuristic → rows-only
+        "repetition_signals": text.repetition_signals,
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
         "exact_dedup_hash": dedup.exact_dedup_hash,
         # corpus-global statistics joined back per doc (vocabulary/eval
@@ -420,6 +421,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token
             LIMIT 20
+        """,
+        "repetition_signals": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(ws)-1)]) AS g
+                FROM w
+            ),
+            top AS (
+                SELECT doc_id, max(c) AS maxc
+                FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            g5 AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+4], ' ')
+                               FOR i IN generate_series(1, len(ws)-4)]) AS g
+                FROM w
+            ),
+            dup AS (
+                SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+                FROM g5 GROUP BY 1
+            )
+            SELECT w.doc_id, len(w.ws) AS n_words,
+                   round(CASE WHEN t.maxc IS NOT NULL AND len(w.ws) >= 2
+                              THEN 2.0 * t.maxc / len(w.ws) ELSE 0.0 END, 6)
+                       AS top2_frac,
+                   round(CASE WHEN d.total IS NOT NULL
+                              THEN 1.0 - CAST(d.dist AS DOUBLE) / d.total
+                              ELSE 0.0 END, 6) AS dup5_frac
+            FROM w LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
         """,
         "tfidf_top_terms": """
             WITH tok AS (

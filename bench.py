@@ -150,6 +150,9 @@ def run_bench() -> dict:
         # the global aggregate (vocabulary / unigram LM / eval n-gram
         # fingerprints) back per document — never broadcast
         "tfidf_top_terms", "unigram_logppl", "contamination_check",
+        # Gopher-style intra-doc repetition quality signals — pure
+        # per-doc map, no shuffle
+        "repetition_signals",
     ]
     qtimes = {}
     if SKIP_QUERIES:

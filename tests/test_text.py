@@ -63,3 +63,70 @@ def test_shingles_stable_across_processes():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, check=True, cwd="/root/repo")
     assert eval(out.stdout.strip()) == local
+
+
+def test_repetition_signals_matches_duckdb():
+    from ton_etl_ray.ops.text import repetition_signals
+
+    got = (
+        repetition_signals(SF).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                   FROM '{SF}/documents.parquet'),
+        g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1],' ')
+                                      FOR i IN generate_series(1, len(ws)-1)]) AS g FROM w),
+        top AS (SELECT doc_id, max(c) AS maxc
+                FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2) GROUP BY 1),
+        g5 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+4],' ')
+                                      FOR i IN generate_series(1, len(ws)-4)]) AS g FROM w),
+        dup AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist FROM g5 GROUP BY 1)
+        SELECT w.doc_id, len(w.ws) AS n_words,
+               round(CASE WHEN t.maxc IS NOT NULL AND len(w.ws) >= 2
+                          THEN 2.0*t.maxc/len(w.ws) ELSE 0.0 END, 6) AS top2_frac,
+               round(CASE WHEN d.total IS NOT NULL
+                          THEN 1.0 - CAST(d.dist AS DOUBLE)/d.total ELSE 0.0 END, 6) AS dup5_frac
+        FROM w LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+        """
+    ).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("n_words", "top2_frac", "dup5_frac"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_repetition_signals_edge_docs(tmp_path):
+    """Pathological docs: pure repetition scores ~1; short docs 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.text import repetition_signals
+
+    texts = {
+        0: "spam ham " * 50,          # one dominant 2-gram, all dup 5-grams
+        1: "one",                     # < 2 words -> both 0
+        2: "a b c d",                 # < 5 words -> dup5 0
+        3: "w x y z q r s t u v",     # all unique -> dup5 0, top2 2/n
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array([s.strip() for s in texts.values()], pa.string()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = (
+        repetition_signals(str(d)).to_pandas()
+        .set_index("doc_id").sort_index()
+    )
+    # doc 0: 100 words, "spam ham" occurs 50x -> top2 = 100/100 = 1.0;
+    # 96 5-gram positions, only 2 distinct
+    assert out.loc[0, "top2_frac"] == 1.0
+    assert out.loc[0, "dup5_frac"] == round(1 - 2 / 96, 6)
+    assert out.loc[1, "top2_frac"] == 0.0 and out.loc[1, "dup5_frac"] == 0.0
+    assert out.loc[2, "dup5_frac"] == 0.0
+    assert out.loc[3, "dup5_frac"] == 0.0
+    assert abs(out.loc[3, "top2_frac"] - 0.2) < 1e-9

@@ -142,6 +142,92 @@ def quality_score(sf_dir: str):
     return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
 
 
+def repetition_signals(sf_dir: str, top_n: int = 2, dup_n: int = 5):
+    """Gopher-style intra-document repetition quality signals (Rae et
+    al. 2021 §A1.1 "repetition removal", word-count form): per document,
+
+    - ``top2_frac``  = fraction of words covered by the single most
+      frequent ``top_n``-gram, ``round(top_n * max_count / n_words, 6)``
+      (0.0 when the doc has fewer than ``top_n`` words);
+    - ``dup5_frac``  = fraction of ``dup_n``-gram positions that are
+      repeats of an earlier position,
+      ``round(1 - distinct / total, 6)`` (0.0 when fewer than ``dup_n``
+      words).
+
+    Boilerplate/spam docs score high on either; a curation pipeline
+    filters on thresholds. Pure per-document arithmetic — each document
+    is one input row, so this is a single ``map_batches`` with NO
+    shuffle; at 100 TB it scales as an embarrassingly parallel scan.
+    Vectorized per batch in polars (explode → shift-over-doc n-gram
+    construction, grouped counts), no Python loop over rows."""
+    ensure_portable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        base = pl.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+            }
+        )
+        n_words = base.select(
+            "doc_id", pl.col("w").list.len().cast(pl.Int64).alias("n_words")
+        )
+        ex = base.explode("w")
+
+        def grams(n: int) -> pl.DataFrame:
+            df = ex
+            if n > 1:
+                df = df.with_columns(
+                    [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
+                     for k in range(1, n)]
+                ).drop_nulls()
+                g = pl.concat_str(
+                    [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)],
+                    separator=" ",
+                )
+            else:
+                g = pl.col("w")
+            return df.select("doc_id", g.alias("g"))
+
+        top = (
+            grams(top_n)
+            .group_by(["doc_id", "g"]).len()
+            .group_by("doc_id").agg(pl.col("len").max().alias("maxc"))
+        )
+        dup = (
+            grams(dup_n)
+            .group_by("doc_id")
+            .agg(pl.len().alias("total"), pl.col("g").n_unique().alias("dist"))
+        )
+        out = (
+            n_words.join(top, on="doc_id", how="left")
+            .join(dup, on="doc_id", how="left")
+            .with_columns(
+                pl.when(pl.col("maxc").is_not_null() & (pl.col("n_words") >= top_n))
+                .then(top_n * pl.col("maxc") / pl.col("n_words"))
+                .otherwise(0.0).alias("top2_frac"),
+                pl.when(pl.col("total").is_not_null())
+                .then(1.0 - pl.col("dist") / pl.col("total"))
+                .otherwise(0.0).alias("dup5_frac"),
+            )
+        )
+        # np.round (true-divide) matches DuckDB round(); pl/pc variants
+        # are one ulp off on some values (see module perf notes)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "n_words": pa.array(out["n_words"].to_numpy(), pa.int64()),
+                "top2_frac": pa.array(np.round(out["top2_frac"].to_numpy(), 6), pa.float64()),
+                "dup5_frac": pa.array(np.round(out["dup5_frac"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 
