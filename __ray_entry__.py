@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": corpus.tfidf_top_terms,
         "unigram_logppl": corpus.unigram_logppl,
         "contamination_check": corpus.contamination_check,
+        "corpus_curation": corpus.corpus_curation,
         # deterministic curation sampling (pure-arithmetic hash → exact
         # SQL oracles; no RNG state, reproducible at any cluster size)
         "hash_sample": sampling.hash_sample,
@@ -455,6 +456,51 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1.0 - CAST(d.dist AS DOUBLE) / d.total
                               ELSE 0.0 END, 6) AS dup5_frac
             FROM w LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+        """,
+        "corpus_curation": """
+            WITH w AS (
+                SELECT doc_id, text, source, string_split(text, ' ') AS ws
+                FROM documents WHERE lang = 'en'
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(ws)-1)]) AS g
+                FROM w
+            ),
+            top AS (
+                SELECT doc_id, max(c) AS maxc
+                FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            g5 AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+4], ' ')
+                               FOR i IN generate_series(1, len(ws)-4)]) AS g
+                FROM w
+            ),
+            dup AS (
+                SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+                FROM g5 GROUP BY 1
+            ),
+            gated AS (
+                SELECT w.doc_id, w.source, len(w.ws) AS n_words,
+                       CASE WHEN t.maxc IS NOT NULL AND len(w.ws) >= 2
+                            THEN 2.0 * t.maxc / len(w.ws) ELSE 0.0 END AS top2,
+                       substr(w.text, 1, 40) AS prefix
+                FROM w LEFT JOIN top t USING (doc_id)
+                       LEFT JOIN dup d USING (doc_id)
+                WHERE len(w.ws) >= 20
+                  AND (CASE WHEN d.total IS NOT NULL
+                            THEN 1.0 - CAST(d.dist AS DOUBLE) / d.total
+                            ELSE 0.0 END) <= 0.2
+            ),
+            kept AS (SELECT prefix, min(doc_id) AS keep_id FROM gated GROUP BY 1)
+            SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g.n_words) AS BIGINT) AS total_words,
+                   round(sum(g.top2) / count(*), 6) AS avg_top2
+            FROM gated g JOIN kept k ON g.doc_id = k.keep_id
+            GROUP BY 1
         """,
         "tfidf_top_terms": """
             WITH tok AS (

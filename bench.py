@@ -153,6 +153,8 @@ def run_bench() -> dict:
         # Gopher-style intra-doc repetition quality signals — pure
         # per-doc map, no shuffle
         "repetition_signals",
+        # composed end-to-end curation: gate → exact dedup → report
+        "corpus_curation",
     ]
     qtimes = {}
     if SKIP_QUERIES:

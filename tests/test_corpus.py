@@ -99,3 +99,84 @@ def test_tfidf_rank_shape():
     # scores non-increasing with rank inside each doc
     s = got.sort_values(["doc_id", "rank"])
     assert (s.groupby("doc_id")["score"].apply(lambda x: (np.diff(x.to_numpy()) <= 0).all())).all()
+
+
+def test_corpus_curation_matches_duckdb():
+    from ton_etl_ray.ops.corpus import corpus_curation
+
+    got = (
+        corpus_curation(SF).to_pandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH w AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
+                   FROM '{SF}/documents.parquet' WHERE lang = 'en'),
+        g2 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1],' ')
+                                      FOR i IN generate_series(1, len(ws)-1)]) g FROM w),
+        top AS (SELECT doc_id, max(c) AS maxc
+                FROM (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1,2) GROUP BY 1),
+        g5 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+4],' ')
+                                      FOR i IN generate_series(1, len(ws)-4)]) g FROM w),
+        dup AS (SELECT doc_id, count(*) total, count(DISTINCT g) dist FROM g5 GROUP BY 1),
+        gated AS (
+            SELECT w.doc_id, w.source, len(w.ws) AS n_words,
+                   CASE WHEN t.maxc IS NOT NULL AND len(w.ws) >= 2
+                        THEN 2.0*t.maxc/len(w.ws) ELSE 0.0 END AS top2,
+                   substr(w.text, 1, 40) AS prefix
+            FROM w LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+            WHERE len(w.ws) >= 20
+              AND (CASE WHEN d.total IS NOT NULL
+                        THEN 1.0 - CAST(d.dist AS DOUBLE)/d.total ELSE 0.0 END) <= 0.2
+        ),
+        kept AS (SELECT prefix, min(doc_id) AS keep_id FROM gated GROUP BY 1)
+        SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g.n_words) AS BIGINT) AS total_words,
+               round(sum(g.top2)/count(*), 6) AS avg_top2
+        FROM gated g JOIN kept k ON g.doc_id = k.keep_id GROUP BY 1
+        """
+    ).df().sort_values("source").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["source"] == want["source"]).all()
+    for c in ("n_docs", "total_words", "avg_top2"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_corpus_curation_gates_and_dedup(tmp_path):
+    """Every gate and the keep-min dedup demonstrably fire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.corpus import corpus_curation
+
+    long_uniq = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        # kept: en, 30 unique words
+        (0, long_uniq, "en", "a"),
+        # duplicate prefix of doc 0 (same first 40 chars) -> deduped away
+        (1, long_uniq + " tail extra words here padding out fine", "en", "a"),
+        # wrong lang -> dropped
+        (2, long_uniq, "fr", "a"),
+        # too short -> dropped
+        (3, "tiny doc of nineteen words " + " ".join("x%d" % i for i in range(10)), "en", "a"),
+        # massive repetition -> dup5 gate drops it
+        (4, "spam ham " * 20, "en", "b"),
+        # kept, different source
+        (5, " ".join(f"q{i}" for i in range(25)), "en", "b"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1].strip() for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "cur"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = corpus_curation(str(d)).to_pandas().set_index("source").sort_index()
+    assert out.loc["a", "n_docs"] == 1        # docs 1,2,3 all excluded
+    assert out.loc["a", "total_words"] == 30
+    assert out.loc["b", "n_docs"] == 1        # doc 4 gated, doc 5 kept
+    assert out.loc["b", "total_words"] == 25

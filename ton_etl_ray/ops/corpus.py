@@ -249,6 +249,146 @@ def unigram_logppl(sf_dir: str):
     )
 
 
+_CURATION_SCHEMA = pa.schema(
+    [("source", pa.string()), ("n_docs", pa.int64()),
+     ("total_words", pa.int64()), ("avg_top2", pa.float64())]
+)
+
+
+_gate_schema = pa.schema(
+    [("doc_id", pa.int64()), ("source", pa.string()), ("n_words", pa.int64()),
+     ("top2_raw", pa.float64()), ("prefix", pa.string()), ("shard", pa.int64())]
+)
+
+
+def corpus_curation(sf_dir: str, lang: str = "en", min_words: int = 20,
+                    max_dup5: float = 0.2, prefix_len: int = 40):
+    """Composed end-to-end curation pipeline as ONE oracle-checkable
+    query — the LLM-training-data analogue of ``order_lifecycle``:
+
+      read (pruned) → per-doc quality stats (n_words + Gopher
+      repetition fractions, zero-shuffle map) → gate (lang, length,
+      repetition) → exact dedup on the ``prefix_len``-char content key
+      (keep min doc_id; map-side partial-min per batch bounds the
+      shuffle to ≤1 row/key/block, ops/dedup.py A4 pattern) → per-source
+      report (n_docs, total_words, avg_top2).
+
+    Gate comparisons happen on the UNROUNDED double (same IEEE ops as
+    the SQL oracle → bit-identical boundary behavior); only the
+    reported average is rounded. Two shuffles total, both over slim
+    metadata rows (text never leaves the first stage)."""
+    ensure_portable()
+    from .text import _repetition_frame
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source"])
+
+    def stats_gate(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keep = pc.equal(t["lang"], lang)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return _gate_schema.empty_table()
+        rep = _repetition_frame(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        )
+        meta = pl.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_pylist(),
+                "prefix": pc.utf8_slice_codeunits(t["text"], 0, prefix_len).to_pylist(),
+            }
+        )
+        # join on doc_id — polars join output order is not guaranteed,
+        # so never attach columns positionally across a join boundary
+        out = rep.join(meta, on="doc_id", how="inner").filter(
+            (pl.col("n_words") >= min_words) & (pl.col("dup5_raw") <= max_dup5)
+        )
+        # map-side partial: one candidate row per prefix per batch
+        out = out.sort("doc_id").unique(subset=["prefix"], keep="first")
+        shard = out["prefix"].hash(seed=0x5EED) % _DOC_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(out["source"].to_list(), pa.string()),
+                "n_words": pa.array(out["n_words"].to_numpy(), pa.int64()),
+                "top2_raw": pa.array(out["top2_raw"].to_numpy(), pa.float64()),
+                "prefix": pa.array(out["prefix"].to_list(), pa.string()),
+                "shard": pa.array(shard.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            subset=["prefix"], keep="first"
+        )
+        agg = g.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), total_words=("n_words", "sum"),
+            top2_sum=("top2_raw", "sum"),
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg.index.to_numpy(), pa.string()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "total_words": pa.array(agg["total_words"].to_numpy().astype(np.int64), pa.int64()),
+                "top2_sum": pa.array(agg["top2_sum"].to_numpy(), pa.float64()),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("total_words", pa.int64()), ("top2_sum", pa.float64())]
+    )
+
+    def conform_part(t: pa.Table) -> pa.Table:
+        if "top2_sum" not in t.column_names:
+            return part_schema.empty_table()
+        return t.select(part_schema.names)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"), total_words=("total_words", "sum"),
+            top2_sum=("top2_sum", "sum"),
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg.index.to_numpy(), pa.string()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "total_words": pa.array(agg["total_words"].to_numpy().astype(np.int64), pa.int64()),
+                "avg_top2": pa.array(
+                    np.round(agg["top2_sum"].to_numpy() / agg["n_docs"].to_numpy(), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def conform_out(t: pa.Table) -> pa.Table:
+        if "avg_top2" not in t.column_names:
+            return _CURATION_SCHEMA.empty_table()
+        return t.select(_CURATION_SCHEMA.names)
+
+    deduped = (
+        ds.map_batches(stats_gate, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(keep_min, batch_format="pandas")
+        .map_batches(conform_part, batch_format="pyarrow")
+    )
+
+    def route_source(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.Series(t["source"].to_pylist()).hash(seed=0x5EED) % 16
+        return t.append_column("sshard", pa.array(h.to_numpy().astype(np.int64)))
+
+    return (
+        deduped.map_batches(route_source, batch_format="pyarrow")
+        .groupby("sshard")
+        .map_groups(final, batch_format="pandas")
+        .map_batches(conform_out, batch_format="pyarrow")
+    )
+
+
 _CONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_overlap", pa.int64())])
 
 

@@ -164,55 +164,9 @@ def repetition_signals(sf_dir: str, top_n: int = 2, dup_n: int = 5):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        base = pl.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
-            }
-        )
-        n_words = base.select(
-            "doc_id", pl.col("w").list.len().cast(pl.Int64).alias("n_words")
-        )
-        ex = base.explode("w")
-
-        def grams(n: int) -> pl.DataFrame:
-            df = ex
-            if n > 1:
-                df = df.with_columns(
-                    [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
-                     for k in range(1, n)]
-                ).drop_nulls()
-                g = pl.concat_str(
-                    [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)],
-                    separator=" ",
-                )
-            else:
-                g = pl.col("w")
-            return df.select("doc_id", g.alias("g"))
-
-        top = (
-            grams(top_n)
-            .group_by(["doc_id", "g"]).len()
-            .group_by("doc_id").agg(pl.col("len").max().alias("maxc"))
-        )
-        dup = (
-            grams(dup_n)
-            .group_by("doc_id")
-            .agg(pl.len().alias("total"), pl.col("g").n_unique().alias("dist"))
-        )
-        out = (
-            n_words.join(top, on="doc_id", how="left")
-            .join(dup, on="doc_id", how="left")
-            .with_columns(
-                pl.when(pl.col("maxc").is_not_null() & (pl.col("n_words") >= top_n))
-                .then(top_n * pl.col("maxc") / pl.col("n_words"))
-                .otherwise(0.0).alias("top2_frac"),
-                pl.when(pl.col("total").is_not_null())
-                .then(1.0 - pl.col("dist") / pl.col("total"))
-                .otherwise(0.0).alias("dup5_frac"),
-            )
+        out = _repetition_frame(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist(),
+            top_n=top_n, dup_n=dup_n,
         )
         # np.round (true-divide) matches DuckDB round(); pl/pc variants
         # are one ulp off on some values (see module perf notes)
@@ -220,12 +174,76 @@ def repetition_signals(sf_dir: str, top_n: int = 2, dup_n: int = 5):
             {
                 "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
                 "n_words": pa.array(out["n_words"].to_numpy(), pa.int64()),
-                "top2_frac": pa.array(np.round(out["top2_frac"].to_numpy(), 6), pa.float64()),
-                "dup5_frac": pa.array(np.round(out["dup5_frac"].to_numpy(), 6), pa.float64()),
+                "top2_frac": pa.array(np.round(out["top2_raw"].to_numpy(), 6), pa.float64()),
+                "dup5_frac": pa.array(np.round(out["dup5_raw"].to_numpy(), 6), pa.float64()),
             }
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _repetition_frame(doc_ids, texts, top_n: int = 2, dup_n: int = 5):
+    """Vectorized per-doc repetition kernel shared by
+    :func:`repetition_signals` and ``ops.corpus.corpus_curation``.
+    Returns a polars frame (doc_id, n_words, top2_raw, dup5_raw) with
+    UNROUNDED doubles — gate comparisons stay bit-identical to the SQL
+    oracle's IEEE arithmetic; presentation rounding is the caller's."""
+    import polars as pl
+
+    if len(texts) == 0:  # pl infers null dtype from [] and str ops raise
+        return pl.DataFrame(
+            schema={"doc_id": pl.Int64, "n_words": pl.Int64,
+                    "top2_raw": pl.Float64, "dup5_raw": pl.Float64}
+        )
+    base = pl.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "w": pl.Series(texts).str.split(" "),
+        }
+    )
+    n_words = base.select(
+        "doc_id", pl.col("w").list.len().cast(pl.Int64).alias("n_words")
+    )
+    ex = base.explode("w")
+
+    def grams(n: int) -> pl.DataFrame:
+        df = ex
+        if n > 1:
+            df = df.with_columns(
+                [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
+                 for k in range(1, n)]
+            ).drop_nulls()
+            g = pl.concat_str(
+                [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)],
+                separator=" ",
+            )
+        else:
+            g = pl.col("w")
+        return df.select("doc_id", g.alias("g"))
+
+    top = (
+        grams(top_n)
+        .group_by(["doc_id", "g"]).len()
+        .group_by("doc_id").agg(pl.col("len").max().alias("maxc"))
+    )
+    dup = (
+        grams(dup_n)
+        .group_by("doc_id")
+        .agg(pl.len().alias("total"), pl.col("g").n_unique().alias("dist"))
+    )
+    return (
+        n_words.join(top, on="doc_id", how="left")
+        .join(dup, on="doc_id", how="left")
+        .with_columns(
+            pl.when(pl.col("maxc").is_not_null() & (pl.col("n_words") >= top_n))
+            .then(top_n * pl.col("maxc") / pl.col("n_words"))
+            .otherwise(0.0).alias("top2_raw"),
+            pl.when(pl.col("total").is_not_null())
+            .then(1.0 - pl.col("dist") / pl.col("total"))
+            .otherwise(0.0).alias("dup5_raw"),
+        )
+        .select("doc_id", "n_words", "top2_raw", "dup5_raw")
+    )
 
 
 _FP_MOD = (1 << 61) - 1
