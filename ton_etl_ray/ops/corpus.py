@@ -456,24 +456,45 @@ def contamination_check(sf_dir: str, n: int = 8, eval_mod: int = 20):
             {
                 "doc_id": pa.array(part.index.to_numpy(), pa.int64()),
                 "cnt": pa.array(part.to_numpy().astype(np.int64), pa.int64()),
+                "dshard": pa.array(
+                    (part.index.to_numpy() % _DOC_SHARDS).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    cnt_schema = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    cnt_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cnt", pa.int64()), ("dshard", pa.int64())]
+    )
 
     def conform_cnt(t: pa.Table) -> pa.Table:
         if "cnt" not in t.column_names:
             return cnt_schema.empty_table()
         return t.select(cnt_schema.names)
 
-    from ray.data.aggregate import Sum
+    def reduce_doc(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False)["cnt"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(), pa.int64()),
+                "n_overlap": pa.array(agg.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
 
-    out = (
+    def conform_out(t: pa.Table) -> pa.Table:
+        if "n_overlap" not in t.column_names:
+            return _CONTAM_SCHEMA.empty_table()
+        return t.select(_CONTAM_SCHEMA.names)
+
+    # coarse doc-shard map_groups for the final reduce (house pattern:
+    # a per-doc_id group would be ≤ _TERM_SHARDS tiny rows — pure sort
+    # overhead — and native Aggregate emits schema-less empty bundles)
+    return (
         ds.map_batches(ngram_rows, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(match, batch_format="pandas")
         .map_batches(conform_cnt, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("cnt", alias_name="n_overlap"))
+        .groupby("dshard")
+        .map_groups(reduce_doc, batch_format="pandas")
+        .map_batches(conform_out, batch_format="pyarrow")
     )
-    return out
