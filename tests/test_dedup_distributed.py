@@ -155,6 +155,35 @@ def test_connected_components_chain_and_forest():
     lab = dict(zip(out["node"], out["label"]))
     assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # the distributed loop (forced by a zero driver threshold) must
+    # produce the identical labeling
+    out2 = connected_components(
+        rd.from_arrow(edges), driver_threshold=0
+    ).to_pandas()
+    assert dict(zip(out2["node"], out2["label"])) == lab
+
+
+def test_connected_components_paths_agree_random_graph():
+    """Driver union-find fast path == distributed min-label loop on a
+    random sparse graph (self-loops, duplicate and reversed edges)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ton_etl_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 400, size=600)
+    b = rng.integers(0, 400, size=600)
+    edges = pa.table({"id_a": pa.array(a, pa.int64()),
+                      "id_b": pa.array(b, pa.int64())})
+    fast = connected_components(rd.from_arrow(edges)).to_pandas()
+    slow = connected_components(
+        rd.from_arrow(edges), driver_threshold=0
+    ).to_pandas()
+    f = dict(zip(fast["node"], fast["label"]))
+    s = dict(zip(slow["node"], slow["label"]))
+    assert f == s and len(f) > 0
 
 
 def test_simhash_pairs_exact_vs_bruteforce(tmp_path):
