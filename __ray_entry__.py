@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, sketch, text
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": corpus.unigram_logppl,
         "contamination_check": corpus.contamination_check,
         "corpus_curation": corpus.corpus_curation,
+        # token-payload analytics over the replayed lake — token values
+        # are PRNG-derived in the change log, so these are rows-only for
+        # the driver; tests/test_tokens.py oracle-checks them with
+        # DuckDB unnest(tokens) over the committed lake parquet
+        "lake_token_histogram": tokens.lake_token_histogram,
+        "source_token_budget": tokens.source_token_budget,
         # deterministic curation sampling (pure-arithmetic hash → exact
         # SQL oracles; no RNG state, reproducible at any cluster size)
         "hash_sample": sampling.hash_sample,

@@ -155,6 +155,9 @@ def run_bench() -> dict:
         "repetition_signals",
         # composed end-to-end curation: gate → exact dedup → report
         "corpus_curation",
+        # token-payload analytics over the replayed lake (includes its
+        # own flagship replay — the cost is dominated by that setup)
+        "lake_token_histogram", "source_token_budget",
     ]
     qtimes = {}
     if SKIP_QUERIES:
