@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB unnest(tokens) over the committed lake parquet
         "lake_token_histogram": tokens.lake_token_histogram,
         "source_token_budget": tokens.source_token_budget,
+        # iterative spherical k-means over embeddings (rows-only:
+        # iterative/approximate; pytest pins coverage + monotone inertia)
+        "kmeans_clusters": ann.kmeans_clusters,
         # deterministic curation sampling (pure-arithmetic hash → exact
         # SQL oracles; no RNG state, reproducible at any cluster size)
         "hash_sample": sampling.hash_sample,

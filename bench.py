@@ -158,6 +158,9 @@ def run_bench() -> dict:
         # token-payload analytics over the replayed lake (includes its
         # own flagship replay — the cost is dominated by that setup)
         "lake_token_histogram", "source_token_budget",
+        # iterative distributed loop: one assignment pass per Lloyd
+        # iteration, k x dim centroids on the driver only
+        "kmeans_clusters",
     ]
     qtimes = {}
     if SKIP_QUERIES:

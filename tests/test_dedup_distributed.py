@@ -232,3 +232,27 @@ def test_simhash_pairs_exact_vs_bruteforce(tmp_path):
         for j in np.nonzero(ham <= 3)[0]:
             want[(int(ids[i]), int(ids[i + 1 + j]))] = int(ham[j])
     assert got_pairs == want and len(want) > 0
+
+
+def test_kmeans_clusters_properties():
+    """Iterative spherical k-means: full coverage, per-cluster inertia
+    consistency, and convergence (inertia non-increasing over reruns
+    with more iterations)."""
+    import duckdb
+
+    from ton_etl_ray.ops import ann
+
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    one = ann.kmeans_clusters(SF, k=4, iters=1)
+    five = ann.kmeans_clusters(SF, k=4, iters=5)
+    for out in (one, five):
+        assert out["size"].to_pylist() and sum(out["size"].to_pylist()) == n_vecs
+        assert all(v >= 0 for v in out["inertia"].to_pylist())
+    # Lloyd iterations can only improve (allow float-noise slack)
+    assert sum(five["inertia"].to_pylist()) <= sum(one["inertia"].to_pylist()) + 1e-6
+    # determinism: same seed, same result
+    again = ann.kmeans_clusters(SF, k=4, iters=5)
+    assert again["size"].to_pylist() == five["size"].to_pylist()
+    assert again["inertia"].to_pylist() == five["inertia"].to_pylist()

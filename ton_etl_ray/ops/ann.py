@@ -427,3 +427,133 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
     return pa.table({"query_id": pa.array(oq, pa.int64()),
                      "vec_id": pa.array(oid, pa.int64()),
                      "sim": pa.array(osim, pa.float64())})
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, tol: float = 1e-4):
+    """Spherical k-means over the embeddings table as an explicit
+    ITERATIVE distributed loop — the document-clustering step of
+    mixture curation (and the trainer knn_ivf's one-Lloyd-step
+    initializer generalizes into).
+
+    Each iteration is ONE streamed pass: a stateless ``map_batches``
+    task stage assigns every vector to its nearest centroid and emits k
+    partial rows per block (per-cluster vector sum, count, inertia) —
+    the shuffle therefore carries blocks x k tiny rows, never the
+    vectors. (Tasks, not an actor pool: the per-iteration state is one
+    node-locally-cached k x dim ref, and re-spinning a pool every Lloyd
+    round costs more than the pass.)
+    A coarse ``map_groups`` reduce folds the partials; only the k x dim
+    centroid matrix ever reaches the driver (broadcast back via
+    ``ray.put`` next round — the legitimate small-side pattern).
+    Deterministic init: seeded choice from the same bounded row-group
+    sample knn_ivf trains on. Stops early when max centroid movement
+    (cosine) < ``tol``. Approximate/iterative → rows-only; pytest
+    asserts monotone inertia, nearest-centroid consistency, and full
+    coverage.
+
+    Returns a pa.Table summary (cluster, size, inertia) ordered by
+    cluster id; per-vector assignments stay distributed (re-derivable
+    with one more pass)."""
+    ensure_portable()
+    sample = _bounded_sample(sf_dir, max_rows=65536)
+    m = _emb_matrix(sample)
+    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    k = min(k, len(m))
+    rng = np.random.default_rng(4321)
+    cent = m[rng.choice(len(m), size=k, replace=False)].astype(np.float64)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = cent.shape[1]
+
+    part_schema = pa.schema(
+        [("cluster", pa.int64()), ("vsum", pa.list_(pa.float64())),
+         ("cnt", pa.int64()), ("inertia", pa.float64()), ("shard", pa.int64())]
+    )
+
+    for it in range(iters):
+        cref = ray.put(cent)
+
+        def assign_partials(t: pa.Table, _cref=cref) -> pa.Table:
+            # stateless task stage (not an actor pool): the centroid
+            # matrix is k x dim tiny and node-locally cached by the
+            # object store, and a fresh actor pool per Lloyd iteration
+            # would cost more than the pass itself
+            cent_local = ray.get(_cref)
+            mm = _emb_matrix(t)
+            mmn = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
+            sims = mmn @ cent_local.T
+            cl = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(cl)), cl]
+            rows = {"cluster": [], "vsum": [], "cnt": [], "inertia": []}
+            for c in np.unique(cl):
+                sel = mmn[cl == c]
+                rows["cluster"].append(int(c))
+                rows["vsum"].append(sel.sum(axis=0).tolist())
+                rows["cnt"].append(int(len(sel)))
+                rows["inertia"].append(float((1.0 - best[cl == c]).sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(rows["cluster"], pa.int64()),
+                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                    "cnt": pa.array(rows["cnt"], pa.int64()),
+                    "inertia": pa.array(rows["inertia"], pa.float64()),
+                    "shard": pa.array([c % 8 for c in rows["cluster"]], pa.int64()),
+                }
+            )
+
+        def combine(g) -> pa.Table:
+            import pandas as pd  # noqa: F401
+
+            out = {"cluster": [], "vsum": [], "cnt": [], "inertia": []}
+            for c, sub in g.groupby("cluster", sort=True):
+                out["cluster"].append(int(c))
+                out["vsum"].append(np.sum(np.stack(sub["vsum"].to_numpy()), axis=0).tolist())
+                out["cnt"].append(int(sub["cnt"].sum()))
+                out["inertia"].append(float(sub["inertia"].sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(out["cluster"], pa.int64()),
+                    "vsum": pa.array(out["vsum"], pa.list_(pa.float64())),
+                    "cnt": pa.array(out["cnt"], pa.int64()),
+                    "inertia": pa.array(out["inertia"], pa.float64()),
+                }
+            )
+
+        def conform(t: pa.Table) -> pa.Table:
+            want = ["cluster", "vsum", "cnt", "inertia"]
+            if "vsum" not in t.column_names:
+                return pa.schema(
+                    [(n, part_schema.field(n).type) for n in want]
+                ).empty_table()
+            return t.select(want)
+
+        parts = (
+            ds.map_batches(assign_partials, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(combine, batch_format="pandas")
+            .map_batches(conform, batch_format="pyarrow")
+            .take_all()
+        )
+        new_cent = cent.copy()
+        sizes = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.float64)
+        for r in parts:
+            c = r["cluster"]
+            v = np.asarray(r["vsum"], dtype=np.float64)
+            if r["cnt"]:
+                new_cent[c] = v / max(np.linalg.norm(v), 1e-12)
+            sizes[c] = r["cnt"]
+            inertia[c] = r["inertia"]
+        shift = float(np.max(1.0 - np.sum(new_cent * cent, axis=1)))
+        cent = new_cent
+        if shift < tol:
+            break
+
+    order = np.arange(k)
+    return pa.table(
+        {
+            "cluster": pa.array(order, pa.int64()),
+            "size": pa.array(sizes[order], pa.int64()),
+            "inertia": pa.array(np.round(inertia[order], 6), pa.float64()),
+        }
+    )
