@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, sketch, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, scrub, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -107,10 +107,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": text.bpe_token_count,
         "dedup_docs_prefix": text.dedup_docs_prefix,
         "top_tokens": text.top_tokens,
-        "lang_id": text.lang_id,                      # heuristic → rows-only
-        "quality_score": text.quality_score,          # heuristic → rows-only
+        # lang_id / quality_score: deterministic ASCII-exact heuristics,
+        # recomputed bit-for-bit by their DuckDB oracles
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
         "repetition_signals": text.repetition_signals,
         "doc_fingerprint": text.doc_fingerprint,      # rolling hash → rows-only
+        # per-document rewrite stages (zero-shuffle flat-map family):
+        # PII scrub over a deterministically-dirtied corpus, whitespace/
+        # case normalization, fixed-window sequence chunking
+        "pii_redact": scrub.pii_redact,
+        "normalize_text": scrub.normalize_text,
+        "chunk_documents": scrub.chunk_documents,
         "exact_dedup_hash": dedup.exact_dedup_hash,
         # corpus-global statistics joined back per doc (vocabulary/eval
         # set ride the term-sharded shuffle — never broadcast)
@@ -431,6 +439,118 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n_occurrences DESC, token
             LIMIT 20
+        """,
+        # per-document rewrite stages — same regex cascade order as the
+        # engine's RE2 kernels, so text and counts hash-match exactly
+        "pii_redact": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com call 555-010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 100 AS VARCHAR)
+                          || ' acct ' || CAST(9000000000 + doc_id AS VARCHAR) AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM dirty
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                     regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_phone,
+                     CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+                     regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+              FROM s2
+            )
+            SELECT doc_id, n_email, n_phone, n_ip,
+                   CAST(len(regexp_extract_all(t, '\b\d{9,}\b')) AS BIGINT) AS n_num,
+                   regexp_replace(t, '\b\d{9,}\b', '<NUM>', 'g') AS clean_text
+            FROM s3
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents
+        """,
+        "chunk_documents": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+            ), e AS (
+              SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM d
+            )
+            SELECT doc_id, pos // 64 AS chunk_id,
+                   string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+                   count(*) AS n_words
+            FROM e GROUP BY doc_id, chunk_id
+        """,
+        # ASCII-exact heuristics: the engine's vectorized kernels and
+        # these expressions share operation order, so the float columns
+        # match bit-for-bit (quality is deliberately UNROUNDED — np
+        # half-even vs DuckDB half-away disagree on .5 boundaries)
+        "lang_id": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_distinct(list_transform(
+                           regexp_extract_all(text, '[a-zA-Z]+'),
+                           x -> lower(x))) AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+                    len(list_filter(words, x -> x IN
+                      ('the','and','of','a','to','in','is','that','for','with'))) AS s_en,
+                    len(list_filter(words, x -> x IN
+                      ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,
+                    len(list_filter(words, x -> x IN
+                      ('le','la','et','les','des','un','une','est','pour','que'))) AS s_fr,
+                    len(list_filter(words, x -> x IN
+                      ('el','la','y','los','de','un','una','es','por','que'))) AS s_es
+                FROM w
+            )
+            SELECT doc_id,
+                CASE WHEN cjk THEN 'zh'
+                     WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'en'
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "quality_score": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\w+') AS words,
+                       length(text) AS lc,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS pn
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    least(1.0, lc / 1000.0) AS len_score,
+                    CAST(pn AS DOUBLE) / greatest(1, lc) AS punct_ratio,
+                    CAST(len(list_filter(words, x -> lower(x) IN
+                        ('the','and','of','a','to','in','is','that','for','with')))
+                        AS DOUBLE) / greatest(1, len(words)) AS stop_ratio,
+                    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                        AS DOUBLE) / greatest(1, len(words)) AS mean_word_len
+                FROM w
+            )
+            SELECT doc_id,
+                0.4 * len_score
+                  + 0.3 * (1.0 - least(greatest(abs(punct_ratio - 0.05), 0.0), 1.0))
+                  + 0.3 * least(greatest(stop_ratio, 0.0), 0.6) / 0.6 AS quality,
+                stop_ratio, mean_word_len
+            FROM s
         """,
         "repetition_signals": """
             WITH w AS (

@@ -23,14 +23,27 @@ def test_doc_token_stats_matches_duckdb():
 
 
 def test_lang_id_deterministic():
-    from ton_etl_ray.ops.text import LangId
+    import pyarrow as pa
 
-    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["the cat and the dog", "der hund ist gut und", "你好世界"]})
-    a, b = LangId()(docs), LangId()(docs)
-    assert a["lang_pred"].tolist() == b["lang_pred"].tolist()
-    assert a["lang_pred"].tolist()[0] == "en"
-    assert a["lang_pred"].tolist()[1] == "de"
-    assert a["lang_pred"].tolist()[2] == "zh"
+    from ton_etl_ray.ops.text import _lang_id_frame
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat and the dog",
+                "der hund ist gut und",
+                "你好世界",
+                # tie between de and fr stopword hits → alphabetically
+                # first maximal language wins (matches the SQL oracle)
+                "der die le la",
+                "zzz qqq",  # zero hits → en fallback
+            ],
+        }
+    )
+    a = _lang_id_frame(docs)["lang_pred"].to_pylist()
+    b = _lang_id_frame(docs)["lang_pred"].to_pylist()
+    assert a == b == ["en", "de", "zh", "de", "en"]
 
 
 def test_quality_score_bounds():

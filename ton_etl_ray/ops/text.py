@@ -79,67 +79,121 @@ _STOPWORDS = {
 }
 
 
-class LangId:
-    """Language-ID heuristic: stopword hit-rate + CJK codepoint share.
+def _lang_id_frame(t: pa.Table) -> pa.Table:
+    """Vectorized language-ID kernel: CJK presence → zh, else argmax of
+    per-language DISTINCT-stopword hit counts, ties broken by language
+    code ascending (de < en < es < fr), zero hits → en. Batch-level
+    polars (extract_all → lowered distinct list → is_in sums); no
+    Python loop over rows."""
+    import polars as pl
 
-    Deterministic; heuristic (no oracle SQL) — the driver records the
-    rows-only check for this one."""
-
-    def __init__(self):
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.cjk = re.compile(r"[一-鿿]")
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            if self.cjk.search(text):
-                preds.append("zh")
-                continue
-            words = set(w.lower() for w in self.word.findall(text))
-            scores = {
-                lang: len(words & sw) for lang, sw in _STOPWORDS.items() if sw
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best if scores[best] > 0 else "en")
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+    df = pl.from_arrow(t)
+    words = (
+        pl.col("text")
+        .str.extract_all(r"[a-zA-Z]+")
+        .list.eval(pl.element().str.to_lowercase())
+        .list.unique()
+    )
+    scored = df.with_columns(
+        pl.col("text").str.contains(r"[一-鿿]").alias("_cjk"),
+        *[
+            words.list.eval(pl.element().is_in(sorted(sw)))
+            .list.sum()
+            .fill_null(0)
+            .alias(f"_s_{lang}")
+            for lang, sw in _STOPWORDS.items()
+            if sw
+        ],
+    )
+    s = {lang: pl.col(f"_s_{lang}") for lang in ("de", "en", "es", "fr")}
+    best = pl.max_horizontal(*s.values())
+    pred = (
+        pl.when(pl.col("_cjk"))
+        .then(pl.lit("zh"))
+        .when(best == 0)
+        .then(pl.lit("en"))
+        # first maximal language in ascending code order — identical to
+        # max(sorted(scores), key=scores.get) over a python dict
+        .when(s["de"] == best)
+        .then(pl.lit("de"))
+        .when(s["en"] == best)
+        .then(pl.lit("en"))
+        .when(s["es"] == best)
+        .then(pl.lit("es"))
+        .otherwise(pl.lit("fr"))
+    )
+    out = scored.select(pl.col("doc_id"), pred.alias("lang_pred"))
+    return out.to_arrow().replace_schema_metadata(None)
 
 
 def lang_id(sf_dir: str):
+    """Language-ID heuristic over ``documents``: distinct-stopword
+    hit-rate per candidate language + CJK codepoint presence. Pure
+    per-row arithmetic on ASCII-exact regex semantics, so the whole
+    heuristic is recomputable in ANSI SQL (list_filter over
+    regexp_extract_all) — oracle-checked, not rows-only."""
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=2)
+    return ds.map_batches(_lang_id_frame, batch_format="pyarrow")
 
 
-class QualityScore:
-    """Quality scoring: length, punctuation ratio, stopword ratio,
-    mean word length — the usual pre-training text-quality gates."""
+def _quality_frame(t: pa.Table) -> pa.Table:
+    """Vectorized quality kernel. Counters come out of polars string
+    kernels; the float combination runs in numpy in the documented
+    operation order so DuckDB's identically-ordered expression
+    reproduces the exact bits. No final rounding — np.round is
+    half-even while DuckDB round() is half-away (they disagree on
+    exact .5 boundaries, observed in this very corpus), and the
+    UNROUNDED expression is already bit-reproducible."""
+    import polars as pl
 
-    def __init__(self):
-        self.word = re.compile(r"\w+")
-        self.stop = _STOPWORDS["en"]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": batch["doc_id"], "len_score": [], "punct_ratio": [], "stop_ratio": [], "mean_word_len": []}
-        for text in batch["text"]:
-            words = self.word.findall(text)
-            n = max(1, len(words))
-            rows["len_score"].append(min(1.0, len(text) / 1000.0))
-            rows["punct_ratio"].append(sum(c in ".!?,;:" for c in text) / max(1, len(text)))
-            rows["stop_ratio"].append(sum(w.lower() in self.stop for w in words) / n)
-            rows["mean_word_len"].append(sum(len(w) for w in words) / n)
-        df = pd.DataFrame(rows)
-        df["quality"] = (
-            0.4 * df["len_score"]
-            + 0.3 * (1.0 - (df["punct_ratio"] - 0.05).abs().clip(0, 1))
-            + 0.3 * df["stop_ratio"].clip(0, 0.6) / 0.6
-        ).round(6)
-        return df[["doc_id", "quality", "stop_ratio", "mean_word_len"]]
+    df = pl.from_arrow(t)
+    wd = pl.col("text").str.extract_all(r"\w+")
+    stats = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("_lc"),
+        pl.col("text").str.count_matches(r"[.!?,;:]").cast(pl.Int64).alias("_punct"),
+        wd.list.len().cast(pl.Int64).alias("_nw"),
+        wd.list.eval(pl.element().str.len_chars())
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64)
+        .alias("_wlen"),
+        wd.list.eval(pl.element().str.to_lowercase().is_in(sorted(_STOPWORDS["en"])))
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64)
+        .alias("_stop"),
+    )
+    lc = stats["_lc"].to_numpy()
+    n = np.maximum(1, stats["_nw"].to_numpy())
+    len_score = np.minimum(1.0, lc / 1000.0)
+    punct_ratio = stats["_punct"].to_numpy() / np.maximum(1, lc)
+    stop_ratio = stats["_stop"].to_numpy() / n
+    mean_word_len = stats["_wlen"].to_numpy() / n
+    quality = (
+        0.4 * len_score
+        + 0.3 * (1.0 - np.clip(np.abs(punct_ratio - 0.05), 0, 1))
+        + 0.3 * np.clip(stop_ratio, 0, 0.6) / 0.6
+    )
+    return pa.table(
+        {
+            "doc_id": stats["doc_id"].to_arrow(),
+            "quality": pa.array(quality, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+        }
+    )
 
 
 def quality_score(sf_dir: str):
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean
+    word length — the usual pre-training text-quality gates, combined
+    into one ``quality`` scalar. Deterministic integer counters + a
+    fixed-order float expression → full DuckDB value-hash oracle."""
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(QualityScore, batch_format="pandas", batch_size=4096, concurrency=2)
+    return ds.map_batches(_quality_frame, batch_format="pyarrow")
 
 
 def repetition_signals(sf_dir: str, top_n: int = 2, dup_n: int = 5):
