@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": ann.knn_ivf,                       # approximate → rows-only
         "embedding_dedup_pairs": lambda sf: ann.embedding_dedup_pairs(sf, threshold=0.4),
         "lsh_embedding_pairs": ann.lsh_embedding_pairs,  # approximate → rows-only
+        # SemDeDup cluster-then-prune (the scale path for embedding
+        # dedup); iterative sample-trained centroids → rows-only, pytest
+        # pins k=1 to the exact brute-force greedy rule
+        "semdedup_survivors": lambda sf: ann.semdedup(sf, k=16, threshold=0.4),
         # --- multimodal plumbing (decode stubbed; deterministic fake
         # features → rows-only checks over the synthetic media corpus) ---
         "media_features": lambda sf: multimodal.media_features(

@@ -161,6 +161,10 @@ def run_bench() -> dict:
         # iterative distributed loop: one assignment pass per Lloyd
         # iteration, k x dim centroids on the driver only
         "kmeans_clusters",
+        # per-document rewrite family (zero-shuffle maps) + SemDeDup
+        # cluster-then-prune (one cluster-key shuffle)
+        "pii_redact", "normalize_text", "chunk_documents",
+        "semdedup_survivors",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -557,3 +557,107 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, tol: float = 1e-4):
             "inertia": pa.array(np.round(inertia[order], 6), pa.float64()),
         }
     )
+
+
+def semdedup(sf_dir: str, k: int = 16, threshold: float = 0.95,
+             sample_iters: int = 4, max_group: int = 20000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the scale path that
+    turns the O(n²) full-matrix `embedding_dedup_pairs` into k
+    independent O((n/k)²) problems that shuffle once on the cluster
+    key.
+
+    Semantics (deterministic): a vector is dropped iff some other
+    vector in the SAME cluster has cosine similarity >= ``threshold``
+    and a smaller vec_id (keep-first greedy, the usual exemplar rule).
+    Survivors are returned as (vec_id, cluster).
+
+    Scale shape: centroids are trained with a few Lloyd rounds over the
+    same bounded row-group sample knn_ivf uses (a k x dim model, driver
+    BLAS, corpus-size-independent), then ONE streamed assignment pass
+    tags every vector and a single groupby(cluster) shuffle co-locates
+    each cluster for the vectorized gram-matrix prune. Production k
+    scales with corpus size (n / target-cluster-size), keeping each
+    group's n_c² bounded; groups that still exceed ``max_group`` are
+    hash-split and pruned within sub-shards (a documented recall
+    approximation, mirroring the LSH emitters' capped-bucket contract).
+
+    Iterative + sample-trained centroids → rows-only for the driver;
+    pytest pins the k=1 case to the exact brute-force greedy rule and
+    checks the witness property at general k."""
+    ensure_portable()
+    sample = _bounded_sample(sf_dir, max_rows=65536)
+    m = _emb_matrix(sample)
+    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    k = min(k, len(m))
+    rng = np.random.default_rng(4321)
+    cent = m[rng.choice(len(m), size=k, replace=False)].astype(np.float64)
+    for _ in range(sample_iters):
+        cl = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            sel = m[cl == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cref = ray.put(cent)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent_local = ray.get(cref)
+        mm = _emb_matrix(t)
+        mmn = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
+        cl = np.argmax(mmn @ cent_local.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def prune(df: "pd.DataFrame") -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        cluster = int(df["cluster"].iloc[0])
+        keep_ids: list[np.ndarray] = []
+        # hash sub-split only when a single cluster would blow the
+        # gram-matrix memory bound — same capped contract as the LSH
+        # bucket emitters
+        n_shards = max(1, -(-len(df) // max_group))
+        shard = (ids * 2654435761 % (2**32)) % n_shards if n_shards > 1 else np.zeros(len(ids), dtype=np.int64)
+        for s in range(n_shards):
+            sub = df[shard == s]
+            if not len(sub):
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in sub["embedding"]])
+            E = E / np.clip(np.linalg.norm(E, axis=1, keepdims=True), 1e-12, None)
+            G = E @ E.T
+            dup = np.triu(G >= threshold, 1).any(axis=0)
+            keep_ids.append(sub["vec_id"].to_numpy()[~dup])
+        kept = np.sort(np.concatenate(keep_ids)) if keep_ids else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(kept, pa.int64()),
+                "cluster": pa.array(np.full(len(kept), cluster), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        # conform empty sort partitions to the output schema (map_groups
+        # passes them through with the upstream block schema)
+        .map_batches(
+            lambda t: t.select(["vec_id", "cluster"])
+            if "vec_id" in t.column_names and "embedding" not in t.column_names
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
