@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": scrub.pii_redact,
         "normalize_text": scrub.normalize_text,
         "chunk_documents": scrub.chunk_documents,
+        # cross-document packing: ONE coarse (source, doc-shard) groupby
+        # shuffle; sequences cross doc boundaries inside each shard
+        "pack_sequences": scrub.pack_sequences,
         "exact_dedup_hash": dedup.exact_dedup_hash,
         # corpus-global statistics joined back per doc (vocabulary/eval
         # set ride the term-sharded shuffle — never broadcast)
@@ -497,6 +500,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(w, ' ' ORDER BY pos) AS chunk_text,
                    count(*) AS n_words
             FROM e GROUP BY doc_id, chunk_id
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id, source, doc_id // 200 AS shard,
+                     regexp_extract_all(text, '\S+') AS ws
+              FROM documents
+            ), e AS (
+              SELECT doc_id, source, shard, unnest(ws) AS w,
+                     unnest(range(len(ws))) AS pos
+              FROM d
+            ), p AS (
+              SELECT source, shard, w,
+                     row_number() OVER (PARTITION BY source, shard
+                                        ORDER BY doc_id, pos) - 1 AS gpos
+              FROM e
+            )
+            SELECT source, shard, gpos // 64 AS seq_id,
+                   string_agg(w, ' ' ORDER BY gpos) AS seq_text,
+                   count(*) AS n_words
+            FROM p GROUP BY source, shard, seq_id
         """,
         # ASCII-exact heuristics: the engine's vectorized kernels and
         # these expressions share operation order, so the float columns

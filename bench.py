@@ -164,7 +164,7 @@ def run_bench() -> dict:
         # per-document rewrite family (zero-shuffle maps) + SemDeDup
         # cluster-then-prune (one cluster-key shuffle)
         "pii_redact", "normalize_text", "chunk_documents",
-        "semdedup_survivors",
+        "pack_sequences", "semdedup_survivors",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -151,3 +151,45 @@ def test_quality_and_langid_match_oracle_sql(ray_session):
     l = lang_id(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     ol = con.execute(sql["lang_id"] + " ORDER BY doc_id").df()
     assert (l["lang_pred"].to_numpy() == ol["lang_pred"].to_numpy()).all()
+
+
+def test_pack_sequences_matches_duckdb(ray_session):
+    """Cross-document packing reproduces the SQL window formulation:
+    same sequences, same boundaries, sequences crossing doc boundaries
+    within each (source, shard) group."""
+    from ton_etl_ray.ops.scrub import pack_sequences
+
+    got = (
+        pack_sequences(SF, words_per_seq=32, docs_per_shard=100)
+        .to_pandas()
+        .sort_values(["source", "shard", "seq_id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        rf"""
+        WITH d AS (SELECT doc_id, source, doc_id // 100 AS shard,
+                          regexp_extract_all(text, '\S+') AS ws
+                   FROM '{SF}/documents.parquet'),
+        e AS (SELECT doc_id, source, shard, unnest(ws) AS w,
+                     unnest(range(len(ws))) AS pos FROM d),
+        p AS (SELECT source, shard, w,
+                row_number() OVER (PARTITION BY source, shard
+                                   ORDER BY doc_id, pos) - 1 AS gpos
+              FROM e)
+        SELECT source, shard, gpos // 32 AS seq_id,
+               string_agg(w, ' ' ORDER BY gpos) AS seq_text, count(*) AS n_words
+        FROM p GROUP BY source, shard, seq_id
+        ORDER BY source, shard, seq_id
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("source", "shard", "seq_id", "seq_text", "n_words"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # every (source, shard) group: all sequences full except possibly
+    # the last, and word mass is conserved vs the raw corpus
+    last = got.groupby(["source", "shard"])["seq_id"].transform("max")
+    assert (got.loc[got["seq_id"] < last, "n_words"] == 32).all()
+    total_words = duckdb.sql(
+        rf"SELECT sum(len(regexp_extract_all(text,'\S+'))) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert got["n_words"].sum() == total_words

@@ -2,12 +2,15 @@
 stages of a web-scale training-data pipeline (PII redaction, whitespace
 and case normalization, fixed-window sequence chunking).
 
-All three operators are ZERO-SHUFFLE: each document is one input row
-and every output row derives from exactly one input row, so the whole
-family runs as embarrassingly-parallel ``map_batches`` / flat-map
-stages — at 100 TB they scale linearly with no exchange, the same
-streaming shape as the reference's per-message parser fan-out
-(parser/main.py:85-143), re-expressed over Arrow batches.
+The per-document operators (redact / normalize / chunk) are
+ZERO-SHUFFLE: each document is one input row and every output row
+derives from exactly one input row, so they run as embarrassingly-
+parallel ``map_batches`` / flat-map stages — at 100 TB they scale
+linearly with no exchange, the same streaming shape as the reference's
+per-message parser fan-out (parser/main.py:85-143), re-expressed over
+Arrow batches. ``pack_sequences`` is the one cross-document member:
+exactly ONE coarse groupby shuffle on a bounded (source, doc-shard)
+key.
 
 Every kernel is ASCII-exact against its DuckDB oracle: Arrow RE2
 (`replace_substring_regex` / `count_substring_regex`) and DuckDB RE2
@@ -139,3 +142,87 @@ def chunk_documents(sf_dir: str, words_per_chunk: int = 64):
         return out.to_arrow().replace_schema_metadata(None)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, words_per_seq: int = 64, docs_per_shard: int = 200):
+    """Cross-document sequence packing: per (source, doc_id shard),
+    concatenate the documents' word streams in doc_id order and emit
+    consecutive fixed-``words_per_seq``-word training sequences
+    (sequences DO cross document boundaries — the production packing
+    step that `chunk_documents`' per-doc windows approximate).
+
+    The pack group is (source, doc_id // docs_per_shard), NOT the whole
+    source: a source can be an unbounded fraction of a 100 TB corpus,
+    but a shard is a fixed doc-count slice, so every ``map_groups``
+    group is bounded and the one groupby shuffle stays balanced
+    regardless of source skew. Sequence boundaries depend only on the
+    shard's own content — deterministic at any cluster size and exactly
+    reproducible in SQL (window position // W).
+
+    Output: (source, shard, seq_id, seq_text, n_words); the final
+    partial sequence of each shard is kept.
+    """
+    ensure_portable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        shard = pc.divide(t["doc_id"], docs_per_shard)
+        # one composite group key → a single coarse groupby shuffle
+        key = pc.binary_join_element_wise(
+            t["source"], pc.cast(shard, pa.string()), "#"
+        )
+        return t.append_column("shard", shard.cast(pa.int64())).append_column(
+            "_gkey", key
+        )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("shard", pa.int64()),
+            ("seq_id", pa.int64()),
+            ("seq_text", pa.string()),
+            ("n_words", pa.int64()),
+        ]
+    )
+
+    def pack(df: "pd.DataFrame") -> pa.Table:
+        import polars as pl
+
+        if not len(df):
+            return out_schema.empty_table()
+        g = (
+            pl.from_pandas(df[["doc_id", "source", "shard", "text"]])
+            .sort("doc_id")
+            .with_columns(pl.col("text").str.extract_all(r"\S+").alias("_w"))
+            .drop("text")
+            .explode("_w")
+            .filter(pl.col("_w").is_not_null())
+        )
+        if not len(g):
+            return out_schema.empty_table()
+        g = g.with_columns(
+            (pl.int_range(pl.len()) // words_per_seq).alias("seq_id")
+        )
+        out = (
+            g.group_by("seq_id", maintain_order=True)
+            .agg(
+                pl.col("source").first(),
+                pl.col("shard").first().cast(pl.Int64),
+                pl.col("_w").str.join(" ").alias("seq_text"),
+                pl.len().cast(pl.Int64).alias("n_words"),
+            )
+            .select("source", "shard", "seq_id", "seq_text", "n_words")
+        )
+        return out.to_arrow().replace_schema_metadata(None).cast(out_schema)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_gkey")
+        .map_groups(pack, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "seq_id" in t.column_names
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
