@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, relational as R, sampling, scrub, sketch, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parent_event": R.parent_event,
         "union_trades": R.union_trades,
         "table_counts": R.table_counts,
+        # per-column data-quality profile (rows/nulls/exact distinct),
+        # partial-combined per block — the publish-gate validation pass
+        "profile_events": lambda sf: profile.profile_table(sf, table="events"),
         "decimal_revenue": R.decimal_revenue,
         "order_lifecycle": R.order_lifecycle,
         # external-fetch enrichment (P30 surface) with a deterministic
@@ -416,6 +419,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship
                   FROM lineitem GROUP BY l_orderkey) l
               ON l.l_orderkey = o.o_orderkey
+        """,
+        "profile_events": """
+            WITH s AS (
+                SELECT 'event_id' AS col, count(*) AS n_rows,
+                       count(*) - count(event_id) AS n_nulls,
+                       count(DISTINCT event_id) AS n_distinct FROM events
+                UNION ALL SELECT 'event_type', count(*),
+                       count(*) - count(event_type), count(DISTINCT event_type) FROM events
+                UNION ALL SELECT 'props', count(*),
+                       count(*) - count(props), count(DISTINCT props) FROM events
+                UNION ALL SELECT 'ts', count(*),
+                       count(*) - count(ts), count(DISTINCT ts) FROM events
+                UNION ALL SELECT 'user_id', count(*),
+                       count(*) - count(user_id), count(DISTINCT user_id) FROM events
+                UNION ALL SELECT 'value', count(*),
+                       count(*) - count(value), count(DISTINCT value) FROM events
+            )
+            SELECT col AS "column", n_rows, n_nulls, n_distinct FROM s
         """,
         "table_counts": """
             SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem

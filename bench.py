@@ -165,6 +165,8 @@ def run_bench() -> dict:
         # cluster-then-prune (one cluster-key shuffle)
         "pii_redact", "normalize_text", "chunk_documents",
         "pack_sequences", "semdedup_survivors",
+        # per-column data-quality profile (partial-combined distincts)
+        "profile_events",
     ]
     qtimes = {}
     if SKIP_QUERIES:
