@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": lambda sf: profile.profile_table(sf, table="events"),
         "decimal_revenue": R.decimal_revenue,
         "order_lifecycle": R.order_lifecycle,
+        # LEFT OUTER large×large shuffle join, reduced to per-priority
+        # match accounting (dim side filtered before the exchange)
+        "left_outer_orders": R.left_outer_orders,
         # external-fetch enrichment (P30 surface) with a deterministic
         # fetcher so the enrichment JSON is SQL-recomputable
         "enrich_event_types": enrich.enrich_event_types,
@@ -419,6 +422,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship
                   FROM lineitem GROUP BY l_orderkey) l
               ON l.l_orderkey = o.o_orderkey
+        """,
+        "left_outer_orders": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(c_name) AS n_matched
+            FROM orders
+            LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                       WHERE c_mktsegment = 'BUILDING') b
+              ON o_custkey = b.c_custkey
+            GROUP BY o_orderpriority
         """,
         "profile_events": """
             WITH s AS (

@@ -371,3 +371,40 @@ def test_semdedup_witness_and_determinism():
         v = by_id[d]
         sims = np.array([v @ by_id[o] for o in ids if o < d])
         assert (sims >= 0.4).any(), f"dropped {d} has no smaller-id near-dup at all"
+
+
+def test_shuffle_join_left_outer_both_paths():
+    """LEFT OUTER: native and portable paths agree with each other and
+    with DuckDB, including the unmatched (null) rows, under both naming
+    families ('left_outer' and 'left')."""
+    import numpy as np
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import _portable_shuffle_join, shuffle_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    dim = cust.map_batches(
+        lambda t: t.filter(
+            __import__("pyarrow.compute", fromlist=["equal"]).equal(t["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey", "c_name"]).rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    a = shuffle_join(orders, dim, "o_custkey", num_partitions=8, how="left_outer").to_pandas()
+    b = _portable_shuffle_join(orders, dim, "o_custkey", num_partitions=8, how="left").to_pandas()
+    for df in (a, b):
+        df.sort_values(["o_orderkey"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert len(a) == len(b)
+    assert (a["o_orderkey"].to_numpy() == b["o_orderkey"].to_numpy()).all()
+    assert (a["c_name"].isna().to_numpy() == b["c_name"].isna().to_numpy()).all()
+    want_rows, want_matched = duckdb.sql(
+        f"""SELECT count(*), count(c.c_name)
+            FROM '{SF}/orders.parquet' o
+            LEFT JOIN (SELECT c_custkey, c_name FROM '{SF}/customer.parquet'
+                       WHERE c_mktsegment = 'BUILDING') c
+              ON o.o_custkey = c.c_custkey"""
+    ).fetchone()
+    assert len(a) == want_rows
+    assert int(a["c_name"].notna().sum()) == want_matched
+    assert a["c_name"].isna().any(), "test requires real unmatched rows"

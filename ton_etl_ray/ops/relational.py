@@ -385,11 +385,17 @@ def shuffle_join(
     """Both-sides-large hash join (the shuffle join the broadcast pattern
     can't cover). Uses Ray's native hash-partitioned ``Dataset.join``
     when present; otherwise the portable pattern: tag sides, union,
-    ``groupby(hash(key) % B)``, pandas merge inside each bucket group."""
+    ``groupby(hash(key) % B)``, pandas merge inside each bucket group.
+
+    ``how`` accepts either naming family — Ray's ("inner",
+    "left_outer", "full_outer") or polars' ("inner", "left", "full") —
+    and is translated for whichever engine runs the join."""
     ensure_portable()
+    native_how = {"left": "left_outer", "full": "full_outer"}.get(how, how)
+    polars_how = {"left_outer": "left", "full_outer": "full"}.get(how, how)
     if hasattr(left, "join"):
-        return left.join(right, join_type=how, num_partitions=num_partitions, on=(on,))
-    return _portable_shuffle_join(left, right, on, num_partitions=num_partitions, how=how)
+        return left.join(right, join_type=native_how, num_partitions=num_partitions, on=(on,))
+    return _portable_shuffle_join(left, right, on, num_partitions=num_partitions, how=polars_how)
 
 
 def _portable_shuffle_join(
@@ -807,3 +813,51 @@ def table_counts(sf_dir: str):
     names = ["lineitem", "orders", "customer", "events", "documents", "embeddings"]
     counts = [read_table(sf_dir, n).count() for n in names]
     return pa.table({"tbl": pa.array(names, pa.string()), "n": pa.array(counts, pa.int64())})
+
+
+def left_outer_orders(sf_dir: str):
+    """LEFT OUTER large×large shuffle join (J-family completeness —
+    the reference's nft_events enrichment keeps rows whose dimension
+    lookup misses, nft_events.sql LEFT JOIN shape): every order is
+    kept, customer attributes attach only when the customer is in the
+    BUILDING segment, reduced to per-priority match accounting.
+
+    Scale shape: the dimension side is FILTERED before the exchange
+    (predicate pushdown into the map stage), the join is the
+    hash-partitioned `shuffle_join`, and the post-join aggregate rides
+    per-block polars partials into a tiny grouped sum — the result
+    (5 priorities) is the only driver-sized object."""
+    ensure_portable()
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+    def dim(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return pa.table({"o_custkey": f["c_custkey"], "c_name": f["c_name"]})
+
+    joined = shuffle_join(
+        orders, cust.map_batches(dim, batch_format="pyarrow"),
+        on="o_custkey", how="left_outer",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t.select(["o_orderpriority", "c_name"]))
+            .group_by("o_orderpriority")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("c_name").is_not_null().sum().cast(pl.Int64).alias("m"),
+            )
+        )
+        return g.to_arrow().replace_schema_metadata(None)
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("m", alias_name="n_matched"))
+        .sort("o_orderpriority")
+    )
