@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup); iterative sample-trained centroids → rows-only, pytest
         # pins k=1 to the exact brute-force greedy rule
         "semdedup_survivors": lambda sf: ann.semdedup(sf, k=16, threshold=0.4),
+        # PCA projection via exact distributed moments (eigh on the
+        # dim×dim driver-side covariance; pytest pins ≡ single-machine)
+        "pca_project": ann.pca_project,
         # --- multimodal plumbing (decode stubbed; deterministic fake
         # features → rows-only checks over the synthetic media corpus) ---
         "media_features": lambda sf: multimodal.media_features(

@@ -408,3 +408,37 @@ def test_shuffle_join_left_outer_both_paths():
     assert len(a) == want_rows
     assert int(a["c_name"].notna().sum()) == want_matched
     assert a["c_name"].isna().any(), "test requires real unmatched rows"
+
+
+def test_pca_project_matches_single_machine():
+    """Distributed exact moments == single-machine PCA (up to float
+    summation order): projections allclose, components orthonormal
+    through the round trip, deterministic across runs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.ann import pca_project
+
+    sf = "/root/testdata/sf0.001"
+    got = pca_project(sf, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    again = pca_project(sf, k=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    P = np.stack([np.asarray(p) for p in got["proj"]])
+    P2 = np.stack([np.asarray(p) for p in again["proj"]])
+    assert np.array_equal(P, P2), "not deterministic"
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    order = np.argsort(t["vec_id"].to_numpy())
+    E = E[order]
+    mu = E.mean(axis=0)
+    cov = np.cov(E, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :4].copy()
+    for j in range(4):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = (E - mu) @ comps
+    assert np.allclose(P, want, atol=1e-8), "distributed PCA diverged from direct"
+    # variance along each component decreases and matches eigenvalues
+    assert np.allclose(P.var(axis=0, ddof=1), np.sort(w)[::-1][:4], rtol=1e-6)

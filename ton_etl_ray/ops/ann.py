@@ -661,3 +661,102 @@ def semdedup(sf_dir: str, k: int = 16, threshold: float = 0.95,
             batch_format="pyarrow",
         )
     )
+
+
+def pca_project(sf_dir: str, k: int = 8):
+    """PCA dimensionality reduction over the embeddings table — the
+    usual pre-ANN / pre-clustering projection step, computed with EXACT
+    distributed moments (not a sample):
+
+    1. one streamed pass emits per-block partials (count, Σx, XᵀX) —
+       dim + dim² doubles per block, corpus-size-independent;
+    2. a coarse 64-shard ``map_groups`` tree-folds the partials so the
+       driver only ever sees ≤64 rows (at millions of blocks the
+       driver would otherwise collect dim² doubles per block);
+    3. the dim×dim covariance eigendecomposition runs on the driver
+       (dim-bounded, corpus-independent) with a deterministic sign
+       convention (largest-|loading| element positive per component);
+    4. a second streamed pass projects every vector against the
+       broadcast (mean, components) — the same legitimate small-side
+       pattern as kmeans/knn.
+
+    Moments are exact sums, so the result equals single-machine PCA up
+    to float summation order (pinned allclose in pytest). Linear-algebra
+    factorization → no SQL oracle; rows-only.
+
+    Returns (vec_id, proj: list<float64> length k)."""
+    ensure_portable()
+    sample = _bounded_sample(sf_dir, max_rows=4)
+    dim = _emb_matrix(sample).shape[1]
+    k = min(k, dim)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    part_schema = pa.schema(
+        [("shard", pa.int64()), ("cnt", pa.int64()),
+         ("s", pa.list_(pa.float64())), ("sc", pa.list_(pa.float64()))]
+    )
+
+    def moment_partials(t: pa.Table) -> pa.Table:
+        mm = _emb_matrix(t)
+        s = mm.sum(axis=0)
+        sc = mm.T @ mm
+        shard = int(t["vec_id"][0].as_py()) % 64 if len(t) else 0
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "cnt": pa.array([len(mm)], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "sc": pa.array([sc.ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        cnt = int(df["cnt"].sum())
+        s = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["s"]]), axis=0)
+        sc = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["sc"]]), axis=0)
+        return pa.table(
+            {
+                "shard": pa.array([int(df["shard"].iloc[0])], pa.int64()),
+                "cnt": pa.array([cnt], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "sc": pa.array([sc.ravel().tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        ds.map_batches(moment_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(part_schema.names)
+            if "cnt" in t.column_names else part_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    cnt = sum(r["cnt"] for r in parts)
+    s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in parts], axis=0)
+    sc = np.sum([np.asarray(r["sc"], dtype=np.float64) for r in parts], axis=0).reshape(dim, dim)
+    mu = s / cnt
+    cov = (sc - np.outer(mu, s)) / max(cnt - 1, 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :k].copy()
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu_l, comps_l = ray.get(ref)
+        mm = _emb_matrix(t)
+        p = (mm - mu_l) @ comps_l
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "proj": pa.array([row.tolist() for row in p], pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
