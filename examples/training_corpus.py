@@ -1,10 +1,11 @@
 """End-to-end training-data curation pipeline over the documents table:
 
     read (pruned columns)
-      → quality scoring (actor pool)           ops/text.QualityScore
+      → quality scoring (vectorized polars kernel)   ops/text.quality_score
       → quality gate (vectorized filter)
       → near-dup removal (LSH groups → keep one representative)
-      → token statistics on the survivors
+      → cross-document sequence packing of the survivors
+                                                     ops/scrub.pack_sequences
       → hive-partitioned parquet export by source (resumable layout)
 
 Every stage is the library's production operator; the near-dup keep-set
@@ -28,9 +29,9 @@ from ray.data import DataContext
 
 DataContext.get_current().enable_progress_bars = False
 
-from ton_etl_ray.ops import dedup
+from ton_etl_ray.ops import dedup, scrub
 from ton_etl_ray.ops._util import read_table
-from ton_etl_ray.ops.text import QualityScore
+from ton_etl_ray.ops.text import _quality_frame
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = "/tmp/tonray_training_corpus"
@@ -51,11 +52,9 @@ print(f"near-dup components: keeping {len(keep_ids)} of {n_docs} docs")
 
 # --- 2. stream the corpus through quality + dedup gates ---------------
 ds = read_table(SF, "documents", columns=["doc_id", "text", "source"])
-scored = ds.map_batches(QualityScore, batch_format="pandas", batch_size=2048,
-                        concurrency=2)
-# QualityScore emits (doc_id, quality, ...); join the gate back to the
-# text by re-reading pruned columns would double-read — instead gate on
-# a recomputed quality inside one Arrow stage:
+scored = ds.map_batches(
+    lambda t: _quality_frame(t.select(["doc_id", "text"])), batch_format="pyarrow"
+)
 
 
 def gate(t: pa.Table) -> pa.Table:
@@ -71,19 +70,25 @@ def gate(t: pa.Table) -> pa.Table:
 
 survivors = ds.map_batches(gate, batch_format="pyarrow")
 
-# --- 3. resumable partitioned export ----------------------------------
-survivors.write_parquet(OUT, partition_cols=["source"])
+# --- 3. pack the survivors into fixed-length training sequences -------
+# (the same production operator queries() exposes, run over the curated
+# stream instead of the raw table)
+sequences = scrub.pack_sequences(ds=survivors, words_per_seq=64, docs_per_shard=200)
+
+# --- 4. resumable partitioned export ----------------------------------
+sequences.write_parquet(OUT, partition_cols=["source"])
 import glob
 
 parts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(OUT, "*")))
 
 import pyarrow.parquet as pq
 
-total = sum(
-    pq.ParquetFile(f).metadata.num_rows
-    for f in glob.glob(os.path.join(OUT, "**", "*.parquet"), recursive=True)
+files = glob.glob(os.path.join(OUT, "**", "*.parquet"), recursive=True)
+total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+words = sum(
+    pq.read_table(f, columns=["n_words"])["n_words"].to_numpy().sum() for f in files
 )
-print(f"curated corpus: {total} docs across partitions {parts}")
+print(f"packed corpus: {total} sequences / {words} words across partitions {parts}")
 print(f"quality stats present: {scored.columns()}")
 
 ray.shutdown()

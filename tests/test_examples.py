@@ -1,0 +1,39 @@
+"""Examples must track the library API — each runs end-to-end in a
+fresh process (its own ray.init, like a user invocation) at sf0.001."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_training_corpus_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "training_corpus.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "packed corpus:" in out.stdout
+    assert "near-dup components" in out.stdout
+
+
+def test_pack_sequences_over_custom_dataset(ray_session):
+    """The ds= hook packs a filtered stream identically to packing the
+    same rows from disk."""
+    from ton_etl_ray.ops._util import read_table
+    from ton_etl_ray.ops.scrub import pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    full = read_table(sf, "documents", columns=["doc_id", "source", "text"])
+    sub = full.filter(lambda r: r["doc_id"] % 2 == 0)
+    packed = pack_sequences(ds=sub, words_per_seq=16, docs_per_shard=50).to_pandas()
+    assert len(packed) > 0
+    import duckdb
+
+    want_words = duckdb.sql(
+        rf"""SELECT sum(len(regexp_extract_all(text,'\S+')))
+             FROM '{sf}/documents.parquet' WHERE doc_id % 2 = 0"""
+    ).fetchone()[0]
+    assert packed["n_words"].sum() == want_words

@@ -144,7 +144,8 @@ def chunk_documents(sf_dir: str, words_per_chunk: int = 64):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def pack_sequences(sf_dir: str, words_per_seq: int = 64, docs_per_shard: int = 200):
+def pack_sequences(sf_dir: str | None = None, words_per_seq: int = 64,
+                   docs_per_shard: int = 200, *, ds=None):
     """Cross-document sequence packing: per (source, doc_id shard),
     concatenate the documents' word streams in doc_id order and emit
     consecutive fixed-``words_per_seq``-word training sequences
@@ -161,9 +162,16 @@ def pack_sequences(sf_dir: str, words_per_seq: int = 64, docs_per_shard: int = 2
 
     Output: (source, shard, seq_id, seq_text, n_words); the final
     partial sequence of each shard is kept.
+
+    Pass ``ds`` (any Dataset with doc_id/source/text columns — e.g. the
+    survivors of a curation gate) to pack something other than the raw
+    documents table.
     """
     ensure_portable()
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    if ds is None:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    else:
+        ds = ds.select_columns(["doc_id", "source", "text"])
 
     def tag(t: pa.Table) -> pa.Table:
         shard = pc.divide(t["doc_id"], docs_per_shard)
