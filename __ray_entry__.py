@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text.doc_token_stats,
         "bpe_token_count": text.bpe_token_count,
         "dedup_docs_prefix": text.dedup_docs_prefix,
+        # priority-aware exact dedup: per content key keep the copy
+        # from the preferred source (composite-key argmin combiner)
+        "dedup_prefer_source": text.dedup_prefer_source,
         "top_tokens": text.top_tokens,
         # lang_id / quality_score: deterministic ASCII-exact heuristics,
         # recomputed bit-for-bit by their DuckDB oracles
@@ -743,6 +746,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_prefix": """
             SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        "dedup_prefer_source": """
+            WITH k AS (SELECT doc_id, source, substr(text, 1, 40) AS prefix
+                       FROM documents),
+            r AS (SELECT prefix, doc_id, source,
+                    row_number() OVER (PARTITION BY prefix
+                                       ORDER BY source, doc_id) AS rk
+                  FROM k)
+            SELECT prefix, doc_id, source FROM r WHERE rk = 1
         """,
         "exact_dedup_hash": """
             SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY text

@@ -143,3 +143,41 @@ def test_repetition_signals_edge_docs(tmp_path):
     assert out.loc[2, "dup5_frac"] == 0.0
     assert out.loc[3, "dup5_frac"] == 0.0
     assert abs(out.loc[3, "top2_frac"] - 0.2) < 1e-9
+
+
+def test_dedup_prefer_source_composite_key_order():
+    """The composite argmin key must order exactly like the
+    (source, doc_id) tuple — including the prefix-name trap
+    (src1 vs src10: 0x1f separator sorts below '0')."""
+    assert ("src1" + "\x1f" + "000000000050") < ("src10" + "\x1f" + "000000000002")
+    assert ("src1", 50) < ("src10", 2)
+    # same content key, three copies: src1 wins over src10 and src2
+    import pyarrow as pa
+
+    import duckdb
+
+    from ton_etl_ray.ops.text import dedup_prefer_source
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_prefer_source(sf).to_pandas().sort_values("prefix").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH k AS (SELECT doc_id, source, substr(text,1,40) AS prefix
+                   FROM '{sf}/documents.parquet'),
+        r AS (SELECT prefix, doc_id, source,
+                row_number() OVER (PARTITION BY prefix ORDER BY source, doc_id) rk
+              FROM k)
+        SELECT prefix, doc_id, source FROM r WHERE rk = 1 ORDER BY prefix
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ("prefix", "doc_id", "source"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the preference is exercised: at least one content key appears
+    # under multiple sources in the corpus
+    n_cross = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT substr(text,1,40) FROM '{sf}/documents.parquet'
+              GROUP BY 1 HAVING count(DISTINCT source) > 1)"""
+    ).fetchone()[0]
+    assert n_cross > 0

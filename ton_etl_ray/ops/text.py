@@ -386,3 +386,64 @@ def top_tokens(sf_dir: str, k: int = 20):
     )
     top = agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
     return top
+
+
+def dedup_prefer_source(sf_dir: str, prefix_len: int = 40):
+    """Priority-aware exact dedup (the mixture-merge form of A1): one
+    winner per content key, but the winner is the copy from the most
+    preferred SOURCE (ties by doc_id) — "when the same page appears in
+    a curated dump and a web crawl, keep the curated copy". Preference
+    order here is ascending source name; swap in any rank map at the
+    key step.
+
+    Same skew-proof shape as `dedup_docs_prefix`: the (source, doc_id)
+    argmin is encoded as one order-preserving composite string
+    (source + US-separator + zero-padded doc_id — the 0x1f separator
+    sorts below every printable char, so composite order == tuple
+    order even when one source name prefixes another, e.g. src1 vs
+    src10), reduced with a per-batch partial Min combiner, then ONE
+    grouped Min — ≤1 row per content key per block ever ships."""
+    ensure_portable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        prefix = pc.utf8_slice_codeunits(t["text"], 0, prefix_len)
+        part = (
+            pl.DataFrame(
+                {
+                    "prefix": prefix.to_pylist(),
+                    "source": t["source"].to_pylist(),
+                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .with_columns(
+                (pl.col("source") + "\x1f"
+                 + pl.col("doc_id").cast(pl.String).str.zfill(12)).alias("w")
+            )
+            .group_by("prefix")
+            .agg(pl.col("w").min())
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(part["prefix"].to_list(), pa.string()),
+                "w": pa.array(part["w"].to_list(), pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    won = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Min("w", alias_name="w"))
+    )
+
+    def decompose(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["w"], pattern="\x1f")
+        src = pc.list_element(parts, 0)
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table({"prefix": t["prefix"], "doc_id": did, "source": src})
+
+    return won.map_batches(decompose, batch_format="pyarrow")
