@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": R.q3_top_orders,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "asof_last_click": R.asof_last_click,
+        # interval (range) join: ALL same-user clicks in the preceding
+        # window per purchase — the 1→many sibling of the as-of join
+        "range_join_clicks": lambda sf: R.range_join_clicks(sf, window_minutes=240),
         "session_count": R.session_count,
         "rank1_snapshot": R.rank1_snapshot,
         "cdc_state_events": R.cdc_state_events,
@@ -298,6 +301,14 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c.ts DESC LIMIT 1
             ) c ON true
             WHERE p.event_type = 'purchase'
+        """,
+        "range_join_clicks": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+                   date_diff('microsecond', c.ts, p.ts) / 1000000.0 AS gap_s
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 240 MINUTE AND c.ts < p.ts
         """,
         "session_count": """
             WITH g AS (

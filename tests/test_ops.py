@@ -442,3 +442,43 @@ def test_pca_project_matches_single_machine():
     assert np.allclose(P, want, atol=1e-8), "distributed PCA diverged from direct"
     # variance along each component decreases and matches eigenvalues
     assert np.allclose(P.var(axis=0, ddof=1), np.sort(w)[::-1][:4], rtol=1e-6)
+
+
+def test_range_join_window_strictness(tmp_path):
+    """Interval edges: click AT ts-window is included, click AT the
+    purchase ts is excluded, clicks outside the window never pair."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.relational import range_join_clicks
+
+    base = pd.Timestamp("2025-01-01 12:00:00")
+    rows = [
+        # user 1: purchase at 12:00; clicks at exactly -60min (in),
+        # -30min (in), 0 (out: strictly before), +1min (out)
+        (100, base, 1, "purchase"),
+        (1, base - pd.Timedelta(minutes=60), 1, "click"),
+        (2, base - pd.Timedelta(minutes=30), 1, "click"),
+        (3, base, 1, "click"),
+        (4, base + pd.Timedelta(minutes=1), 1, "click"),
+        (5, base - pd.Timedelta(minutes=61), 1, "click"),   # out: too old
+        # user 2: same timestamps must not cross users
+        (6, base - pd.Timedelta(minutes=10), 2, "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = range_join_clicks(str(d), window_minutes=60).to_pandas()
+    assert sorted(out["click_id"]) == [1, 2]
+    assert (out["purchase_id"] == 100).all()
+    gaps = dict(zip(out["click_id"], out["gap_s"]))
+    assert gaps[1] == 3600.0 and gaps[2] == 1800.0

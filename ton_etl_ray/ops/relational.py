@@ -861,3 +861,61 @@ def left_outer_orders(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_orders"), Sum("m", alias_name="n_matched"))
         .sort("o_orderpriority")
     )
+
+
+def range_join_clicks(sf_dir: str, window_minutes: int = 60):
+    """Interval (range) join, the 1→many sibling of the as-of join
+    (J5/J9 family; the reference's get_core_price fetches ONE prior
+    row — parser/db.py:392-405 — a range join keeps them ALL): for
+    every purchase, every click by the same user in the preceding
+    ``window_minutes``, with the purchase/click pairing emitted as one
+    row per qualifying pair.
+
+    ONE shuffle on user_id; inside each group both sides are sorted
+    once and the window membership is two vectorized ``searchsorted``
+    cuts (lo/hi index per purchase) — no per-row loop and no O(n²)
+    cross product: the emitted volume is exactly the qualifying pairs.
+    Skew note: fan-out is bounded by the window, so a hot user costs
+    output rows, not quadratic candidate work."""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    win = np.timedelta64(window_minutes * 60 * 1000 * 1000, "us")
+
+    out_schema = pa.schema(
+        [("purchase_id", pa.int64()), ("click_id", pa.int64()),
+         ("user_id", pa.int64()), ("gap_s", pa.float64())]
+    )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        p = g[g.event_type == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g.event_type == "click"].sort_values(["ts", "event_id"])
+        if not len(p) or not len(c):
+            return out_schema.empty_table()
+        cts = c["ts"].to_numpy()
+        pts = p["ts"].to_numpy()
+        lo = np.searchsorted(cts, pts - win, side="left")
+        hi = np.searchsorted(cts, pts, side="left")   # strictly before
+        counts = hi - lo
+        if counts.sum() == 0:
+            return out_schema.empty_table()
+        pidx = np.repeat(np.arange(len(p)), counts)
+        cidx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        gap = (pts[pidx] - cts[cidx]) / np.timedelta64(1, "s")
+        return pa.table(
+            {
+                "purchase_id": pa.array(p["event_id"].to_numpy()[pidx], pa.int64()),
+                "click_id": pa.array(c["event_id"].to_numpy()[cidx], pa.int64()),
+                "user_id": pa.array(np.full(len(pidx), int(g["user_id"].iloc[0])), pa.int64()),
+                "gap_s": pa.array(gap.astype(np.float64), pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "purchase_id" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
