@@ -167,6 +167,8 @@ def run_bench() -> dict:
         "pack_sequences", "semdedup_survivors",
         # per-column data-quality profile (partial-combined distincts)
         "profile_events",
+        # interval join + priority-aware exact dedup + PCA projection
+        "range_join_clicks", "dedup_prefer_source", "pca_project",
     ]
     qtimes = {}
     if SKIP_QUERIES:
