@@ -1,9 +1,9 @@
 """End-to-end training-data curation pipeline over the documents table:
 
     read (pruned columns)
-      → quality scoring (vectorized polars kernel)   ops/text.quality_score
-      → quality gate (vectorized filter)
       → near-dup removal (LSH groups → keep one representative)
+      → quality gate (the vectorized ops/text quality kernel scores
+        each batch in-stage and its score IS the filter)
       → cross-document sequence packing of the survivors
                                                      ops/scrub.pack_sequences
       → hive-partitioned parquet export by source (resumable layout)
@@ -51,21 +51,23 @@ n_docs = len(groups_t)
 print(f"near-dup components: keeping {len(keep_ids)} of {n_docs} docs")
 
 # --- 2. stream the corpus through quality + dedup gates ---------------
+# The quality kernel runs INSIDE the gate stage (same batch, no second
+# pass over the text), and its score is what actually gates each doc.
 ds = read_table(SF, "documents", columns=["doc_id", "text", "source"])
-scored = ds.map_batches(
-    lambda t: _quality_frame(t.select(["doc_id", "text"])), batch_format="pyarrow"
-)
+Q_MIN = 0.40  # drop the low-quality tail (~30% of this synthetic corpus)
 
 
 def gate(t: pa.Table) -> pa.Table:
     keepers = ray.get(kref)
     t = t.filter(pc.is_in(t["doc_id"], value_set=keepers))   # near-dup gate
-    n_chars = pc.utf8_length(t["text"])
+    q = _quality_frame(t.select(["doc_id", "text"]))
     words = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
-    # quality gate: non-trivial docs only (length + word count)
-    mask = pc.and_(pc.greater(n_chars, 50), pc.greater(words, 10))
+    # quality gate: the production score plus a trivial-doc floor
+    mask = pc.and_(pc.greater_equal(q["quality"], Q_MIN), pc.greater(words, 10))
     t = t.filter(mask)
-    return t.append_column("n_words", words.filter(mask).cast(pa.int64()))
+    return t.append_column("n_words", words.filter(mask).cast(pa.int64())).append_column(
+        "quality", q["quality"].filter(mask)
+    )
 
 
 survivors = ds.map_batches(gate, batch_format="pyarrow")
@@ -89,6 +91,5 @@ words = sum(
     pq.read_table(f, columns=["n_words"])["n_words"].to_numpy().sum() for f in files
 )
 print(f"packed corpus: {total} sequences / {words} words across partitions {parts}")
-print(f"quality stats present: {scored.columns()}")
 
 ray.shutdown()

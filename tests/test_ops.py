@@ -482,3 +482,22 @@ def test_range_join_window_strictness(tmp_path):
     assert (out["purchase_id"] == 100).all()
     gaps = dict(zip(out["click_id"], out["gap_s"]))
     assert gaps[1] == 3600.0 and gaps[2] == 1800.0
+
+
+def test_shuffle_join_full_outer_key_coalesced():
+    """FULL OUTER: right-only rows must carry their key (polars keeps a
+    separate <on>_right column unless coalesce=True — dropping it
+    nulled the join key and diverged from the native engine)."""
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import _portable_shuffle_join, shuffle_join
+
+    a = rd.from_items([{"k": 1, "x": 10}, {"k": 2, "x": 20}])
+    b = rd.from_items([{"k": 2, "y": 200}, {"k": 3, "y": 300}])
+    p = _portable_shuffle_join(a, b, "k", num_partitions=4, how="full").to_pandas()
+    n = shuffle_join(a, b, "k", num_partitions=4, how="full_outer").to_pandas()
+    assert not p["k"].isna().any()
+    assert sorted(p["k"].astype(int)) == sorted(n["k"].dropna().astype(int)) == [1, 2, 3]
+    right_only = p[p["k"] == 3]
+    assert len(right_only) == 1 and right_only["y"].iloc[0] == 300
+    assert right_only["x"].isna().all()

@@ -149,8 +149,16 @@ def test_dedup_prefer_source_composite_key_order():
     """The composite argmin key must order exactly like the
     (source, doc_id) tuple — including the prefix-name trap
     (src1 vs src10: 0x1f separator sorts below '0')."""
-    assert ("src1" + "\x1f" + "000000000050") < ("src10" + "\x1f" + "000000000002")
+    assert ("src1" + "\x1f" + "50".zfill(20)) < ("src10" + "\x1f" + "2".zfill(20))
     assert ("src1", 50) < ("src10", 2)
+    # zfill(20) covers all of non-negative int64 — 10^12 and int64-max
+    # doc_ids still order like the integers (the 12-wide pad inverted)
+    assert ("s" + "\x1f" + str(999999999999).zfill(20)) < (
+        "s" + "\x1f" + str(10**12).zfill(20)
+    )
+    assert ("s" + "\x1f" + str(10**12).zfill(20)) < (
+        "s" + "\x1f" + str(2**63 - 1).zfill(20)
+    )
     # same content key, three copies: src1 wins over src10 and src2
     import pyarrow as pa
 

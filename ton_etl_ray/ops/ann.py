@@ -605,6 +605,11 @@ def semdedup(sf_dir: str, k: int = 16, threshold: float = 0.95,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.schema(
+                [("vec_id", pa.int64()), ("cluster", pa.int64()),
+                 ("embedding", pa.list_(pa.float32()))]
+            ).empty_table()
         cent_local = ray.get(cref)
         mm = _emb_matrix(t)
         mmn = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
@@ -698,10 +703,13 @@ def pca_project(sf_dir: str, k: int = 8):
     )
 
     def moment_partials(t: pa.Table) -> pa.Table:
+        if not len(t):
+            # _emb_matrix indexes col[0] for the dim — guard BEFORE it
+            return part_schema.empty_table()
         mm = _emb_matrix(t)
         s = mm.sum(axis=0)
         sc = mm.T @ mm
-        shard = int(t["vec_id"][0].as_py()) % 64 if len(t) else 0
+        shard = int(t["vec_id"][0].as_py()) % 64
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),
@@ -749,6 +757,10 @@ def pca_project(sf_dir: str, k: int = 8):
     ref = ray.put((mu, comps))
 
     def project(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.schema(
+                [("vec_id", pa.int64()), ("proj", pa.list_(pa.float64()))]
+            ).empty_table()
         mu_l, comps_l = ray.get(ref)
         mm = _emb_matrix(t)
         p = (mm - mu_l) @ comps_l

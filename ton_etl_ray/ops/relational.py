@@ -475,7 +475,12 @@ def _portable_shuffle_join(
         side = g["__side"].to_numpy(zero_copy_only=False)
         l = pl.from_arrow(g.filter(pa.array(side == 0)).select(left_cols))
         r = pl.from_arrow(g.filter(pa.array(side == 1)).select(right_cols))
-        merged = l.join(r, on=on, how=how, maintain_order="left_right")
+        # coalesce=True folds the right side's key into the output key
+        # column; without it polars' full join keeps a separate
+        # `<on>_right` that the select() below would DROP, returning
+        # right-only rows with a null join key (diverging from the
+        # native engine)
+        merged = l.join(r, on=on, how=how, maintain_order="left_right", coalesce=True)
         t = merged.select(out_schema.names).to_arrow()
         # polars emits large_string/large_list — normalize to the caller's
         # exact schema so empty merges can't degrade list types either

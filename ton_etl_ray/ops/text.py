@@ -398,10 +398,12 @@ def dedup_prefer_source(sf_dir: str, prefix_len: int = 40):
 
     Same skew-proof shape as `dedup_docs_prefix`: the (source, doc_id)
     argmin is encoded as one order-preserving composite string
-    (source + US-separator + zero-padded doc_id — the 0x1f separator
-    sorts below every printable char, so composite order == tuple
-    order even when one source name prefixes another, e.g. src1 vs
-    src10), reduced with a per-batch partial Min combiner, then ONE
+    (source + US-separator + doc_id zero-padded to 20 digits, the full
+    non-negative int64 width — the 0x1f separator sorts below every
+    printable char, so composite order == tuple order even when one
+    source name prefixes another, e.g. src1 vs src10; doc_ids are
+    assumed non-negative, as everywhere in this corpus model),
+    reduced with a per-batch partial Min combiner, then ONE
     grouped Min — ≤1 row per content key per block ever ships."""
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
@@ -419,8 +421,11 @@ def dedup_prefer_source(sf_dir: str, prefix_len: int = 40):
                 }
             )
             .with_columns(
+                # zfill(20) covers the full non-negative int64 range
+                # (19 digits) — at 12 the composite order inverts for
+                # doc_ids >= 10^12
                 (pl.col("source") + "\x1f"
-                 + pl.col("doc_id").cast(pl.String).str.zfill(12)).alias("w")
+                 + pl.col("doc_id").cast(pl.String).str.zfill(20)).alias("w")
             )
             .group_by("prefix")
             .agg(pl.col("w").min())
