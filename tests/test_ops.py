@@ -501,3 +501,20 @@ def test_shuffle_join_full_outer_key_coalesced():
     right_only = p[p["k"] == 3]
     assert len(right_only) == 1 and right_only["y"].iloc[0] == 300
     assert right_only["x"].isna().all()
+
+
+def test_semdedup_oversized_cluster_subshards():
+    """A cluster above max_group is hash-split and pruned within
+    sub-shards: the run completes, survivors stay unique, and recall
+    only DROPS vs the unsharded run (subsharding never invents dups)."""
+    from ton_etl_ray.ops.ann import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    whole = semdedup(sf, k=1, threshold=0.4).to_pandas()
+    shard = semdedup(sf, k=1, threshold=0.4, max_group=100).to_pandas()
+    assert shard["vec_id"].is_unique
+    # sub-sharding can only MISS cross-shard pairs → keeps a superset
+    assert set(whole["vec_id"]).issubset(set(shard["vec_id"]))
+    assert len(shard) >= len(whole)
+    # and it still prunes the within-shard duplicates
+    assert len(shard) < 500
