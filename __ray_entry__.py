@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,  # sketch → rows-only
         "simhash_pairs": dedup.simhash_pairs,         # engine-hash sigs → rows-only
         "approx_distinct_users": sketch.approx_distinct,  # sketch → rows-only
+        # grouped mergeable-sketch shuffle: one 4 KiB HLL per key per
+        # block through the exchange, never the values (sketch → rows-only)
+        "approx_distinct_by_type": lambda sf: sketch.approx_distinct_by(sf),
         # --- similarity search ---
         "knn_cosine": ann.knn_cosine,
         "knn_batch": ann.knn_batch,

@@ -169,6 +169,8 @@ def run_bench() -> dict:
         "profile_events",
         # interval join + priority-aware exact dedup + PCA projection
         "range_join_clicks", "dedup_prefer_source", "pca_project",
+        # grouped mergeable-sketch shuffle (4 KiB HLL rows, not values)
+        "approx_distinct_by_type",
     ]
     qtimes = {}
     if SKIP_QUERIES:

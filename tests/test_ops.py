@@ -518,3 +518,24 @@ def test_semdedup_oversized_cluster_subshards():
     assert len(shard) >= len(whole)
     # and it still prunes the within-shard duplicates
     assert len(shard) < 500
+
+
+def test_approx_distinct_by_within_error_bound():
+    """Grouped HLL: every group's estimate within 5% of exact
+    count(DISTINCT); merging block sketches must not lose registers
+    (estimate independent of block layout)."""
+    import numpy as np
+
+    from ton_etl_ray.ops.sketch import approx_distinct_by
+
+    sf = "/root/testdata/sf0.001"
+    got = approx_distinct_by(sf).to_pandas()
+    want = duckdb.sql(
+        f"""SELECT event_type, count(DISTINCT user_id) AS n
+            FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    rel = np.abs(got["approx_distinct"].to_numpy() - want["n"].to_numpy()) / want["n"].to_numpy()
+    assert rel.max() < 0.05, rel
+    again = approx_distinct_by(sf).to_pandas()
+    assert got["approx_distinct"].tolist() == again["approx_distinct"].tolist()

@@ -74,3 +74,55 @@ def approx_distinct(sf_dir: str, table: str = "events", column: str = "user_id")
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged = hll_merge(merged, np.frombuffer(row["sketch"], dtype=np.uint8))
     return pa.table({"approx_distinct": pa.array([int(round(hll_count(merged)))], pa.int64())})
+
+
+def approx_distinct_by(sf_dir: str, table: str = "events",
+                       key: str = "event_type", column: str = "user_id") -> "rd.Dataset":
+    """Per-group approximate distinct count — the GROUPED form of the
+    HLL, and the canonical mergeable-sketch shuffle: each block folds
+    its rows into one 4 KiB register array PER KEY PRESENT (map-side
+    combine over values), so the exchange carries
+    (keys-per-block × 4 KiB) sketch rows instead of the raw values; a
+    ``groupby(key)`` then max-merges registers per group and emits one
+    estimate row per key. Distinct-count work never concentrates: a
+    group with 10^9 distinct values still ships 4 KiB per block.
+
+    Approximate (~1.6% standard error at 4096 registers) → rows-only;
+    pytest pins the estimates within 5% of exact count(DISTINCT)."""
+    ensure_portable()
+    import pandas as pd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=[key, column])
+
+    def sketch_by(t: pa.Table) -> pa.Table:
+        kv = np.asarray(t[key].to_pylist())
+        out_k: list = []
+        out_s: list = []
+        for k in np.unique(kv):  # loop over GROUPS per block, not rows
+            regs = np.zeros(M, dtype=np.uint8)
+            hll_add(regs, t[column].filter(pa.array(kv == k)))
+            out_k.append(str(k))
+            out_s.append(regs.tobytes())
+        return pa.table({key: pa.array(out_k, pa.string()),
+                         "sketch": pa.array(out_s, pa.binary())})
+
+    out_schema = pa.schema([(key, pa.string()), ("approx_distinct", pa.int64())])
+
+    def merge_group(df: "pd.DataFrame") -> pa.Table:
+        merged = np.zeros(M, dtype=np.uint8)
+        for b in df["sketch"]:
+            merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({key: pa.array([df[key].iloc[0]], pa.string()),
+                         "approx_distinct": pa.array([int(round(hll_count(merged)))], pa.int64())})
+
+    return (
+        ds.map_batches(sketch_by, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "approx_distinct" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .sort(key)
+    )
