@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": corpus.unigram_logppl,
         "contamination_check": corpus.contamination_check,
         "corpus_curation": corpus.corpus_curation,
+        # BPE merge training: distributed word counts (the only corpus
+        # pass), then the greedy merge loop over the bounded vocabulary
+        # (iterative/greedy → rows-only; pytest pins the hand-computed
+        # merge sequence)
+        "bpe_train": lambda sf: corpus.bpe_train(sf, num_merges=30),
         # token-payload analytics over the replayed lake — token values
         # are PRNG-derived in the change log, so these are rows-only for
         # the driver; tests/test_tokens.py oracle-checks them with

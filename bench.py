@@ -171,6 +171,8 @@ def run_bench() -> dict:
         "range_join_clicks", "dedup_prefer_source", "pca_project",
         # grouped mergeable-sketch shuffle (4 KiB HLL rows, not values)
         "approx_distinct_by_type",
+        # BPE merge training (one corpus pass + vocab-bounded loop)
+        "bpe_train",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -180,3 +180,42 @@ def test_corpus_curation_gates_and_dedup(tmp_path):
     assert out.loc["a", "total_words"] == 30
     assert out.loc["b", "n_docs"] == 1        # doc 4 gated, doc 5 kept
     assert out.loc["b", "total_words"] == 25
+
+
+def test_bpe_train_hand_computed(tmp_path):
+    """BPE merge loop against a hand-computed tiny corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.corpus import bpe_train
+
+    # corpus: "low" x5, "lower" x2  (the classic Sennrich example shape)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["low low low low low", "lower lower"], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = bpe_train(str(d), num_merges=4).to_pandas()
+    # pair counts over {low:5, lower:2}: (l,o)=7, (o,w)=7 → tie broken
+    # lexicographically: (l,o) first, then (lo,w)=7, then (low,</w>)=5
+    assert list(out.loc[0, ["left", "right"]]) == ["l", "o"] and out.loc[0, "pair_count"] == 7
+    assert list(out.loc[1, ["left", "right"]]) == ["lo", "w"] and out.loc[1, "pair_count"] == 7
+    assert list(out.loc[2, ["left", "right"]]) == ["low", "</w>"] and out.loc[2, "pair_count"] == 5
+    assert list(out.loc[3, ["left", "right"]]) == ["e", "r"] and out.loc[3, "pair_count"] == 2
+
+
+def test_bpe_train_deterministic_and_monotone():
+    """Merge counts never increase with rank (greedy), and two runs
+    learn the identical sequence."""
+    from ton_etl_ray.ops.corpus import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    a = bpe_train(sf, num_merges=12).to_pandas()
+    b = bpe_train(sf, num_merges=12).to_pandas()
+    assert a.equals(b)
+    assert (a["pair_count"].to_numpy()[:-1] >= a["pair_count"].to_numpy()[1:]).all()
+    assert (a["pair_count"] >= 2).all()

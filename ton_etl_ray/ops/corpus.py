@@ -498,3 +498,95 @@ def contamination_check(sf_dir: str, n: int = 8, eval_mod: int = 20):
         .map_groups(reduce_doc, batch_format="pandas")
         .map_batches(conform_out, batch_format="pyarrow")
     )
+
+
+def bpe_train(sf_dir: str, num_merges: int = 50):
+    """Byte-pair-encoding merge training over the corpus (Sennrich et
+    al. 2016 word-level form — the vocabulary-construction step a
+    training pipeline runs before tokenizing):
+
+    - stage 1 (DISTRIBUTED, the data-proportional part): exact word
+      frequencies — per-block partial counts inside ``map_batches``,
+      one grouped sum on the word key. This is the only pass over the
+      corpus; everything after operates on the word-frequency table,
+      whose size is the VOCABULARY (bounded, corpus-size-independent),
+      not the corpus.
+    - stage 2 (driver, vocab-bounded): the classic merge loop — count
+      adjacent symbol pairs weighted by word frequency, merge the most
+      frequent pair (ties broken lexicographically, so the learned
+      merge sequence is fully deterministic), repeat ``num_merges``
+      times. This is the same driver-side-model shape as kmeans
+      centroids and PCA components: the corpus never touches the
+      driver, the bounded model does.
+
+    Returns a pa.Table (rank, left, right, pair_count) — the ordered
+    merge rules. Iterative/greedy → no SQL oracle; pytest pins the
+    first merges against a hand-computed reference and the
+    monotone-compression property."""
+    ensure_portable()
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = (
+            pl.from_arrow(t.select(["text"]))
+            .select(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .filter(pl.col("w").str.len_chars() > 0)
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return pa.table({"word": pa.array(words["w"].to_list(), pa.string()),
+                         "n": pa.array(words["n"].to_numpy(), pa.int64())})
+
+    vocab = (
+        ds.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="freq"))
+        .to_pandas()
+    )
+
+    # ---- driver-side merge loop over the bounded vocabulary ----
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(w) + ("</w>",), int(f)) for w, f in zip(vocab["word"], vocab["freq"])
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, f in words:
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+        if not pair_counts:
+            break
+        # most frequent pair; ties → lexicographically smallest pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merged = a + b
+        out: list[tuple[tuple[str, ...], int]] = []
+        for sym, f in words:
+            new: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            out.append((tuple(new), f))
+        words = out
+        merges.append((a, b, cnt))
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
