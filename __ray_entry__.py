@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": corpus.tfidf_top_terms,
         "unigram_logppl": corpus.unigram_logppl,
         "contamination_check": corpus.contamination_check,
+        # duplicated-span exposure per doc (Lee et al. exact-substring
+        # dedup at n-gram granularity): frequent-gram table rides the
+        # same term-sharded shuffle, never broadcast
+        "dup_span_flags": corpus.dup_span_flags,
         "corpus_curation": corpus.corpus_curation,
         # BPE merge training: distributed word counts (the only corpus
         # pass), then the greedy merge loop over the bounded vocabulary
@@ -761,6 +765,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, count(*) AS n_overlap
             FROM d JOIN e USING (ng)
             WHERE d.doc_id % 20 <> 0 GROUP BY 1
+        """,
+        "dup_span_flags": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(ws[i:i+4], ' ')
+                                 FOR i IN generate_series(1, len(ws)-4)]) AS gram
+                  FROM w),
+            freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            per AS (SELECT doc_id, count(*) AS total,
+                           coalesce(sum(CASE WHEN gram IN (SELECT gram FROM freq)
+                                        THEN 1 ELSE 0 END), 0) AS dup
+                    FROM g GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(coalesce(p.total, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.dup, 0) AS BIGINT) AS dup_grams,
+                   round(coalesce(p.dup, 0) * 1.0
+                         / greatest(coalesce(p.total, 0), 1), 6) AS dup_frac
+            FROM w LEFT JOIN per p USING (doc_id)
         """,
         "dedup_docs_prefix": """
             SELECT substr(text, 1, 40) AS prefix, min(doc_id) AS doc_id

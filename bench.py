@@ -173,6 +173,8 @@ def run_bench() -> dict:
         "approx_distinct_by_type",
         # BPE merge training (one corpus pass + vocab-bounded loop)
         "bpe_train",
+        # duplicated-span exposure (term-sharded frequent-gram join)
+        "dup_span_flags",
     ]
     qtimes = {}
     if SKIP_QUERIES:

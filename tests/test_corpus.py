@@ -219,3 +219,40 @@ def test_bpe_train_deterministic_and_monotone():
     assert a.equals(b)
     assert (a["pair_count"].to_numpy()[:-1] >= a["pair_count"].to_numpy()[1:]).all()
     assert (a["pair_count"] >= 2).all()
+
+
+def test_dup_span_flags_planted_boilerplate(tmp_path):
+    """A planted boilerplate footer shared by two docs is flagged at
+    every position it occupies; a unique doc scores zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.corpus import dup_span_flags
+
+    boiler = "all rights reserved contact us today"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta gamma delta {boiler}",
+                    f"epsilon zeta eta theta {boiler}",
+                    "iota kappa lam mu nu xi omicron pi",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = (
+        dup_span_flags(str(d), n=5, min_count=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # docs 1/2: 10 words → 6 5-gram positions; the boiler's 2 internal
+    # 5-grams ("all..us", "rights..today") repeat across both docs
+    assert out.loc[1, "n_grams"] == 6 and out.loc[1, "dup_grams"] == 2
+    assert out.loc[2, "dup_grams"] == 2
+    assert out.loc[3, "dup_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
+    assert round(out.loc[1, "dup_frac"], 6) == round(2 / 6, 6)

@@ -590,3 +590,132 @@ def bpe_train(sf_dir: str, num_merges: int = 50):
             "pair_count": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+
+
+_DUPSPAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+     ("dup_grams", pa.int64()), ("dup_frac", pa.float64())]
+)
+
+
+def dup_span_flags(sf_dir: str, n: int = 5, min_count: int = 2):
+    """Duplicated-span exposure per document (the n-gram-granular form
+    of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" exact-substring dedup): for every document, how many
+    of its word ``n``-gram positions carry an n-gram that occurs
+    ``min_count``+ times in the WHOLE corpus — the per-doc signal a
+    curation pass thresholds to drop boilerplate-heavy documents or to
+    target span removal.
+
+    Scale shape (the module's three-stage pattern): per-(doc, gram)
+    occurrence counts emitted in ``map_batches`` (no shuffle — a doc is
+    one row), ONE coarse gram-shard shuffle where each shard counts its
+    grams' corpus totals vectorized and keeps the positions of frequent
+    grams, then the per-doc reduce on a coarse doc shard, unioned with
+    a per-doc total-positions side emitted straight from the read. The
+    frequent-gram table is never broadcast and never on the driver."""
+    ensure_portable()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+            }
+        ).explode("w")
+        df = df.with_columns(
+            [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
+             for k in range(1, n)]
+        ).drop_nulls()
+        gram = pl.concat_str(
+            [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)], separator=" "
+        )
+        out = (
+            df.select(pl.col("doc_id"), gram.alias("ng"))
+            .group_by("doc_id", "ng")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        shard = out["ng"].hash(seed=0x5EED) % _TERM_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "ng": pa.array(out["ng"].to_list(), pa.string()),
+                "c": pa.array(out["c"].to_numpy(), pa.int64()),
+                "shard": pa.array(shard.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def totals_rows(t: pa.Table) -> pa.Table:
+        npos = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        total = np.maximum(npos.to_numpy(zero_copy_only=False) - (n - 1), 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "total": pa.array(total.astype(np.int64), pa.int64()),
+                "dup": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "dshard": pa.array((ids % _DOC_SHARDS).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def frequent_positions(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("ng", sort=False)["c"].transform("sum")
+        hits = g[tot.to_numpy() >= min_count]
+        part = hits.groupby("doc_id", sort=False)["c"].sum()
+        ids = part.index.to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "total": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "dup": pa.array(part.to_numpy().astype(np.int64), pa.int64()),
+                "dshard": pa.array((ids % _DOC_SHARDS).astype(np.int64), pa.int64()),
+            }
+        )
+
+    side_schema = pa.schema(
+        [("doc_id", pa.int64()), ("total", pa.int64()),
+         ("dup", pa.int64()), ("dshard", pa.int64())]
+    )
+
+    def conform_side(t: pa.Table) -> pa.Table:
+        if "dup" not in t.column_names or "ng" in t.column_names:
+            return side_schema.empty_table()
+        return t.select(side_schema.names)
+
+    def reduce_doc(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False).agg(
+            total=("total", "sum"), dup=("dup", "sum")
+        )
+        total = agg["total"].to_numpy().astype(np.int64)
+        dup = agg["dup"].to_numpy().astype(np.int64)
+        frac = np.round(dup / np.maximum(total, 1), 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(), pa.int64()),
+                "n_grams": pa.array(total, pa.int64()),
+                "dup_grams": pa.array(dup, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    def conform_out(t: pa.Table) -> pa.Table:
+        if "dup_frac" not in t.column_names:
+            return _DUPSPAN_SCHEMA.empty_table()
+        return t.select(_DUPSPAN_SCHEMA.names)
+
+    dup_side = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(frequent_positions, batch_format="pandas")
+        .map_batches(conform_side, batch_format="pyarrow")
+    )
+    totals_side = ds.map_batches(totals_rows, batch_format="pyarrow")
+    return (
+        totals_side.union(dup_side)
+        .groupby("dshard")
+        .map_groups(reduce_doc, batch_format="pandas")
+        .map_batches(conform_out, batch_format="pyarrow")
+    )
