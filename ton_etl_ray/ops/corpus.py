@@ -36,6 +36,33 @@ _TERM_SHARDS = 256  # coarse key-shard count for the global-statistic shuffle
 _DOC_SHARDS = 64    # coarse doc-shard count for the per-doc reduce
 
 
+def _ngram_frame(t: pa.Table, n: int):
+    """(doc_id, text) Arrow batch → polars frame of (doc_id, ng) word
+    ``n``-gram rows (one row per POSITION — callers dedup or count as
+    their semantics need). Null texts contribute no rows (the split is
+    null, and drop_nulls removes every partially-null window)."""
+    import polars as pl
+
+    df = pl.DataFrame(
+        {
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+        }
+    ).explode("w")
+    if n > 1:
+        df = df.with_columns(
+            [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
+             for k in range(1, n)]
+        ).drop_nulls()
+        gram = pl.concat_str(
+            [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)], separator=" "
+        )
+    else:
+        df = df.drop_nulls()
+        gram = pl.col("w")
+    return df.select(pl.col("doc_id"), gram.alias("ng"))
+
+
 def _doc_count(sf_dir: str) -> int:
     """Exact corpus row count from parquet footer metadata — no read."""
     import pyarrow.parquet as pq
@@ -411,29 +438,7 @@ def contamination_check(sf_dir: str, n: int = 8, eval_mod: int = 20):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def ngram_rows(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
-            }
-        ).explode("w")
-        if n > 1:
-            df = df.with_columns(
-                [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
-                 for k in range(1, n)]
-            ).drop_nulls()
-            gram = pl.concat_str(
-                [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)],
-                separator=" ",
-            )
-        else:
-            gram = pl.col("w")
-        out = (
-            df.select(pl.col("doc_id"), gram.alias("ng"))
-            .unique(subset=["doc_id", "ng"])
-        )
+        out = _ngram_frame(t, n).unique(subset=["doc_id", "ng"])
         shard = out["ng"].hash(seed=0x5EED) % _TERM_SHARDS
         return pa.table(
             {
@@ -500,18 +505,22 @@ def contamination_check(sf_dir: str, n: int = 8, eval_mod: int = 20):
     )
 
 
-def bpe_train(sf_dir: str, num_merges: int = 50):
+def bpe_train(sf_dir: str, num_merges: int = 50, max_vocab: int = 65536):
     """Byte-pair-encoding merge training over the corpus (Sennrich et
     al. 2016 word-level form — the vocabulary-construction step a
     training pipeline runs before tokenizing):
 
     - stage 1 (DISTRIBUTED, the data-proportional part): exact word
       frequencies — per-block partial counts inside ``map_batches``,
-      one grouped sum on the word key. This is the only pass over the
-      corpus; everything after operates on the word-frequency table,
-      whose size is the VOCABULARY (bounded, corpus-size-independent),
-      not the corpus.
-    - stage 2 (driver, vocab-bounded): the classic merge loop — count
+      one grouped sum on the word key, then a distributed top-k
+      truncation to the ``max_vocab`` most frequent words (ties broken
+      by word ascending for determinism). A raw web-corpus vocabulary
+      grows with corpus size (Heaps' law), so the truncation — the
+      same head-of-distribution pruning real tokenizer trainers apply —
+      is what actually BOUNDS the driver state; rare tail words
+      contribute negligible pair mass to the merges.
+    - stage 2 (driver, now genuinely vocab-bounded): the classic merge
+      loop — count
       adjacent symbol pairs weighted by word frequency, merge the most
       frequent pair (ties broken lexicographically, so the learned
       merge sequence is fully deterministic), repeat ``num_merges``
@@ -546,6 +555,8 @@ def bpe_train(sf_dir: str, num_merges: int = 50):
         ds.map_batches(word_partials, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n", alias_name="freq"))
+        .sort(["freq", "word"], descending=[True, False])
+        .limit(max_vocab)
         .to_pandas()
     )
 
@@ -610,31 +621,20 @@ def dup_span_flags(sf_dir: str, n: int = 5, min_count: int = 2):
     Scale shape (the module's three-stage pattern): per-(doc, gram)
     occurrence counts emitted in ``map_batches`` (no shuffle — a doc is
     one row), ONE coarse gram-shard shuffle where each shard counts its
-    grams' corpus totals vectorized and keeps the positions of frequent
-    grams, then the per-doc reduce on a coarse doc shard, unioned with
-    a per-doc total-positions side emitted straight from the read. The
-    frequent-gram table is never broadcast and never on the driver."""
+    grams' corpus totals vectorized and emits per-doc (total, dup)
+    position partials, then the per-doc reduce on a coarse doc shard,
+    unioned with a doc_id-only side that guarantees short docs
+    (< n words) appear with zero counts. The text column is scanned
+    exactly ONCE; the frequent-gram table is never broadcast and never
+    on the driver."""
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def gram_rows(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
-            }
-        ).explode("w")
-        df = df.with_columns(
-            [pl.col("w").shift(-k).over("doc_id").alias(f"_w{k}")
-             for k in range(1, n)]
-        ).drop_nulls()
-        gram = pl.concat_str(
-            [pl.col("w")] + [pl.col(f"_w{k}") for k in range(1, n)], separator=" "
-        )
         out = (
-            df.select(pl.col("doc_id"), gram.alias("ng"))
+            _ngram_frame(t, n)
             .group_by("doc_id", "ng")
             .agg(pl.len().cast(pl.Int64).alias("c"))
         )
@@ -648,15 +648,19 @@ def dup_span_flags(sf_dir: str, n: int = 5, min_count: int = 2):
             }
         )
 
-    def totals_rows(t: pa.Table) -> pa.Table:
-        npos = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
-        total = np.maximum(npos.to_numpy(zero_copy_only=False) - (n - 1), 0)
+    def ids_rows(t: pa.Table) -> pa.Table:
+        # doc_id-only side: guarantees every document appears in the
+        # output (docs with < n words emit no gram rows at all); the
+        # text column is scanned exactly ONCE, in gram_rows — per-shard
+        # position totals sum to the exact per-doc total because each
+        # (doc, gram) row lives in exactly one shard
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "total": pa.array(total.astype(np.int64), pa.int64()),
-                "dup": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "total": pa.array(z, pa.int64()),
+                "dup": pa.array(z, pa.int64()),
                 "dshard": pa.array((ids % _DOC_SHARDS).astype(np.int64), pa.int64()),
             }
         )
@@ -664,13 +668,15 @@ def dup_span_flags(sf_dir: str, n: int = 5, min_count: int = 2):
     def frequent_positions(g: pd.DataFrame) -> pa.Table:
         tot = g.groupby("ng", sort=False)["c"].transform("sum")
         hits = g[tot.to_numpy() >= min_count]
-        part = hits.groupby("doc_id", sort=False)["c"].sum()
-        ids = part.index.to_numpy()
+        total_part = g.groupby("doc_id", sort=False)["c"].sum()
+        dup_part = hits.groupby("doc_id", sort=False)["c"].sum()
+        ids = total_part.index.to_numpy()
+        dup = dup_part.reindex(total_part.index, fill_value=0).to_numpy()
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "total": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
-                "dup": pa.array(part.to_numpy().astype(np.int64), pa.int64()),
+                "total": pa.array(total_part.to_numpy().astype(np.int64), pa.int64()),
+                "dup": pa.array(dup.astype(np.int64), pa.int64()),
                 "dshard": pa.array((ids % _DOC_SHARDS).astype(np.int64), pa.int64()),
             }
         )
@@ -712,9 +718,11 @@ def dup_span_flags(sf_dir: str, n: int = 5, min_count: int = 2):
         .map_groups(frequent_positions, batch_format="pandas")
         .map_batches(conform_side, batch_format="pyarrow")
     )
-    totals_side = ds.map_batches(totals_rows, batch_format="pyarrow")
+    ids_side = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        ids_rows, batch_format="pyarrow"
+    )
     return (
-        totals_side.union(dup_side)
+        ids_side.union(dup_side)
         .groupby("dshard")
         .map_groups(reduce_doc, batch_format="pandas")
         .map_batches(conform_out, batch_format="pyarrow")
