@@ -37,3 +37,20 @@ def test_pack_sequences_over_custom_dataset(ray_session):
              FROM '{sf}/documents.parquet' WHERE doc_id % 2 = 0"""
     ).fetchone()[0]
     assert packed["n_words"].sum() == want_words
+
+
+def test_quickstart_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "quickstart.py")],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_streaming_watch_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "streaming_watch.py")],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "final state matches one-shot replay" in out.stdout
