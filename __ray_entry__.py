@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, ml, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def registry_trades(sf: str):
@@ -193,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PCA projection via exact distributed moments (eigh on the
         # dim×dim driver-side covariance; pytest pins ≡ single-machine)
         "pca_project": ann.pca_project,
+        # one-vs-rest ridge probe on (embedding → label): exact
+        # distributed moments → driver solve → streamed scoring pass
+        # (matrix solve → rows-only; pytest pins ≡ single-machine)
+        "linear_probe": ml.linear_probe,
         # --- multimodal plumbing (decode stubbed; deterministic fake
         # features → rows-only checks over the synthetic media corpus) ---
         "media_features": lambda sf: multimodal.media_features(

@@ -175,6 +175,8 @@ def run_bench() -> dict:
         "bpe_train",
         # duplicated-span exposure (term-sharded frequent-gram join)
         "dup_span_flags",
+        # linear probe fit + corpus-wide scoring (exact moments)
+        "linear_probe",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -539,3 +539,33 @@ def test_approx_distinct_by_within_error_bound():
     assert rel.max() < 0.05, rel
     again = approx_distinct_by(sf).to_pandas()
     assert got["approx_distinct"].tolist() == again["approx_distinct"].tolist()
+
+
+def test_linear_probe_equals_single_machine():
+    """Distributed exact-moment ridge probe == closed-form solve on the
+    full matrix: identical predictions, accuracy well above the 1/k
+    chance baseline, deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.ml import linear_probe
+
+    sf = "/root/testdata/sf0.001"
+    out = linear_probe(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    out2 = linear_probe(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["pred_label"].tolist() == out2["pred_label"].tolist()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])[order]
+    y = t["label"].to_numpy()[order]
+    A = np.hstack([X, np.ones((len(X), 1))])
+    Y = np.zeros((len(y), 10))
+    Y[np.arange(len(y)), y] = 1.0
+    W = np.linalg.solve(A.T @ A + 1e-3 * np.eye(A.shape[1]), A.T @ Y)
+    pred = (A @ W).argmax(axis=1)
+    assert (out["pred_label"].to_numpy() == pred).all()
+    acc = (out["label"] == out["pred_label"]).mean()
+    assert acc > 0.25, acc  # 10 classes → chance is 0.1
+    assert (out["margin"] >= 0).all()
