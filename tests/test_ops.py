@@ -560,12 +560,25 @@ def test_linear_probe_equals_single_machine():
     order = np.argsort(ids)
     X = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])[order]
     y = t["label"].to_numpy()[order]
+    ids_s = ids[order]
+    from ton_etl_ray.ops.ml import _is_train
+
+    train = _is_train(ids_s, 5)
     A = np.hstack([X, np.ones((len(X), 1))])
-    Y = np.zeros((len(y), 10))
-    Y[np.arange(len(y)), y] = 1.0
-    W = np.linalg.solve(A.T @ A + 1e-3 * np.eye(A.shape[1]), A.T @ Y)
+    Y = np.zeros((train.sum(), 10))
+    Y[np.arange(train.sum()), y[train]] = 1.0
+    At = A[train]
+    W = np.linalg.solve(At.T @ At + 1e-3 * np.eye(A.shape[1]), At.T @ Y)
     pred = (A @ W).argmax(axis=1)
     assert (out["pred_label"].to_numpy() == pred).all()
-    acc = (out["label"] == out["pred_label"]).mean()
-    assert acc > 0.25, acc  # 10 classes → chance is 0.1
+    # held-out rows are flagged and the model never saw them
+    assert (out["is_holdout"].to_numpy() == ~train).all()
+    ho = out[out["is_holdout"]]
+    assert len(ho) > 0
+    # the synthetic labels are memorizable but carry little transferable
+    # signal: TRAIN accuracy must beat 10-class chance decisively (the
+    # fit machinery works); held-out accuracy is only sanity-bounded
+    tr = out[~out["is_holdout"]]
+    assert (tr["label"] == tr["pred_label"]).mean() > 0.25
+    assert (ho["label"] == ho["pred_label"]).mean() > 0.03
     assert (out["margin"] >= 0).all()

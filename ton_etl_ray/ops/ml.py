@@ -43,7 +43,8 @@ _PART_SCHEMA = pa.schema(
 
 _OUT_SCHEMA = pa.schema(
     [("vec_id", pa.int64()), ("label", pa.int64()),
-     ("pred_label", pa.int64()), ("margin", pa.float64())]
+     ("pred_label", pa.int64()), ("margin", pa.float64()),
+     ("is_holdout", pa.bool_())]
 )
 
 
@@ -51,15 +52,41 @@ def _augment(mm: np.ndarray) -> np.ndarray:
     return np.hstack([mm, np.ones((len(mm), 1))])
 
 
-def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10):
+_KNUTH = np.uint64(2654435761)
+
+
+def _is_train(ids: np.ndarray, holdout_mod: int) -> np.ndarray:
+    """Deterministic train/holdout split on the multiplicative id hash
+    (the same pure-arithmetic split ops/sampling.py uses) — every task
+    decides membership locally, reproducible at any cluster size."""
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * _KNUTH) % np.uint64(2**32)
+    return (h % np.uint64(holdout_mod)) != 0
+
+
+def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
+                 holdout_mod: int = 5):
     """Fit + score the linear probe; returns a Dataset of
-    (vec_id, label, pred_label, margin) where margin is the gap between
-    the best and second-best class score (a per-row confidence the
-    curation threshold consumes)."""
+    (vec_id, label, pred_label, margin, is_holdout) where margin is the
+    gap between the best and second-best class score (a per-row
+    confidence the curation threshold consumes).
+
+    The fit EXCLUDES the deterministic ~1/``holdout_mod`` holdout slice
+    (id-hash split), so the flagged rows are genuine held-out
+    evaluations — the accuracy a curation pipeline should trust is the
+    one over ``is_holdout`` rows. (On THIS repo's synthetic labels the
+    held-out accuracy is near chance — the labels are memorizable but
+    carry little transferable signal; what the tests pin is the
+    machinery: distributed fit ≡ single-machine closed form, split
+    integrity, and train-side fit quality.)"""
     ensure_portable()
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def moment_partials(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return _PART_SCHEMA.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(_is_train(ids, holdout_mod)))
         if not len(t):
             return _PART_SCHEMA.empty_table()
         A = _augment(_emb_matrix(t))
@@ -111,6 +138,7 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10):
         if not len(t):
             return _OUT_SCHEMA.empty_table()
         W_l = ray.get(wref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
         S = _augment(_emb_matrix(t)) @ W_l
         order = np.argsort(S, axis=1)
         pred = order[:, -1]
@@ -121,6 +149,7 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10):
                 "label": t["label"].cast(pa.int64()),
                 "pred_label": pa.array(pred.astype(np.int64), pa.int64()),
                 "margin": pa.array(margin.astype(np.float64), pa.float64()),
+                "is_holdout": pa.array(~_is_train(ids, holdout_mod), pa.bool_()),
             }
         )
 
