@@ -582,3 +582,33 @@ def test_linear_probe_equals_single_machine():
     assert (tr["label"] == tr["pred_label"]).mean() > 0.25
     assert (ho["label"] == ho["pred_label"]).mean() > 0.03
     assert (out["margin"] >= 0).all()
+
+
+def test_linear_probe_param_guards():
+    import pytest
+
+    from ton_etl_ray.ops.ml import linear_probe
+
+    with pytest.raises(ValueError, match="holdout_mod"):
+        linear_probe("/root/testdata/sf0.001", holdout_mod=1)
+    with pytest.raises(ValueError, match="num_classes"):
+        linear_probe("/root/testdata/sf0.001", num_classes=1)
+
+
+def test_ngram_frame_empty_and_null_batches():
+    """Empty batches and all-null-text batches yield zero n-gram rows
+    instead of a polars SchemaError (Null-dtype series)."""
+    import pyarrow as pa
+
+    from ton_etl_ray.ops.corpus import _ngram_frame
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert len(_ngram_frame(empty, 5)) == 0
+    nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([None, None], pa.string())})
+    assert len(_ngram_frame(nulls, 5)) == 0
+    mixed = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([None, "a b c d e f"], pa.string())})
+    out = _ngram_frame(mixed, 5)
+    assert set(out["doc_id"].to_list()) == {2} and len(out) == 2

@@ -668,6 +668,42 @@ def semdedup(sf_dir: str, k: int = 16, threshold: float = 0.95,
     )
 
 
+def fold_shard_partials(ds: "rd.Dataset", partial_fn, part_schema: pa.Schema) -> list[dict]:
+    """Shared bounded-moments reduction (used by PCA and the ml linear
+    probe): ``partial_fn`` emits ≤1 partial row per block with columns
+    (shard:int64, cnt:int64, *list<float64> accumulators); this folds
+    them through a coarse 64-shard ``map_groups`` tree so the driver
+    sees at most 64 rows no matter how many blocks the corpus has, and
+    returns those rows. Every list column is element-wise summed; cnt
+    is summed; empty sort partitions are conformed away."""
+
+    def fold(df: "pd.DataFrame") -> pa.Table:
+        cols: dict = {
+            "shard": pa.array([int(df["shard"].iloc[0])], pa.int64()),
+            "cnt": pa.array([int(df["cnt"].sum())], pa.int64()),
+        }
+        for f in part_schema:
+            if pa.types.is_list(f.type):
+                s = np.sum(
+                    np.stack([np.asarray(x, dtype=np.float64) for x in df[f.name]]),
+                    axis=0,
+                )
+                cols[f.name] = pa.array([s.tolist()], pa.list_(pa.float64()))
+        return pa.table({f.name: cols[f.name] for f in part_schema})
+
+    return (
+        ds.map_batches(partial_fn, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(part_schema.names)
+            if "cnt" in t.column_names else part_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+
+
 def pca_project(sf_dir: str, k: int = 8):
     """PCA dimensionality reduction over the embeddings table — the
     usual pre-ANN / pre-clustering projection step, computed with EXACT
@@ -719,30 +755,7 @@ def pca_project(sf_dir: str, k: int = 8):
             }
         )
 
-    def fold(df: "pd.DataFrame") -> pa.Table:
-        cnt = int(df["cnt"].sum())
-        s = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["s"]]), axis=0)
-        sc = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["sc"]]), axis=0)
-        return pa.table(
-            {
-                "shard": pa.array([int(df["shard"].iloc[0])], pa.int64()),
-                "cnt": pa.array([cnt], pa.int64()),
-                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
-                "sc": pa.array([sc.ravel().tolist()], pa.list_(pa.float64())),
-            }
-        )
-
-    parts = (
-        ds.map_batches(moment_partials, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(fold, batch_format="pandas")
-        .map_batches(
-            lambda t: t.select(part_schema.names)
-            if "cnt" in t.column_names else part_schema.empty_table(),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
+    parts = fold_shard_partials(ds, moment_partials, part_schema)
     cnt = sum(r["cnt"] for r in parts)
     s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in parts], axis=0)
     sc = np.sum([np.asarray(r["sc"], dtype=np.float64) for r in parts], axis=0).reshape(dim, dim)

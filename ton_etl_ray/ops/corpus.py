@@ -46,7 +46,9 @@ def _ngram_frame(t: pa.Table, n: int):
     df = pl.DataFrame(
         {
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-            "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+            # explicit dtype: an empty or all-null batch otherwise infers
+            # a Null-dtype series and .str.split raises SchemaError
+            "w": pl.Series(t["text"].to_pylist(), dtype=pl.String).str.split(" "),
         }
     ).explode("w")
     if n > 1:
@@ -84,7 +86,7 @@ def _tf_rows(sf_dir: str):
         df = pl.DataFrame(
             {
                 "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "w": pl.Series(t["text"].to_pylist()).str.split(" "),
+                "w": pl.Series(t["text"].to_pylist(), dtype=pl.String).str.split(" "),
             }
         )
         tf = (

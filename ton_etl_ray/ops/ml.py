@@ -34,7 +34,7 @@ import ray
 
 from .._pickle import ensure_portable
 from ._util import read_table
-from .ann import _emb_matrix
+from .ann import _emb_matrix, fold_shard_partials
 
 _PART_SCHEMA = pa.schema(
     [("shard", pa.int64()), ("cnt", pa.int64()),
@@ -52,16 +52,15 @@ def _augment(mm: np.ndarray) -> np.ndarray:
     return np.hstack([mm, np.ones((len(mm), 1))])
 
 
-_KNUTH = np.uint64(2654435761)
-
-
 def _is_train(ids: np.ndarray, holdout_mod: int) -> np.ndarray:
-    """Deterministic train/holdout split on the multiplicative id hash
-    (the same pure-arithmetic split ops/sampling.py uses) — every task
-    decides membership locally, reproducible at any cluster size."""
-    with np.errstate(over="ignore"):
-        h = (ids.astype(np.uint64) * _KNUTH) % np.uint64(2**32)
-    return (h % np.uint64(holdout_mod)) != 0
+    """Deterministic train/holdout split on the SAME multiplicative id
+    hash ops/sampling.py uses (imported, not re-implemented, so the
+    ANSI-SQL-reproducibility property documented there keeps describing
+    this split too) — every task decides membership locally,
+    reproducible at any cluster size."""
+    from .sampling import _doc_hash
+
+    return (_doc_hash(ids) % np.uint64(holdout_mod)) != 0
 
 
 def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
@@ -74,12 +73,19 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
     The fit EXCLUDES the deterministic ~1/``holdout_mod`` holdout slice
     (id-hash split), so the flagged rows are genuine held-out
     evaluations — the accuracy a curation pipeline should trust is the
-    one over ``is_holdout`` rows. (On THIS repo's synthetic labels the
+    one over ``is_holdout`` rows. Requires ``num_classes >= 2`` and
+    ``holdout_mod >= 2`` (1 would put EVERY row in the holdout).
+    (On THIS repo's synthetic labels the
     held-out accuracy is near chance — the labels are memorizable but
     carry little transferable signal; what the tests pin is the
     machinery: distributed fit ≡ single-machine closed form, split
     integrity, and train-side fit quality.)"""
     ensure_portable()
+    if num_classes < 2:
+        raise ValueError("linear_probe: num_classes must be >= 2")
+    if holdout_mod < 2:
+        raise ValueError("linear_probe: holdout_mod must be >= 2 "
+                         "(1 marks every row as holdout)")
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def moment_partials(t: pa.Table) -> pa.Table:
@@ -102,30 +108,12 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
             }
         )
 
-    def fold(df: "pd.DataFrame") -> pa.Table:
-        cnt = int(df["cnt"].sum())
-        ata = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["ata"]]), axis=0)
-        aty = np.sum(np.stack([np.asarray(x, dtype=np.float64) for x in df["aty"]]), axis=0)
-        return pa.table(
-            {
-                "shard": pa.array([int(df["shard"].iloc[0])], pa.int64()),
-                "cnt": pa.array([cnt], pa.int64()),
-                "ata": pa.array([ata.tolist()], pa.list_(pa.float64())),
-                "aty": pa.array([aty.tolist()], pa.list_(pa.float64())),
-            }
+    parts = fold_shard_partials(ds, moment_partials, _PART_SCHEMA)
+    if not parts or sum(r["cnt"] for r in parts) == 0:
+        raise ValueError(
+            "linear_probe: empty training set — every row fell in the "
+            f"holdout slice (holdout_mod={holdout_mod}); use holdout_mod >= 2"
         )
-
-    parts = (
-        ds.map_batches(moment_partials, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(fold, batch_format="pandas")
-        .map_batches(
-            lambda t: t.select(_PART_SCHEMA.names)
-            if "ata" in t.column_names else _PART_SCHEMA.empty_table(),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
     ata = np.sum([np.asarray(r["ata"], dtype=np.float64) for r in parts], axis=0)
     aty = np.sum([np.asarray(r["aty"], dtype=np.float64) for r in parts], axis=0)
     d1 = int(round(np.sqrt(len(ata))))
@@ -140,9 +128,12 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
         W_l = ray.get(wref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         S = _augment(_emb_matrix(t)) @ W_l
-        order = np.argsort(S, axis=1)
-        pred = order[:, -1]
-        margin = S[np.arange(len(S)), pred] - S[np.arange(len(S)), order[:, -2]]
+        # argmax (lowest index wins ties) — the same convention as the
+        # single-machine reference the tests compare against; argsort's
+        # tie order is unspecified
+        pred = S.argmax(axis=1)
+        second = np.partition(S, -2, axis=1)[:, -2]
+        margin = S[np.arange(len(S)), pred] - second
         return pa.table(
             {
                 "vec_id": t["vec_id"].cast(pa.int64()),
