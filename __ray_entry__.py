@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window per purchase — the 1→many sibling of the as-of join
         "range_join_clicks": lambda sf: R.range_join_clicks(sf, window_minutes=240),
         "session_count": R.session_count,
+        # ordered funnel + day-cohort retention (classic analytics over
+        # one user_id shuffle; outputs are stage/cohort-sized)
+        "funnel_counts": R.funnel_counts,
+        "retention_cohorts": R.retention_cohorts,
         "rank1_snapshot": R.rank1_snapshot,
         "cdc_state_events": R.cdc_state_events,
         "windowed_hourly": R.windowed_hourly,
@@ -325,6 +329,27 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND p.event_type = 'purchase' AND c.event_type = 'click'
              AND c.ts >= p.ts - INTERVAL 240 MINUTE AND c.ts < p.ts
+        """,
+        "funnel_counts": """
+            WITH u1 AS (SELECT user_id, min(ts) t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            u2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN u1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+            u3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN u2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)
+            SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS users FROM u1
+            UNION ALL SELECT 'click', 2, count(*) FROM u2
+            UNION ALL SELECT 'purchase', 3, count(*) FROM u3
+        """,
+        "retention_cohorts": """
+            WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) cohort
+                        FROM events GROUP BY 1),
+            act AS (SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) d FROM events e)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', f.cohort, a.d) AS day_offset,
+                   count(*) AS users
+            FROM fd f JOIN act a USING (user_id)
+            GROUP BY 1, 2
         """,
         "session_count": """
             WITH g AS (

@@ -177,6 +177,8 @@ def run_bench() -> dict:
         "dup_span_flags",
         # linear probe fit + corpus-wide scoring (exact moments)
         "linear_probe",
+        # ordered funnel + day-cohort retention (one user shuffle each)
+        "funnel_counts", "retention_cohorts",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -612,3 +612,64 @@ def test_ngram_frame_empty_and_null_batches():
                       "text": pa.array([None, "a b c d e f"], pa.string())})
     out = _ngram_frame(mixed, 5)
     assert set(out["doc_id"].to_list()) == {2} and len(out) == 2
+
+
+def test_funnel_strict_order_planted(tmp_path):
+    """Planted funnel: progression must be strictly ordered in time —
+    a purchase BEFORE the user's first post-view click does not count,
+    and users drop out stage by stage."""
+    import pandas as pd
+
+    from ton_etl_ray.ops.relational import funnel_counts
+
+    base = pd.Timestamp("2025-03-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # u1 completes in order: view → click → purchase
+        (1, "view", base), (1, "click", base + m), (1, "purchase", base + 2 * m),
+        # u2: view then click, purchase BEFORE the click → stops at click
+        (2, "view", base), (2, "purchase", base + m), (2, "click", base + 2 * m),
+        # u3: view only
+        (3, "view", base),
+        # u4: click/purchase but never a view → reaches nothing
+        (4, "click", base), (4, "purchase", base + m),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = funnel_counts(str(d)).to_pandas().set_index("stage")
+    assert out.loc["view", "users"] == 3       # u1, u2, u3
+    assert out.loc["click", "users"] == 2      # u1, u2
+    assert out.loc["purchase", "users"] == 1   # u1 only (u2's was too early)
+
+
+def test_retention_cohorts_matches_duckdb():
+    from ton_etl_ray.ops.relational import retention_cohorts
+
+    sf = "/root/testdata/sf0.001"
+    got = retention_cohorts(sf).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) cohort
+                    FROM '{sf}/events.parquet' GROUP BY 1),
+        act AS (SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) d
+                FROM '{sf}/events.parquet' e)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', f.cohort, a.d) AS day_offset, count(*) AS users
+        FROM fd f JOIN act a USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ("cohort_day", "day_offset", "users"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # offset-0 row exists for every cohort (the cohort day itself)
+    assert (got.groupby("cohort_day")["day_offset"].min() == 0).all()

@@ -924,3 +924,100 @@ def range_join_clicks(sf_dir: str, window_minutes: int = 60):
             batch_format="pyarrow",
         )
     )
+
+
+def funnel_counts(sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")):
+    """Ordered funnel (strict temporal progression): a user reaches
+    stage i when an event of ``stages[i]`` exists STRICTLY AFTER the
+    timestamp at which they reached stage i-1 (earliest-completion
+    semantics — each stage's reach time is the minimal one, so the
+    count is maximal). Emits one row per stage with the user count.
+
+    One shuffle on user_id; inside each group the progression is a
+    vectorized scan over the per-type sorted timestamps; per-block
+    partial stage counts collapse in a final tiny grouped sum — the
+    classic sessionized-funnel analytics shape (A-family) with output
+    size = len(stages)."""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    out_schema = pa.schema(
+        [("stage", pa.string()), ("stage_idx", pa.int64()), ("users", pa.int64())]
+    )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        reached = 0
+        cur = None
+        for s in stages:
+            ts = g.loc[g["event_type"] == s, "ts"].to_numpy()
+            if cur is not None:
+                ts = ts[ts > cur]
+            if not len(ts):
+                break
+            cur = ts.min()
+            reached += 1
+        counts = np.zeros(len(stages), dtype=np.int64)
+        counts[:reached] = 1
+        return pa.table(
+            {
+                "stage": pa.array(list(stages), pa.string()),
+                "stage_idx": pa.array(np.arange(1, len(stages) + 1), pa.int64()),
+                "users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "stage_idx" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby(["stage", "stage_idx"])
+        .aggregate(Sum("users", alias_name="users"))
+        .sort("stage_idx")
+    )
+
+
+def retention_cohorts(sf_dir: str):
+    """Day-cohort retention: users grouped by their FIRST activity day;
+    for each (cohort_day, day_offset) the number of cohort users active
+    exactly ``offset`` days later (offset 0 = the cohort day itself).
+    The classic growth-analytics triangle, emitted as long-form rows.
+
+    One shuffle on user_id (first-day + distinct-activity-days per user
+    computed vectorized per group), then per-block partial counts into
+    a tiny grouped sum keyed on (cohort_day, day_offset)."""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    out_schema = pa.schema(
+        [("cohort_day", pa.string()), ("day_offset", pa.int64()),
+         ("users", pa.int64())]
+    )
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        days = np.unique(g["ts"].to_numpy().astype("datetime64[D]"))
+        cohort = days.min()
+        offsets = (days - cohort).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_day": pa.array([str(cohort)] * len(days), pa.string()),
+                "day_offset": pa.array(offsets, pa.int64()),
+                "users": pa.array(np.ones(len(days), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "cohort_day" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("users", alias_name="users"))
+        .sort(["cohort_day", "day_offset"])
+    )
