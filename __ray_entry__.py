@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_watch_derived(sf)
 
+    def epoch_diff_q(sf: str):
+        from ton_etl_ray.pipelines import flagship_epoch_diff
+
+        return flagship_epoch_diff(sf)
+
     return {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
@@ -75,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # barrier; the union of committed epochs must equal the one-shot
         # SQL derivation over the same deterministic change log
         "derived_publish": derived_publish,
+        # committed-state diff between two lake epochs (added/updated/
+        # deleted per key, narrow full-outer join on doc_id) over a
+        # deterministic two-epoch split of the flagship change log
+        "epoch_diff": epoch_diff_q,
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
@@ -261,6 +270,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) SELECT doc_id, source, n_chars, cum_chars
             FROM c WHERE cum_chars <= 5000
+        """,
+        "epoch_diff": """
+            WITH d AS (SELECT doc_id,
+                              'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                              row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                       FROM documents),
+            c AS (SELECT count(*) AS n FROM documents)
+            SELECT did AS doc_id,
+                   CASE WHEN rn % 10 = 0 THEN 'deleted' ELSE 'updated' END AS change,
+                   CAST(n + rn AS BIGINT) AS lsn_from,
+                   CAST(CASE WHEN rn % 10 = 0 THEN NULL ELSE 2*n + rn END AS BIGINT)
+                       AS lsn_to
+            FROM d CROSS JOIN c
         """,
         "cdc_replay": """
             WITH d AS (

@@ -179,6 +179,8 @@ def run_bench() -> dict:
         "linear_probe",
         # ordered funnel + day-cohort retention (one user shuffle each)
         "funnel_counts", "retention_cohorts",
+        # two-epoch lake build + committed-state diff (narrow full-outer)
+        "epoch_diff",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -65,3 +65,65 @@ def test_kernels_accept_empty_batches():
     assert len(redact_batch(empty_docs)) == 0
     assert len(_lang_id_frame(empty_docs)) == 0
     assert len(_quality_frame(empty_docs)) == 0
+
+
+def test_epoch_diff_classifies_all_three(ray_session, tmp_path):
+    """epoch_diff over a generic two-epoch lake: keys first seen in
+    epoch 1 are 'added', keys whose winning lsn moved are 'updated',
+    keys tombstoned in epoch 1 are 'deleted' — all checked against a
+    DuckDB derivation from the raw halves."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from ton_etl_ray.cdc.replay import epoch_diff, replay
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    chg0, chg1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    lake = str(tmp_path / "lake")
+    shards = write_change_log(full, num_events=6000, num_keys=900, seed=33,
+                              num_shards=6)
+    os.makedirs(chg0), os.makedirs(chg1)
+    for p in shards[:3]:
+        shutil.copy(p, chg0)
+    for p in shards[3:]:
+        shutil.copy(p, chg1)
+    replay(chg0, lake, num_partitions=8)
+    replay(chg1, lake)
+
+    got = epoch_diff(lake, 0).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    h0 = sorted(glob.glob(f"{chg0}/*.parquet"))
+    allp = sorted(glob.glob(f"{full}/*.parquet"))
+    want = duckdb.sql(
+        f"""
+        WITH a AS (SELECT doc_id, lsn FROM (
+               SELECT doc_id, lsn, op,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rk
+               FROM read_parquet({h0!r}, union_by_name=true)) WHERE rk=1 AND op <> 'd'),
+        b AS (SELECT doc_id, lsn FROM (
+               SELECT doc_id, lsn, op,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rk
+               FROM read_parquet({allp!r}, union_by_name=true)) WHERE rk=1 AND op <> 'd')
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'deleted'
+                    ELSE 'updated' END AS change,
+               a.lsn AS lsn_from, b.lsn AS lsn_to
+        FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.lsn <> b.lsn
+        ORDER BY doc_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["change"].to_numpy() == want["change"].to_numpy()).all()
+    import numpy as np
+
+    for c in ("lsn_from", "lsn_to"):
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+    # all three classes genuinely occur in this fixture
+    assert set(got["change"]) == {"added", "updated", "deleted"}

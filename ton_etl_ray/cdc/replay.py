@@ -458,3 +458,59 @@ def final_state_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
     fs = sink.lake_files(lake_dir, epoch)
     tables = [pq.read_table(f) for f in fs]
     return pa.concat_tables(tables, promote_options="permissive")
+
+
+def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
+               num_partitions: int = 32) -> "rd.Dataset":
+    """Committed-state diff between two lake epochs — "what changed
+    since epoch a": one row per key that was added, updated (winning
+    lsn moved), or deleted between the two commits. The CDC engine's
+    audit/downstream-sync primitive, built on the epoch-pinned reads
+    (``sink.lake_files(lake, epoch)``) that GC preserves as lineage.
+
+    Scale shape: both sides are read NARROW (doc_id + lsn only — the
+    payload never moves), then one hash-partitioned FULL OUTER
+    ``shuffle_join`` on doc_id classifies membership; unchanged keys
+    (same winning lsn) are dropped inside the map stage, so the output
+    is proportional to the true change set, not the lake."""
+    from ..ops.relational import shuffle_join
+
+    def side(epoch, alias):
+        ds = rd.read_parquet(sink.lake_files(lake_dir, epoch),
+                             columns=["doc_id", "lsn"])
+        return ds.map_batches(
+            lambda t, _a=alias: pa.table({"doc_id": t["doc_id"],
+                                          _a: t["lsn"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    joined = shuffle_join(
+        side(epoch_a, "lsn_from"), side(epoch_b, "lsn_to"),
+        on="doc_id", how="full_outer", num_partitions=num_partitions,
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("change", pa.string()),
+         ("lsn_from", pa.int64()), ("lsn_to", pa.int64())]
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if "lsn_from" not in t.column_names or not len(t):
+            return out_schema.empty_table()
+        a = t["lsn_from"].to_numpy(zero_copy_only=False)
+        b = t["lsn_to"].to_numpy(zero_copy_only=False)
+        a_null = pc.is_null(t["lsn_from"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(t["lsn_to"]).to_numpy(zero_copy_only=False)
+        change = np.where(a_null, "added", np.where(b_null, "deleted", "updated"))
+        keep = a_null | b_null | (a != b)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "change": pa.array(change[keep], pa.string()),
+                "lsn_from": t["lsn_from"].cast(pa.int64()),
+                "lsn_to": t["lsn_to"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -394,7 +394,14 @@ def shuffle_join(
     native_how = {"left": "left_outer", "full": "full_outer"}.get(how, how)
     polars_how = {"left_outer": "left", "full_outer": "full"}.get(how, how)
     if hasattr(left, "join"):
-        return left.join(right, join_type=native_how, num_partitions=num_partitions, on=(on,))
+        # Ray's hash-join aggregator pool DEADLOCKS when num_partitions
+        # far exceeds the session's CPUs (measured: 32 partitions hang a
+        # 4-cpu session; 16 complete) — clamp to 2×CPUs (floor 4) so the
+        # same code runs on the 4-cpu test session and a 256-node
+        # cluster alike
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        np_eff = min(num_partitions, max(4, 2 * cpus))
+        return left.join(right, join_type=native_how, num_partitions=np_eff, on=(on,))
     return _portable_shuffle_join(left, right, on, num_partitions=num_partitions, how=polars_how)
 
 

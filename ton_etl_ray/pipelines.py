@@ -9,6 +9,7 @@ production replay (SURVEY.md §7.1).
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import shutil
@@ -144,3 +145,40 @@ def flagship_watch_derived(sf_dir: str, work_dir: str | None = None, *,
     finally:
         w.close()
     return derived_table(lake, "updated_docs")
+
+
+def flagship_epoch_diff(sf_dir: str, work_dir: str | None = None, *,
+                        num_partitions: int = 16):
+    """documents → change log split into TWO epochs by lsn (epoch 0 =
+    versions 0-1, epoch 1 = version 2 + tombstones) → replay both →
+    ``epoch_diff(lake, 0)``. The deterministic construction makes the
+    diff SQL-derivable: with n docs, epoch 0's winner is version 1
+    (lsn = n + rn in doc order), the final winner is version 2
+    (lsn = 2n + rn) except every 10th doc which is tombstoned — so the
+    diff is exactly 'deleted' for rn % 10 == 0 (lsn_to NULL) and
+    'updated' for everything else."""
+    from .cdc.replay import epoch_diff, replay
+
+    if work_dir is None:
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        work_dir = f"/tmp/tonray_ediff_{tag}"
+    shutil.rmtree(work_dir, ignore_errors=True)
+    chg = os.path.join(work_dir, "changes")
+    e0, e1 = os.path.join(work_dir, "epoch0"), os.path.join(work_dir, "epoch1")
+    lake = os.path.join(work_dir, "lake")
+    docs_to_change_log(sf_dir, chg)
+    os.makedirs(e0), os.makedirs(e1)
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    cut = 2 * n  # versions 0-1 below, version 2 + tombstones above
+    for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
+        t = pq.read_table(p)
+        lsn = t["lsn"].to_numpy()
+        lo, hi = t.filter(pa.array(lsn < cut)), t.filter(pa.array(lsn >= cut))
+        base = os.path.basename(p)
+        if lo.num_rows:
+            pq.write_table(lo, os.path.join(e0, base))
+        if hi.num_rows:
+            pq.write_table(hi, os.path.join(e1, base))
+    replay(e0, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
+    replay(e1, lake)
+    return epoch_diff(lake, 0)
