@@ -1,0 +1,106 @@
+"""compact_lake: re-materialize the committed state as one fresh epoch.
+
+Pins: state identity through compaction, no inherited partitions in the
+compacted commit, verify_lake lineage integrity, re-sharding, continued
+incremental ingestion on top, and GC collecting the whole pre-compaction
+history afterwards."""
+
+import glob
+import os
+import shutil
+
+
+def _state(lake):
+    from ton_etl_ray.cdc.replay import final_state_table
+
+    t = final_state_table(lake)
+    return {
+        d: (tuple(tok), n, s)
+        for d, tok, n, s in zip(
+            t["doc_id"].to_pylist(), t["tokens"].to_pylist(),
+            t["n_tok"].to_pylist(), t["source"].to_pylist())
+    }
+
+
+def _two_epoch_lake(tmp_path):
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    c0, c1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    lake = str(tmp_path / "lake")
+    shards = write_change_log(full, num_events=6000, num_keys=700, seed=5,
+                              num_shards=6)
+    os.makedirs(c0), os.makedirs(c1)
+    for p in shards[:3]:
+        shutil.copy(p, c0)
+    for p in shards[3:]:
+        shutil.copy(p, c1)
+    replay(c0, lake, num_partitions=8)
+    replay(c1, lake)
+    return lake, str(tmp_path / "c2"), full
+
+
+def test_compact_preserves_state_and_enables_gc(ray_session, tmp_path):
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.cdc.compact import compact_lake
+
+    lake, _, _ = _two_epoch_lake(tmp_path)
+    before = _state(lake)
+    commit = compact_lake(lake)
+    assert commit["epoch"] == 2
+    assert _state(lake) == before, "compaction changed the state"
+    # every non-empty partition lives in the NEW epoch — no inheritance
+    for ent in commit["partitions"].values():
+        if ent["rows"]:
+            assert ent["path"].startswith("epoch-000002"), ent
+    # lineage hashes verify
+    v = sink.verify_lake(lake)
+    assert v["hashes_verified"] > 0
+    # GC can now collect the entire pre-compaction history
+    sink.gc_epochs(lake, keep_epochs=1)
+    assert _state(lake) == before
+
+
+def test_compact_reshard_and_incremental_on_top(ray_session, tmp_path):
+    """Compacting to a new partition count re-shards the lake; a later
+    incremental replay adopts the new layout and still matches the
+    DuckDB rank-1 oracle over the full log."""
+    import duckdb
+
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    c0, c1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    lake = str(tmp_path / "lake")
+    shards = write_change_log(full, num_events=6000, num_keys=700, seed=6,
+                              num_shards=6)
+    os.makedirs(c0), os.makedirs(c1)
+    for p in shards[:3]:
+        shutil.copy(p, c0)
+    for p in shards[3:]:
+        shutil.copy(p, c1)
+    replay(c0, lake, num_partitions=8)
+    commit = compact_lake(lake, num_partitions=16)
+    assert commit["num_partitions"] == 16
+
+    replay(c1, lake)  # incremental on top of the compacted epoch
+    assert sink.read_commit(lake, sink.latest_epoch(lake))["num_partitions"] == 16
+
+    allp = sorted(glob.glob(f"{full}/*.parquet"))
+    want = {
+        d: (tuple(tok), n, s)
+        for d, tok, n, s in duckdb.sql(
+            f"""
+            WITH ranked AS (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY lsn DESC) rk
+               FROM read_parquet({allp!r}, union_by_name=true))
+            SELECT doc_id, tokens, n_tok, source FROM ranked
+            WHERE rk = 1 AND op <> 'd'
+            """
+        ).fetchall()
+    }
+    assert _state(lake) == want
