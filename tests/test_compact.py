@@ -104,3 +104,51 @@ def test_compact_reshard_and_incremental_on_top(ray_session, tmp_path):
         ).fetchall()
     }
     assert _state(lake) == want
+
+
+def test_compact_schema_evolved_lake(ray_session, tmp_path):
+    """Compaction must conform inherited old-schema partitions to the
+    latest unified schema (null-padded added columns), not bare-cast."""
+    import os
+    import shutil
+
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.replay import final_state_table, replay
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    c0, c1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    lake = str(tmp_path / "lake")
+    # shards >= 2 use the evolved schema (extra column); split so epoch 0
+    # is pre-evolution and epoch 1 brings the new column
+    shards = write_change_log(full, num_events=4000, num_keys=400, seed=9,
+                              num_shards=4, evolve_after_shard=2)
+    os.makedirs(c0), os.makedirs(c1)
+    for p in shards[:2]:
+        shutil.copy(p, c0)
+    for p in shards[2:]:
+        shutil.copy(p, c1)
+    replay(c0, lake, num_partitions=8)
+    replay(c1, lake)
+    before = final_state_table(lake).sort_by("doc_id")
+    compact_lake(lake)
+    after = final_state_table(lake).sort_by("doc_id")
+    assert after.schema.names == before.schema.names
+    assert after.equals(before.cast(after.schema))
+
+
+def test_compact_refuses_nothing_and_epoch_diff_gc_guard(ray_session, tmp_path):
+    import pytest
+
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.replay import epoch_diff
+
+    with pytest.raises(ValueError, match="no committed epoch"):
+        compact_lake(str(tmp_path / "nope"))
+
+    lake, _, _ = _two_epoch_lake(tmp_path)
+    compact_lake(lake)
+    sink.gc_epochs(lake, keep_epochs=1)  # collects epochs 0-1 data files
+    with pytest.raises(ValueError, match="garbage-collected"):
+        epoch_diff(lake, 0).take_all()

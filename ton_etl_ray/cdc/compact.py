@@ -31,13 +31,11 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from .._pickle import ensure_portable
 from ..core import partition as P
+from ..core.schema_evolution import conform
 from . import sink
-
-_RES_SCHEMA = pa.schema(
-    [("part", pa.int64()), ("rows", pa.int64()),
-     ("max_lsn", pa.int64()), ("file", pa.string())]
-)
+from .replay import MANIFEST_ROW_SCHEMA, _manifest_row
 
 
 def compact_lake(lake_dir: str, *, num_partitions: int | None = None) -> dict:
@@ -46,53 +44,61 @@ def compact_lake(lake_dir: str, *, num_partitions: int | None = None) -> dict:
     Returns the new commit dict. ``num_partitions`` defaults to the
     current layout; pass a different value to re-shard the lake (later
     incremental epochs adopt it automatically)."""
-    latest = sink.latest_epoch(lake_dir)
-    if latest is None:
-        raise ValueError(f"compact_lake: no committed epoch in {lake_dir}")
+    ensure_portable()
+    # pin latest under the epoch lock: a replay publishing concurrently
+    # moves _LATEST, and clear_staging on a COMMITTED epoch would delete
+    # live data — retry against the new head instead
+    while True:
+        latest = sink.latest_epoch(lake_dir)
+        if latest is None:
+            raise ValueError(f"compact_lake: no committed epoch in {lake_dir}")
+        epoch = latest + 1
+        lock = sink.acquire_epoch_lock(lake_dir, epoch)
+        if not sink.is_committed(lake_dir, epoch):
+            break
+        sink.release_epoch_lock(lock)  # raced a publisher; re-pin
     prev = sink.read_commit(lake_dir, latest)
     p_new = int(num_partitions or prev["num_partitions"])
-    epoch = latest + 1
-    lock = sink.acquire_epoch_lock(lake_dir, epoch)
     try:
         sink.clear_staging(lake_dir, epoch)
-        schema = sink.lake_schema(lake_dir)
-        ds = rd.read_parquet(sink.lake_files(lake_dir))
+        schema = sink.lake_schema(lake_dir, latest)
+        files = sink.lake_files(lake_dir, latest)
 
         def tag(t: pa.Table) -> pa.Table:
+            # inherited old-epoch files may predate schema evolution —
+            # conform (cast + null-pad), never bare cast
+            t = conform(t, schema)
             part = P.assign_partitions(t["doc_id"], p_new)
             return t.append_column("__part", pa.array(part.astype("int64"), pa.int64()))
 
         def write_group(g: pa.Table) -> pa.Table:
             if not len(g):
-                return _RES_SCHEMA.empty_table()
+                return MANIFEST_ROW_SCHEMA.empty_table()
             part = int(g["__part"][0].as_py())
-            t = g.drop_columns(["__part"]).sort_by("doc_id").cast(schema)
+            t = g.drop_columns(["__part"]).sort_by("doc_id")
             m = sink.write_partition(
                 lake_dir, epoch, sink.part_file(part), t,
                 {"kind": "data", "part": part, "rows_in": t.num_rows,
                  "max_lsn": int(pc.max(t["lsn"]).as_py()) if t.num_rows else -1,
                  "tombstones": 0},
             )
-            return pa.table(
-                {
-                    "part": pa.array([part], pa.int64()),
-                    "rows": pa.array([m["rows"]], pa.int64()),
-                    "max_lsn": pa.array([m["max_lsn"]], pa.int64()),
-                    "file": pa.array([m["file"]], pa.string()),
-                }
-            )
+            return _manifest_row(part, "data", m)
 
-        manifest_rows = (
-            ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(write_group, batch_format="pyarrow")
-            .map_batches(
-                lambda t: t.select(_RES_SCHEMA.names)
-                if "file" in t.column_names else _RES_SCHEMA.empty_table(),
-                batch_format="pyarrow",
+        manifest_rows = []
+        if files:  # an all-tombstoned lake compacts to an empty epoch
+            manifest_rows = (
+                rd.read_parquet(files)
+                .map_batches(tag, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(write_group, batch_format="pyarrow")
+                .map_batches(
+                    lambda t: t.select(MANIFEST_ROW_SCHEMA.names)
+                    if "file" in t.column_names
+                    else MANIFEST_ROW_SCHEMA.empty_table(),
+                    batch_format="pyarrow",
+                )
+                .take_all()
             )
-            .take_all()
-        )
 
         edir = os.path.basename(sink.epoch_dir(lake_dir, epoch))
         partitions: dict[str, dict] = {

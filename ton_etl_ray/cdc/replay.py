@@ -466,7 +466,13 @@ def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
     since epoch a": one row per key that was added, updated (winning
     lsn moved), or deleted between the two commits. The CDC engine's
     audit/downstream-sync primitive, built on the epoch-pinned reads
-    (``sink.lake_files(lake, epoch)``) that GC preserves as lineage.
+    (``sink.lake_files(lake, epoch)``).
+
+    GC caveat: ``gc_epochs`` keeps every commit JSON as lineage but
+    COLLECTS superseded data files, so a diff is only possible against
+    epochs whose files still exist (inside the GC keep window, or any
+    epoch if GC has not run). A collected epoch raises a clear
+    ValueError here rather than a mid-pipeline read failure.
 
     Scale shape: both sides are read NARROW (doc_id + lsn only — the
     payload never moves), then one hash-partitioned FULL OUTER
@@ -476,8 +482,20 @@ def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
     from ..ops.relational import shuffle_join
 
     def side(epoch, alias):
-        ds = rd.read_parquet(sink.lake_files(lake_dir, epoch),
-                             columns=["doc_id", "lsn"])
+        files = sink.lake_files(lake_dir, epoch)
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"epoch_diff: epoch {epoch}'s data files have been "
+                f"garbage-collected ({len(missing)} missing, e.g. "
+                f"{os.path.basename(missing[0])}); diff against an epoch "
+                "inside the GC keep window"
+            )
+        if not files:  # fully-tombstoned state: an empty, typed side
+            ds = rd.from_arrow(pa.schema(
+                [("doc_id", pa.string()), ("lsn", pa.int64())]).empty_table())
+        else:
+            ds = rd.read_parquet(files, columns=["doc_id", "lsn"])
         return ds.map_batches(
             lambda t, _a=alias: pa.table({"doc_id": t["doc_id"],
                                           _a: t["lsn"].cast(pa.int64())}),

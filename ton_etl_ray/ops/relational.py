@@ -398,9 +398,23 @@ def shuffle_join(
         # far exceeds the session's CPUs (measured: 32 partitions hang a
         # 4-cpu session; 16 complete) — clamp to 2×CPUs (floor 4) so the
         # same code runs on the 4-cpu test session and a 256-node
-        # cluster alike
+        # cluster alike. Trade-off: num_partitions also bounds
+        # per-aggregator state, so on a small node joining big data the
+        # clamp RAISES per-reducer memory — we log the clamp so the
+        # operator's memory math stays visible; callers who need more
+        # partitions than 2×CPUs should use _portable_shuffle_join
+        # (groupby-bucketed, no aggregator pool, no deadlock).
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         np_eff = min(num_partitions, max(4, 2 * cpus))
+        if np_eff < num_partitions:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "shuffle_join: clamping num_partitions %d -> %d (2x%d CPUs) to "
+                "avoid the native hash-join aggregator deadlock; per-reducer "
+                "state grows accordingly (use _portable_shuffle_join to keep "
+                "%d partitions)", num_partitions, np_eff, cpus, num_partitions,
+            )
         return left.join(right, join_type=native_how, num_partitions=np_eff, on=(on,))
     return _portable_shuffle_join(left, right, on, num_partitions=num_partitions, how=polars_how)
 
