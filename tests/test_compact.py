@@ -152,3 +152,29 @@ def test_compact_refuses_nothing_and_epoch_diff_gc_guard(ray_session, tmp_path):
     sink.gc_epochs(lake, keep_epochs=1)  # collects epochs 0-1 data files
     with pytest.raises(ValueError, match="garbage-collected"):
         epoch_diff(lake, 0).take_all()
+
+
+def test_run_maintain_cli_end_to_end(ray_session, tmp_path):
+    """The maintenance CLI drives diff → compact → gc → verify → stats
+    in a fresh process and emits one JSON line per action."""
+    import json
+    import subprocess
+    import sys
+
+    lake, _, _ = _two_epoch_lake(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "ton_etl_ray.cdc.run_maintain",
+         "--lake", lake, "--diff", "0", "--compact", "--gc-keep", "1",
+         "--verify", "--stats", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    actions = [json.loads(l) for l in out.stdout.strip().splitlines()
+               if l.startswith("{")]
+    by = {a["action"]: a for a in actions}
+    assert set(by) == {"diff", "compact", "gc", "verify", "stats"}
+    assert set(by["diff"]["counts"]) <= {"added", "updated", "deleted"}
+    assert by["compact"]["epoch"] == 2
+    assert by["verify"]["hashes_verified"] == by["verify"]["partitions_checked"]
+    assert by["stats"]["latest"] == 2

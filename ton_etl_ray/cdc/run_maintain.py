@@ -1,0 +1,94 @@
+"""CLI / ``ray job submit`` entry point for lake maintenance:
+compaction, garbage collection, lineage verification, stats, and
+epoch-to-epoch diffs — the operational companion of ``run_replay``.
+
+Usage::
+
+    python -m ton_etl_ray.cdc.run_maintain --lake DIR \
+        [--compact] [--partitions P] [--gc-keep K] [--verify] \
+        [--stats] [--diff A [B]] [--num-cpus N]
+
+Actions run in the order: diff → compact → gc → verify → stats —
+the diff first (it reads the PRE-maintenance epochs, which compaction
+renumbers past and GC may collect), then compact, then collect the
+history compaction freed, then prove the result. Prints one JSON line
+per action. This is the only place
+besides run_replay/bench/tests that owns a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lake", required=True)
+    ap.add_argument("--compact", action="store_true",
+                    help="re-materialize the committed state as a fresh epoch")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="re-shard to this partition count while compacting")
+    ap.add_argument("--gc-keep", type=int, default=0,
+                    help=">0: collect superseded epochs, keeping N")
+    ap.add_argument("--verify", action="store_true",
+                    help="check partition sha256 lineage of the latest epoch")
+    ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--diff", nargs="+", type=int, default=None,
+                    metavar="EPOCH", help="diff epoch A against B (default: latest)")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from . import sink
+    from .compact import compact_lake
+    from .replay import epoch_diff
+
+    if args.diff is not None:
+        a = args.diff[0]
+        b = args.diff[1] if len(args.diff) > 1 else None
+        t0 = time.perf_counter()
+        counts = epoch_diff(args.lake, a, b).groupby("change").count().to_pandas()
+        print(json.dumps({
+            "action": "diff", "from_epoch": a,
+            "to_epoch": b if b is not None else sink.latest_epoch(args.lake),
+            "counts": dict(zip(counts["change"], counts["count()"].astype(int))),
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+    if args.compact:
+        t0 = time.perf_counter()
+        commit = compact_lake(args.lake, num_partitions=args.partitions)
+        print(json.dumps({
+            "action": "compact", "epoch": commit["epoch"],
+            "rows_total": commit["rows_total"],
+            "num_partitions": commit["num_partitions"],
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+    if args.gc_keep > 0:
+        print(json.dumps({"action": "gc",
+                          **sink.gc_epochs(args.lake, keep_epochs=args.gc_keep)}))
+    if args.verify:
+        print(json.dumps({"action": "verify", **sink.verify_lake(args.lake)}))
+    if args.stats:
+        print(json.dumps({"action": "stats", **sink.lake_stats(args.lake)}))
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
