@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
 
 
@@ -42,17 +41,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
+    if args.partitions is not None and not args.compact:
+        ap.error("--partitions only applies together with --compact")
+    if args.diff is not None and len(args.diff) > 2:
+        ap.error("--diff takes at most two epochs (FROM [TO])")
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    import ray
+    needs_ray = args.compact or args.diff is not None
+    if needs_ray:
+        # gc/verify/stats are pure commit-manifest filesystem code — no
+        # Ray session for metadata-only invocations
+        from ._driver import init_driver
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+        init_driver(args.num_cpus)
 
     from . import sink
     from .compact import compact_lake
@@ -86,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.stats:
         print(json.dumps({"action": "stats", **sink.lake_stats(args.lake)}))
 
-    ray.shutdown()
+    if needs_ray:
+        import ray
+
+        ray.shutdown()
     return 0
 
 
