@@ -65,6 +65,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_epoch_diff(sf)
 
+    def fk_orphans_q(sf: str):
+        import pyarrow as _pa
+
+        def erased_every_7th(t):
+            k = t["c_custkey"].to_numpy(zero_copy_only=False)
+            return _pa.array((k % 7) != 0)
+
+        return profile.fk_orphans(sf, parent_filter=erased_every_7th)
+
     return {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
@@ -116,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-column data-quality profile (rows/nulls/exact distinct),
         # partial-combined per block — the publish-gate validation pass
         "profile_events": lambda sf: profile.profile_table(sf, table="events"),
+        # referential-integrity gate after simulated parent-side
+        # deletions (every 7th customer erased): orphaned orders per key
+        "fk_orphans": fk_orphans_q,
         "decimal_revenue": R.decimal_revenue,
         "order_lifecycle": R.order_lifecycle,
         # LEFT OUTER large×large shuffle join, reduced to per-priority
@@ -512,6 +524,14 @@ def oracle_sql() -> dict[str, str]:
                        WHERE c_mktsegment = 'BUILDING') b
               ON o_custkey = b.c_custkey
             GROUP BY o_orderpriority
+        """,
+        "fk_orphans": """
+            SELECT o_custkey AS orphan_key, count(*) AS n_rows
+            FROM orders
+            LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0) p
+              ON o_custkey = p.c_custkey
+            WHERE p.c_custkey IS NULL
+            GROUP BY 1
         """,
         "profile_events": """
             WITH s AS (

@@ -181,6 +181,8 @@ def run_bench() -> dict:
         "funnel_counts", "retention_cohorts",
         # two-epoch lake build + committed-state diff (narrow full-outer)
         "epoch_diff",
+        # referential-integrity gate (anti-join on key partials)
+        "fk_orphans",
     ]
     qtimes = {}
     if SKIP_QUERIES:

@@ -50,3 +50,61 @@ def test_profile_events_matches_duckdb(ray_session):
     ).df()
     for c in ("column", "n_rows", "n_nulls", "n_distinct"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_fk_orphans_planted(ray_session, tmp_path):
+    """Planted orphans are found with exact per-key row counts; a clean
+    FK yields an empty result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.profile import fk_orphans
+
+    d = tmp_path
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 1, 2, 3, 99, 99, 99], pa.int64())}),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        d / "customer.parquet",
+    )
+    out = fk_orphans(str(d)).to_pandas()
+    assert out.to_dict("records") == [{"orphan_key": 99, "n_rows": 3}]
+
+    # clean FK (parent covers every child key) → empty violation set
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 99], pa.int64())}),
+        d / "customer.parquet",
+    )
+    assert fk_orphans(str(d)).count() == 0
+
+
+def test_fk_orphans_matches_duckdb_with_erasures(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from ton_etl_ray.ops.profile import fk_orphans
+
+    sf = "/root/testdata/sf0.001"
+
+    def erased(t):
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.array((k % 7) != 0)
+
+    got = (
+        fk_orphans(sf, parent_filter=erased)
+        .to_pandas().sort_values("orphan_key").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT o_custkey AS orphan_key, count(*) AS n_rows
+        FROM '{sf}/orders.parquet'
+        LEFT JOIN (SELECT c_custkey FROM '{sf}/customer.parquet'
+                   WHERE c_custkey % 7 <> 0) p ON o_custkey = p.c_custkey
+        WHERE p.c_custkey IS NULL GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    assert (got["orphan_key"].to_numpy() == want["orphan_key"].to_numpy()).all()
+    assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()

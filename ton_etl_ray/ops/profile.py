@@ -122,3 +122,89 @@ def profile_table(sf_dir: str, table: str = "events"):
             "n_distinct": pa.array(out["n_distinct"].astype(np.int64), pa.int64()),
         }
     )
+
+
+def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custkey",
+               parent: str = "customer", parent_key: str = "c_custkey",
+               parent_filter=None):
+    """Referential-integrity check: child keys with NO matching parent
+    row, with per-key row counts — the foreign-key side of the publish
+    gate (`profile_table` covers the single-table side). The headline
+    use is validating a lake AFTER parent-side deletions (GDPR erasure,
+    corrections): every surviving child row must still resolve.
+
+    Scale shape (the anti-join discipline of `anti_join_customers`):
+    the child side pre-reduces to (key, count) partials per block and
+    the parent side to distinct keys per block, so the single
+    hash-bucket shuffle carries key-cardinality rows, never the rows
+    themselves; membership is a vectorized isin per bucket. Output is
+    proportional to the violation set — empty when integrity holds.
+
+    ``parent_filter`` (an Arrow-table → boolean-mask callable) restricts
+    the parent set, e.g. to simulate/audit deletions."""
+    ensure_portable()
+    import pyarrow.compute as pc
+
+    child_ds = read_table(sf_dir, child, columns=[child_key])
+    parent_ds = read_table(sf_dir, parent, columns=[parent_key])
+
+    def tag_child(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        part = (
+            pl.DataFrame({"k": t[child_key].to_numpy(zero_copy_only=False)})
+            .group_by("k")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return pa.table(
+            {
+                "k": pa.array(part["k"].to_numpy(), pa.int64()),
+                "n": pa.array(part["n"].to_numpy(), pa.int64()),
+                "__side": pa.array(np.zeros(len(part), np.int8)),
+            }
+        )
+
+    def tag_parent(t: pa.Table) -> pa.Table:
+        if parent_filter is not None:
+            t = t.filter(parent_filter(t))
+        keys = pc.unique(t[parent_key])
+        return pa.table(
+            {
+                "k": keys.cast(pa.int64()),
+                "n": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "__side": pa.array(np.ones(len(keys), np.int8)),
+            }
+        )
+
+    both = child_ds.map_batches(tag_child, batch_format="pyarrow").union(
+        parent_ds.map_batches(tag_parent, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([("orphan_key", pa.int64()), ("n_rows", pa.int64())])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["k"], pa.scalar(63, pa.int64()))
+        return t.append_column("__b", b)
+
+    def anti(df: "pd.DataFrame") -> pa.Table:
+        parents = df.loc[df["__side"] == 1, "k"].to_numpy()
+        kids = df[df["__side"] == 0]
+        keep = ~np.isin(kids["k"].to_numpy(), parents)
+        orph = kids[keep].groupby("k", sort=False)["n"].sum()
+        return pa.table(
+            {
+                "orphan_key": pa.array(orph.index.to_numpy(), pa.int64()),
+                "n_rows": pa.array(orph.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        both.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(anti, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names)
+            if "orphan_key" in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
