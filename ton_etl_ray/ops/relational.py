@@ -505,7 +505,16 @@ def _portable_shuffle_join(
         t = merged.select(out_schema.names).to_arrow()
         # polars emits large_string/large_list — normalize to the caller's
         # exact schema so empty merges can't degrade list types either
-        return t.cast(out_schema).replace_schema_metadata(None)
+        t = t.cast(out_schema).replace_schema_metadata(None)
+        if t.num_rows:
+            # rebuild offset-0, tight buffers: the polars→cast output can
+            # carry sliced list children whose raw buffers Ray's optimized
+            # Arrow serializer mis-slices (ArrowIndexError: "buffer slice
+            # would exceed buffer length" — found by the join property
+            # test; graceful IPC fallback at best, SystemException at
+            # worst). take() materializes fresh arrays.
+            t = t.take(pa.array(np.arange(t.num_rows), pa.int64()))
+        return t
 
     return both.map_batches(bucket, batch_format="pyarrow").groupby("__bucket").map_groups(
         join_group, batch_format="pyarrow"
