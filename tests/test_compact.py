@@ -178,3 +178,76 @@ def test_run_maintain_cli_end_to_end(ray_session, tmp_path):
     assert by["compact"]["epoch"] == 2
     assert by["verify"]["hashes_verified"] == by["verify"]["partitions_checked"]
     assert by["stats"]["latest"] == 2
+
+
+def test_watcher_survives_same_width_compaction(ray_session, tmp_path):
+    """compact_lake with the SAME partition count between watcher waves
+    is safe: the continuing watcher applies later micro-batches on top
+    of the compacted epoch and the final state equals the full-log
+    rank-1 oracle."""
+    import glob
+
+    import duckdb
+
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.streaming import DirectoryWatcher
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    watch = str(tmp_path / "in")
+    lake = str(tmp_path / "lake")
+    shards = write_change_log(full, num_events=6000, num_keys=700, seed=8,
+                              num_shards=6)
+    os.makedirs(watch)
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=3, idle_flush_sec=0.1, stable_polls=0)
+    for p in shards[:3]:
+        shutil.copy(p, watch)
+    while w.step():
+        pass
+    compact_lake(lake)  # same width — safe mid-stream
+    for p in shards[3:]:
+        shutil.copy(p, watch)
+    for _ in range(6):
+        w.step()
+
+    allp = sorted(glob.glob(f"{full}/*.parquet"))
+    want = {
+        d: n for d, n in duckdb.sql(
+            f"""WITH ranked AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY lsn DESC) rk
+                FROM read_parquet({allp!r}, union_by_name=true))
+              SELECT doc_id, n_tok FROM ranked WHERE rk = 1 AND op <> 'd'"""
+        ).fetchall()
+    }
+    got = _state(lake)
+    assert {d: v[1] for d, v in got.items()} == want
+
+
+def test_live_ingestor_rejects_mid_stream_reshard(ray_session, tmp_path):
+    """A re-sharding compaction under a LIVE ingestor must fail loudly,
+    not scatter keys across two partition numberings."""
+    import pytest
+
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.streaming import DirectoryWatcher
+    from ton_etl_ray.gen import write_change_log
+
+    full = str(tmp_path / "full")
+    watch = str(tmp_path / "in")
+    lake = str(tmp_path / "lake")
+    shards = write_change_log(full, num_events=4000, num_keys=400, seed=10,
+                              num_shards=4)
+    os.makedirs(watch)
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, idle_flush_sec=0.1, stable_polls=0)
+    for p in shards[:2]:
+        shutil.copy(p, watch)
+    while w.step():
+        pass
+    compact_lake(lake, num_partitions=16)  # RE-SHARD under the live watcher
+    for p in shards[2:]:
+        shutil.copy(p, watch)
+    with pytest.raises(RuntimeError, match="re-sharded"):
+        for _ in range(6):
+            w.step()

@@ -43,7 +43,13 @@ def compact_lake(lake_dir: str, *, num_partitions: int | None = None) -> dict:
 
     Returns the new commit dict. ``num_partitions`` defaults to the
     current layout; pass a different value to re-shard the lake (later
-    incremental epochs adopt it automatically)."""
+    incremental epochs adopt it automatically).
+
+    Live-consumer caveat: a SAME-width compaction is safe to run
+    between a continuous ingestor's micro-batches (pinned by pytest);
+    a RE-SHARD under a live ingestor is rejected by the ingestor's
+    layout guard (its actors cache the partition map) — restart the
+    watcher/ingestor after re-sharding."""
     ensure_portable()
     # pin latest under the epoch lock: a replay publishing concurrently
     # moves _LATEST, and clear_staging on a COMMITTED epoch would delete

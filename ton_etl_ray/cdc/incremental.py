@@ -148,6 +148,20 @@ class IncrementalIngestor:
         uncommitted, and the retry re-derives over the same shard set."""
         files = sorted(glob.glob(os.path.join(changes, "*.parquet"))) if isinstance(changes, str) else list(changes)
         prev = sink.latest_epoch(self.lake_dir)
+        if prev is not None:
+            committed_p = sink.read_commit(self.lake_dir, prev)["num_partitions"]
+            if committed_p != self.P:
+                # a compact_lake(num_partitions=...) re-shard ran under a
+                # LIVE ingestor: this ingestor's cached partition map no
+                # longer matches the lake layout, and mixing the two would
+                # scatter keys across both numberings. Fail loudly; the
+                # operator restarts the watcher/ingestor, which adopts the
+                # new layout at construction.
+                raise RuntimeError(
+                    f"ingest: lake was re-sharded to {committed_p} partitions "
+                    f"(this ingestor was built for {self.P}); restart the "
+                    "ingestor to adopt the new layout"
+                )
         epoch = 0 if prev is None else prev + 1
         staging = sink.epoch_dir(self.lake_dir, epoch)
         # lock FIRST (never rmtree an unlocked staging dir — it may belong
