@@ -108,3 +108,40 @@ def test_fk_orphans_matches_duckdb_with_erasures(ray_session):
     assert len(got) == len(want) > 0
     assert (got["orphan_key"].to_numpy() == want["orphan_key"].to_numpy()).all()
     assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()
+
+
+def test_fk_orphans_null_and_type_semantics(ray_session, tmp_path):
+    """Null child keys report as one NULL orphan group (SQL LEFT JOIN:
+    NULL matches nothing); null parent keys match nothing; non-integer
+    keys fail fast with a clear error."""
+    import pytest
+
+    from ton_etl_ray.ops.profile import fk_orphans
+
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, None, None, 7], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, None], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    out = fk_orphans(str(tmp_path)).to_pandas()
+    rows = {(None if pa.compute.is_null(pa.scalar(k)).as_py() or k != k else int(k)): int(n)
+            for k, n in zip(out["orphan_key"], out["n_rows"])}
+    # key 7 is orphaned; the two NULL-keyed rows form the NULL group;
+    # key 1 resolves (parent NULL matches nothing and harms nothing)
+    assert rows == {7: 1, None: 2}
+
+    d2 = tmp_path / "s"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(["a"], pa.string())}),
+        d2 / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1], pa.int64())}),
+        d2 / "customer.parquet",
+    )
+    with pytest.raises(Exception, match="integer"):
+        fk_orphans(str(d2)).take_all()

@@ -147,7 +147,18 @@ class IncrementalIngestor:
         under ``derived``; a crash before publish leaves them
         uncommitted, and the retry re-derives over the same shard set."""
         files = sorted(glob.glob(os.path.join(changes, "*.parquet"))) if isinstance(changes, str) else list(changes)
-        prev = sink.latest_epoch(self.lake_dir)
+        # pin the head UNDER the epoch lock (same retry loop as
+        # compact_lake): a concurrent publisher (compaction, another
+        # writer) can commit our target epoch between latest_epoch() and
+        # the lock, and clear_staging on a COMMITTED epoch would delete
+        # live data. Re-pin until the locked epoch is still uncommitted.
+        while True:
+            prev = sink.latest_epoch(self.lake_dir)
+            epoch = 0 if prev is None else prev + 1
+            lock = sink.acquire_epoch_lock(self.lake_dir, epoch)
+            if not sink.is_committed(self.lake_dir, epoch):
+                break
+            sink.release_epoch_lock(lock)  # raced a publisher; re-pin
         if prev is not None:
             committed_p = sink.read_commit(self.lake_dir, prev)["num_partitions"]
             if committed_p != self.P:
@@ -156,17 +167,15 @@ class IncrementalIngestor:
                 # longer matches the lake layout, and mixing the two would
                 # scatter keys across both numberings. Fail loudly; the
                 # operator restarts the watcher/ingestor, which adopts the
-                # new layout at construction.
+                # new layout at construction. (Checked AFTER the lock so a
+                # re-shard can't slip into the check-to-lock window.)
+                sink.release_epoch_lock(lock)
                 raise RuntimeError(
                     f"ingest: lake was re-sharded to {committed_p} partitions "
                     f"(this ingestor was built for {self.P}); restart the "
                     "ingestor to adopt the new layout"
                 )
-        epoch = 0 if prev is None else prev + 1
         staging = sink.epoch_dir(self.lake_dir, epoch)
-        # lock FIRST (never rmtree an unlocked staging dir — it may belong
-        # to a live writer), then clear stale staged files
-        lock = sink.acquire_epoch_lock(self.lake_dir, epoch)
         try:
             sink.clear_staging(self.lake_dir, epoch)
             return self._ingest_locked(files, prev, epoch, staging, derive)

@@ -141,24 +141,38 @@ def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custke
     proportional to the violation set — empty when integrity holds.
 
     ``parent_filter`` (an Arrow-table → boolean-mask callable) restricts
-    the parent set, e.g. to simulate/audit deletions."""
+    the parent set, e.g. to simulate/audit deletions.
+
+    Null semantics match the SQL LEFT-JOIN formulation: a NULL child
+    key never matches any parent (``NULL = x`` is false), so null-keyed
+    child rows report as one orphan group with ``orphan_key`` NULL;
+    null parent keys match nothing and are dropped. Integer keys only
+    (the lake's key model) — other types fail fast."""
     ensure_portable()
     import pyarrow.compute as pc
 
     child_ds = read_table(sf_dir, child, columns=[child_key])
     parent_ds = read_table(sf_dir, parent, columns=[parent_key])
 
+    def _require_int(col, name):
+        if not pa.types.is_integer(col.type):
+            raise ValueError(
+                f"fk_orphans: {name} must be integer-typed, got {col.type}")
+
     def tag_child(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        _require_int(t[child_key].combine_chunks()
+                     if isinstance(t[child_key], pa.ChunkedArray)
+                     else t[child_key], child_key)
         part = (
-            pl.DataFrame({"k": t[child_key].to_numpy(zero_copy_only=False)})
+            pl.from_arrow(t.select([child_key]).rename_columns(["k"]))
             .group_by("k")
             .agg(pl.len().cast(pl.Int64).alias("n"))
         )
         return pa.table(
             {
-                "k": pa.array(part["k"].to_numpy(), pa.int64()),
+                "k": pa.array(part["k"].to_list(), pa.int64()),
                 "n": pa.array(part["n"].to_numpy(), pa.int64()),
                 "__side": pa.array(np.zeros(len(part), np.int8)),
             }
@@ -167,7 +181,11 @@ def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custke
     def tag_parent(t: pa.Table) -> pa.Table:
         if parent_filter is not None:
             t = t.filter(parent_filter(t))
-        keys = pc.unique(t[parent_key])
+        col = t[parent_key]
+        _require_int(col.combine_chunks()
+                     if isinstance(col, pa.ChunkedArray) else col, parent_key)
+        keys = pc.unique(pc.drop_null(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col))
         return pa.table(
             {
                 "k": keys.cast(pa.int64()),
@@ -183,18 +201,29 @@ def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custke
     out_schema = pa.schema([("orphan_key", pa.int64()), ("n_rows", pa.int64())])
 
     def bucket(t: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(t["k"], pa.scalar(63, pa.int64()))
-        return t.append_column("__b", b)
+        # hash64, not raw low bits: stride-aligned id schemes (ids that
+        # are multiples of 64) would otherwise collapse into one bucket;
+        # nulls route to bucket 0 (their key stays null in the data)
+        from ..core.partition import hash64
+
+        filled = pc.fill_null(t["k"], 0)
+        b = (hash64(filled) % np.uint64(64)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
 
     def anti(df: "pd.DataFrame") -> pa.Table:
-        parents = df.loc[df["__side"] == 1, "k"].to_numpy()
         kids = df[df["__side"] == 0]
+        null_kids = kids[kids["k"].isna()]
+        kids = kids[~kids["k"].isna()]
+        parents = df.loc[df["__side"] == 1, "k"].to_numpy()
         keep = ~np.isin(kids["k"].to_numpy(), parents)
         orph = kids[keep].groupby("k", sort=False)["n"].sum()
+        keys = [int(k) for k in orph.index] + ([None] if len(null_kids) else [])
+        rows = [int(v) for v in orph.to_numpy()] + (
+            [int(null_kids["n"].sum())] if len(null_kids) else [])
         return pa.table(
             {
-                "orphan_key": pa.array(orph.index.to_numpy(), pa.int64()),
-                "n_rows": pa.array(orph.to_numpy().astype(np.int64), pa.int64()),
+                "orphan_key": pa.array(keys, pa.int64()),
+                "n_rows": pa.array(rows, pa.int64()),
             }
         )
 

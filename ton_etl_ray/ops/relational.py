@@ -490,6 +490,8 @@ def _portable_shuffle_join(
         b = (hash64(t[on]) % np.uint64(num_partitions)).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
+    has_nested = any(pa.types.is_nested(f.type) for f in out_schema)
+
     def join_group(g: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -506,13 +508,14 @@ def _portable_shuffle_join(
         # polars emits large_string/large_list — normalize to the caller's
         # exact schema so empty merges can't degrade list types either
         t = t.cast(out_schema).replace_schema_metadata(None)
-        if t.num_rows:
+        if t.num_rows and has_nested:
             # rebuild offset-0, tight buffers: the polars→cast output can
-            # carry sliced list children whose raw buffers Ray's optimized
+            # carry sliced LIST children whose raw buffers Ray's optimized
             # Arrow serializer mis-slices (ArrowIndexError: "buffer slice
             # would exceed buffer length" — found by the join property
             # test; graceful IPC fallback at best, SystemException at
-            # worst). take() materializes fresh arrays.
+            # worst). take() materializes fresh arrays; only nested
+            # schemas pay the copy — flat joins are unaffected.
             t = t.take(pa.array(np.arange(t.num_rows), pa.int64()))
         return t
 
