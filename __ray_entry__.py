@@ -25,8 +25,24 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    import pyarrow as pa
+
     from ton_etl_ray.ops import ann, corpus, dedup, enrich, ml, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
+
+    def _schema_safe(fn, schema: "pa.Schema"):
+        """Harness adapter for ops whose result can be LEGITIMATELY empty
+        (anti-join / EXCEPT): Ray 2.49's ``Dataset.to_pandas()`` drops the
+        schema of a zero-row Dataset, so the hash compare would see zero
+        COLUMNS. An empty result comes back as a typed empty Arrow table;
+        nonempty results stay a (materialized) Dataset — never a driver
+        concat."""
+        def run(sf: str):
+            out = fn(sf).materialize()
+            if out.count() == 0:
+                return schema.empty_table()
+            return out
+        return run
 
     def registry_trades(sf: str):
         import ray.data as rd
@@ -74,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return profile.fk_orphans(sf, parent_filter=erased_every_7th)
 
-    return {
+    entries = {
         # --- user-extension surface (§2.10): registered transform fan-out
         "registry_trades": registry_trades,
         "props_decode": props_decode,
@@ -116,8 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats": R.supplier_stats,
         "percentile_values": R.percentile_values,
         "topk_users": R.topk_users,
-        "anti_join_customers": R.anti_join_customers,
-        "except_users": R.except_users,
+        "anti_join_customers": _schema_safe(
+            R.anti_join_customers,
+            pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        ),
+        "except_users": _schema_safe(
+            R.except_users, pa.schema([("user_id", pa.int64())])
+        ),
         "distinct_event_types": R.distinct_event_types,
         "parent_event": R.parent_event,
         "union_trades": R.union_trades,
@@ -223,13 +244,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (matrix solve → rows-only; pytest pins ≡ single-machine)
         "linear_probe": ml.linear_probe,
         # --- multimodal plumbing (decode stubbed; deterministic fake
-        # features → rows-only checks over the synthetic media corpus) ---
+        # features → rows-only checks over an SF-SCALED synthetic media
+        # corpus: one media row per document, generated distributed) ---
         "media_features": lambda sf: multimodal.media_features(
-            multimodal.synth_media_table(256)
+            multimodal.synth_media_dataset(sf)
         ),
         "media_frame_sample": lambda sf: multimodal.media_frame_sample(
-            multimodal.synth_media_table(256)
+            multimodal.synth_media_dataset(sf)
         ),
+    }
+    # Oracle-backed entries FIRST: a harness that checks a prefix of this
+    # dict covers every query with a DuckDB value-hash oracle before the
+    # rows-only (sketch/approximate/iterative) ones.
+    oracled = set(oracle_sql())
+    return {
+        **{k: v for k, v in entries.items() if k in oracled},
+        **{k: v for k, v in entries.items() if k not in oracled},
     }
 
 

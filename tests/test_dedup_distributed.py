@@ -256,3 +256,47 @@ def test_kmeans_clusters_properties():
     again = ann.kmeans_clusters(SF, k=4, iters=5)
     assert again["size"].to_pylist() == five["size"].to_pylist()
     assert again["inertia"].to_pylist() == five["inertia"].to_pylist()
+
+
+def test_pair_ops_return_dataset_on_empty(tmp_path):
+    """simhash_pairs / minhash_lsh_pairs must return a Ray Dataset on the
+    zero-candidate path too (ADVICE r3: a pa.Table on just the empty
+    path crashes callers that chain Dataset ops like count/map_batches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops import dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(
+            [f"totally distinct document {i} " + " ".join(
+                f"tok{i}x{j}" for j in range(12)) for i in range(8)],
+            pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    for op in (lambda: dedup.simhash_pairs(str(d), max_hamming=0),
+               lambda: dedup.minhash_lsh_pairs(str(d), threshold=0.99)):
+        out = op()
+        # Dataset contract: chaining Dataset ops must work
+        assert hasattr(out, "map_batches") and hasattr(out, "count")
+        assert out.count() == 0
+
+
+def test_polars_hash_pin_guard(monkeypatch):
+    """The pinned-vector guard passes on this polars build and fails
+    loudly when the vectors diverge (simulating a version mismatch)."""
+    import pytest
+
+    from ton_etl_ray.core import partition as P
+
+    monkeypatch.setattr(P, "_hash_checked", False)
+    P.assert_polars_hash_stable()  # real vectors: must pass
+
+    monkeypatch.setattr(P, "_hash_checked", False)
+    monkeypatch.setattr(P, "_HASH_PIN", (("tonray-hash-probe", 7331, 1),))
+    with pytest.raises(RuntimeError, match="not stable across polars"):
+        P.assert_polars_hash_stable()

@@ -25,6 +25,26 @@ def test_profile_synthetic_nulls(ray_session, tmp_path):
     assert out["n_distinct"] == [2, 3, 3]
 
 
+def test_profile_all_null_column(ray_session, tmp_path):
+    """An all-NULL column must still appear in the profile with
+    n_distinct=0 / n_nulls=n_rows (ADVICE r3: the inner merge silently
+    dropped exactly the degenerate column a publish gate must report)."""
+    from ton_etl_ray.ops.profile import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "z": pa.array([None, None, None], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "mini.parquet")
+    out = profile_table(str(tmp_path), table="mini").to_pydict()
+    assert out["column"] == ["a", "z"]
+    assert out["n_rows"] == [3, 3]
+    assert out["n_nulls"] == [0, 3]
+    assert out["n_distinct"] == [3, 0]
+
+
 def test_profile_events_matches_duckdb(ray_session):
     from ton_etl_ray.ops.profile import profile_table
 

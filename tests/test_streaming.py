@@ -519,3 +519,62 @@ def test_derive_with_zero_matching_rows(tmp_path):
             assert derived_table(lake, "updated_docs").count() == total
     finally:
         w.close()
+
+
+def test_metrics_exporter_scrapes_live_gauges(tmp_path):
+    """K7 full form: a Prometheus-style /metrics endpoint scraped DURING
+    a watcher run must serve the per-epoch gauges and show them move as
+    epochs commit (events/sec, watermark, committed-epoch counter)."""
+    import urllib.request
+
+    from ton_etl_ray.cdc.exporter import MetricsExporter
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=4000, num_keys=300, seed=53, num_shards=4, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+
+    def scrape(url):
+        with urllib.request.urlopen(url, timeout=10) as r:
+            assert r.status == 200
+            txt = r.read().decode()
+        return {
+            line.split()[0]: float(line.split()[1])
+            for line in txt.splitlines() if line and not line.startswith("#")
+        }
+
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=4, num_actors=1,
+                         max_batch_shards=2, stable_polls=0, time_fn=clock)
+    try:
+        with MetricsExporter(lake) as exp:
+            # scrape BEFORE any commit: must serve zeros, not 500
+            m0 = scrape(exp.url)
+            assert m0["tonray_epochs_committed_total"] == 0
+
+            for f in files[:2]:
+                shutil.copy(f, watch)
+            w.step()
+            m1 = scrape(exp.url)
+            assert m1["tonray_epochs_committed_total"] == 1
+            assert m1["tonray_events_per_sec"] > 0
+            assert m1["tonray_watermark_lsn"] >= 0
+            assert m1["tonray_lake_rows_total"] > 0
+
+            for f in files[2:]:
+                shutil.copy(f, watch)
+            clock.t += 1.0
+            w.step()
+            m2 = scrape(exp.url)
+            # gauges moved with the second commit
+            assert m2["tonray_epochs_committed_total"] == 2
+            assert m2["tonray_epoch"] == m1["tonray_epoch"] + 1
+            assert m2["tonray_watermark_lsn"] > m1["tonray_watermark_lsn"]
+            assert (m2["tonray_events_routed_total"]
+                    > m1["tonray_events_routed_total"])
+    finally:
+        w.close()

@@ -8,7 +8,8 @@ Ray-Data-first shape (SURVEY.md §3.5, §7)::
       → groupby("part").map_groups(apply_partition)                     # the one all-to-all shuffle
            base partition: merge prior state (LWW) → 2PC partition write
            salted hot partition: partial compact (tombstones kept) → spill
-      → driver: reduce hot spills → merge winners into base partitions
+      → groupby("part").map_groups(fold_partition)  # distributed second
+           stage: fold salted hot-spill winners into their base partitions
       → publish epoch (_COMMIT + _LATEST pointer flip)
 
 Correctness contract (BASELINE.json north rule): final table equals the
@@ -24,8 +25,10 @@ Scale design notes:
 - there is NO global sort by lsn — LWW(max lsn) only needs per-key
   ordering, which the per-partition reduce provides (SURVEY.md §7.4);
 - hot keys are salted across ``num_salts`` extra shuffle partitions and
-  re-reduced in a tiny driver-side second stage, so one skewed key never
-  lands on a single reducer (SURVEY.md §4.2);
+  re-reduced in a second DISTRIBUTED groupby stage (one group per base
+  partition that received hot winners — only manifest rows reach the
+  driver), so one skewed key never lands on a single reducer and many
+  hot keys never serialize the epoch tail (SURVEY.md §4.2);
 - untouched partitions are inherited by reference into the new epoch's
   commit — an epoch only rewrites partitions that received changes;
 - choose ``num_partitions`` so (partition state + epoch changes) fits a
@@ -201,6 +204,46 @@ def _make_apply_fn(
     return apply_partition
 
 
+def _make_fold_fn(
+    lake_dir: str,
+    epoch: int,
+    staging: str,
+    prev_state: dict[int, str],
+    prior_max_by_part: dict[int, int],
+):
+    """Hot-spill second-stage reducer: one shuffle group per BASE
+    partition that received salted hot winners. Compaction inside the
+    group is globally correct — every row of a key hashes to the same
+    base partition, so the group holds ALL of that key's spill winners.
+    Merges on top of the stage-1 partition file (or prior-epoch state)
+    and rewrites it under the same deterministic name (LWW-idempotent)."""
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        bp = int(group["part"][0].as_py())
+        sub = M.compact(group.drop_columns(["part"]), keep_tombstones=True)
+        cur_path = os.path.join(staging, sink.part_file(bp))
+        if os.path.exists(cur_path):
+            state = pq.read_table(cur_path)
+        elif bp in prev_state:
+            state = pq.read_table(prev_state[bp])
+        else:
+            state = None
+        new_state = M.merge_state(state, sub).sort_by("doc_id")
+        m = sink.write_partition(
+            lake_dir, epoch, sink.part_file(bp), new_state,
+            {"kind": "data", "part": bp,
+             "rows_in": int(sub.num_rows),
+             # the partition watermark covers BOTH the shuffle-stage
+             # changes and the hot winners folded in here
+             "max_lsn": max(prior_max_by_part.get(bp, -1),
+                            int(pc.max(sub["lsn"]).as_py())),
+             "tombstones": int(pc.sum(pc.equal(sub["op"], "d")).as_py() or 0)},
+        )
+        return _manifest_row(bp, "data", m)
+
+    return fold_partition
+
+
 def _manifest_row(part: int, kind: str, m: dict) -> pa.Table:
     return pa.table(
         {
@@ -358,37 +401,42 @@ def _replay_locked(
             k: (str(v) if isinstance(v, str) else int(v)) for k, v in r.items()
         }
 
-    # --- hot-key second-stage reduce: fold salted partials into base parts
+    # --- hot-key second-stage reduce: fold salted partials into base parts.
+    # DISTRIBUTED (VERDICT r3 Wrong #4): the fold is itself a tiny Ray
+    # stage — read spill files, assign each winner its BASE partition,
+    # ONE groupby("part") shuffle, and each group's merge+write runs on a
+    # worker in parallel. Only manifest rows return to the driver; the
+    # previous form merged and wrote every hot base partition
+    # SEQUENTIALLY on the driver, serializing the tail of every epoch
+    # when many hot keys carry large payloads.
     spills = [m for m in manifests.values() if m["kind"] == "hotspill"]
+    fold_parts = 0
     if spills:
-        tables = [
-            pq.read_table(os.path.join(staging, m["file"])) for m in spills
-        ]
-        winners = M.compact(pa.concat_tables(tables, promote_options="permissive"),
-                            keep_tombstones=True)
-        base = P.assign_partitions(winners["doc_id"], num_partitions)
-        for bp in sorted(set(base.tolist())):
-            sub = winners.filter(pa.array(base == bp))
-            cur_path = os.path.join(staging, sink.part_file(bp))
-            if os.path.exists(cur_path):
-                state = pq.read_table(cur_path)
-            elif bp in prev_state:
-                state = pq.read_table(prev_state[bp])
-            else:
-                state = None
-            new_state = M.merge_state(state, sub).sort_by("doc_id")
-            prior = manifests.get(sink.part_file(bp))
-            prior_max = int(prior["max_lsn"]) if prior else -1
-            m = sink.write_partition(
-                lake_dir, epoch, sink.part_file(bp), new_state,
-                {"kind": "data", "part": bp,
-                 "rows_in": int(sub.num_rows),
-                 # the partition watermark covers BOTH the shuffle-stage
-                 # changes and the hot winners folded in here
-                 "max_lsn": max(prior_max, int(pc.max(sub["lsn"]).as_py())),
-                 "tombstones": int(pc.sum(pc.equal(sub["op"], "d")).as_py() or 0)},
-            )
-            manifests[m["file"]] = {**m, "kind": "data", "part": bp}
+        spill_paths = [os.path.join(staging, m["file"]) for m in spills]
+        prior_max_by_part = {
+            int(m["part"]): int(m["max_lsn"])
+            for m in manifests.values() if m["kind"] == "data"
+        }
+
+        def assign_base(t: pa.Table) -> pa.Table:
+            base = P.assign_partitions(t["doc_id"], num_partitions)
+            return t.append_column("part", pa.array(base, pa.int64()))
+
+        fold_fn = _make_fold_fn(
+            lake_dir, epoch, staging, prev_state, prior_max_by_part
+        )
+        fold_rows = (
+            rd.read_parquet(spill_paths, override_num_blocks=max(1, len(spill_paths)))
+            .map_batches(assign_base, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold_fn, batch_format="pyarrow")
+            .take_all()
+        )
+        fold_parts = len(fold_rows)
+        for r in fold_rows:
+            manifests[str(r["file"])] = {
+                k: (str(v) if isinstance(v, str) else int(v)) for k, v in r.items()
+            }
 
     # --- phase-2 commit: full partition map (written ∪ inherited)
     data_manifests = {m["part"]: m for m in manifests.values() if m["kind"] == "data"}
@@ -444,6 +492,10 @@ def _replay_locked(
             "rows_in": int(sum(m["rows_in"] for m in manifests.values())),
             "tombstones": int(sum(m["tombstones"] for m in manifests.values())),
             "hotspill_parts": len(spills),
+            # base partitions folded by the DISTRIBUTED second-stage
+            # reduce (0 = no hot keys this epoch); tests assert on this
+            # to pin that the fold ran as a Ray stage, not a driver loop
+            "hotspill_fold_parts": fold_parts,
         },
     )
 

@@ -26,9 +26,45 @@ import pyarrow as pa
 
 HASH_SEED = 0xA11CE
 
+# Pinned test vectors for polars' 64-bit hash (computed with polars
+# 1.42.1). polars documents Series.hash as NOT stable across releases:
+# on a cluster whose workers run mismatched polars versions, hash
+# partitioning / LSH buckets / term shards would silently disagree and
+# drop rows or candidates with no error. Every process that imports
+# this module verifies the vector once and fails LOUDLY on mismatch.
+_HASH_PIN = (
+    ("tonray-hash-probe", 7331, 7684535875120548274),
+    (123456789, 4242, 10733335462443107075),
+)
+_hash_checked = False
+
+
+def assert_polars_hash_stable() -> None:
+    """Verify the pinned polars hash test vectors (once per process).
+
+    Raises RuntimeError if this polars build hashes differently from the
+    version the engine's shuffle keys were authored against — a silent
+    cross-worker bucket mismatch is converted into a loud startup error."""
+    global _hash_checked
+    if _hash_checked:
+        return
+    for value, seed, expected in _HASH_PIN:
+        got = int(pl.Series([value]).hash(seed=seed)[0])
+        if got != expected:
+            raise RuntimeError(
+                f"polars {pl.__version__} hash({value!r}, seed={seed}) = {got}, "
+                f"expected {expected}: Series.hash is not stable across polars "
+                "releases and this build disagrees with the pinned vectors — "
+                "hash partitioning / LSH bucketing / term sharding would "
+                "silently diverge across workers. Pin polars to one version "
+                "cluster-wide (or re-pin core/partition._HASH_PIN)."
+            )
+    _hash_checked = True
+
 
 def hash64(values: pa.Array | pa.ChunkedArray | list) -> np.ndarray:
     """Vectorized deterministic 64-bit hash of a key column."""
+    assert_polars_hash_stable()
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     s = pl.Series("k", values)

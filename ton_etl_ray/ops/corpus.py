@@ -30,7 +30,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
+from ..core.partition import assert_polars_hash_stable
 from ._util import _t, read_table
+
+# term/doc shard keys ride polars' seeded hash — fail loudly on a polars
+# build whose hash diverges from the pinned vectors (see core.partition)
+assert_polars_hash_stable()
 
 _TERM_SHARDS = 256  # coarse key-shard count for the global-statistic shuffle
 _DOC_SHARDS = 64    # coarse doc-shard count for the per-doc reduce

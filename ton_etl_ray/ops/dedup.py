@@ -28,7 +28,13 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
+from ..core.partition import assert_polars_hash_stable
 from ._util import _t, read_table
+
+# shingle/band/bucket keys all ride polars' seeded hash — fail loudly on
+# a polars build whose hash diverges from the pinned vectors (a silent
+# cross-worker mismatch would drop candidates with no error; ADVICE r3)
+assert_polars_hash_stable()
 
 _LOG = logging.getLogger("ton_etl_ray.ops.dedup")
 
@@ -427,12 +433,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, *, ngram: int = 3,
     against the exact ``ngram_jaccard_pairs``).
 
     ``hot_bucket_cap`` bounds per-bucket candidate emission: buckets
-    larger than the cap (mass duplication) emit O(n) star edges instead
-    of O(n²) pairs, with the dropped-pair count logged. Connectivity is
-    preserved, so grouping consumers (``dedup_groups``) are unaffected
-    when the star edges verify — which they do for the mass-dup case
-    (identical docs, Jaccard 1.0); pair REPORTS under the cap are a
-    connectivity-preserving subset. ``None`` disables the cap."""
+    larger than the cap (mass duplication) emit O(n) star edges to the
+    bucket-min instead of O(n²) pairs, with the dropped-pair count
+    logged. CAVEAT (ADVICE r3): only star edges that VERIFY survive —
+    two docs mutually ≥ threshold but each < threshold to the
+    bucket-min lose their connecting edge, so under the cap the emitted
+    set is a connectivity APPROXIMATION (exact for the common mass-dup
+    case of identical docs, Jaccard 1.0). Grouping consumers that need
+    the exact edge set (``dedup_groups``) pass ``None`` to disable the
+    cap."""
     ensure_portable()
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -466,7 +475,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, *, ngram: int = 3,
     )
     cand = _distinct_pairs(cand).materialize()  # pairs only — tiny
     if cand.count() == 0:
-        return _EMPTY_PAIRS.empty_table()
+        # always a Dataset: callers chain Dataset ops on the result, and
+        # a pa.Table on just the empty path crashes them (ADVICE r3)
+        return rd.from_arrow(_EMPTY_PAIRS.empty_table())
     return _verify_pairs(sf_dir, cand, n=ngram, threshold=threshold)
 
 
@@ -631,17 +642,29 @@ def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     return ds.map_batches(Pairs, batch_format="pandas", batch_size=2048, concurrency=2)
 
 
-def dedup_groups(sf_dir: str, threshold: float = 0.95):
+def dedup_groups(sf_dir: str, threshold: float = 0.95,
+                 hot_bucket_cap: int | None = 1024):
     """Near-dup GROUPS: connected components over word-set-Jaccard edges;
     each doc labeled with its component's min doc_id.
 
     Edge discovery is MinHash-LSH with word-level features (``ngram=1``:
     bucketing targets word-SET similarity, exactly what the oracle's
     recursive CTE measures) + the distributed exact-Jaccard join verify —
-    at threshold 0.95 band recall is 1-(1-j^4)^16 ≈ 1-2e-12, so the LSH
-    path reproduces the exact edge set (asserted by the oracle, and by
-    tests/test_dedup_distributed.py vs word_jaccard_pairs). The component
-    reduction is DISTRIBUTED min-label propagation over the edge Dataset
+    at threshold 0.95 band recall is 1-(1-j^4)^16 ≈ 1-2e-12, so below the
+    ``hot_bucket_cap`` the LSH path reproduces the exact edge set
+    (asserted by the oracle, and by tests/test_dedup_distributed.py vs
+    word_jaccard_pairs). IN AN OVER-CAP BUCKET (> hot_bucket_cap docs
+    sharing one LSH bucket) only star edges to the bucket-min are
+    emitted and verified, so connectivity there is an APPROXIMATION
+    (ADVICE r3): two docs mutually ≥ threshold but each < threshold to
+    the bucket-min split into separate groups. The approximation is
+    exact for the dominant mass-dup case — identical copies verify at
+    Jaccard 1.0 against the bucket-min — and the alternative
+    (``hot_bucket_cap=None``, exact connectivity) is quadratic in the
+    hot bucket: a 10^4-copy flood means ~5x10^7 verify pairs, measured
+    unusable even at test scale. Pass ``None`` only when the corpus is
+    known free of mass duplication. The component reduction is
+    DISTRIBUTED min-label propagation over the edge Dataset
     (ops/graph.py — no driver edge list, no full-corpus driver dict);
     edge-free docs never enter the propagation loop: they join back as
     their own singleton groups in one grouped min. The all-pairs
@@ -656,7 +679,8 @@ def dedup_groups(sf_dir: str, threshold: float = 0.95):
         batch_format="pyarrow",
     )
 
-    pairs_ds = minhash_lsh_pairs(sf_dir, threshold=threshold, ngram=1)
+    pairs_ds = minhash_lsh_pairs(sf_dir, threshold=threshold, ngram=1,
+                                 hot_bucket_cap=hot_bucket_cap)
     if isinstance(pairs_ds, pa.Table):  # zero candidates short-circuit
         labeled = singles
     else:
@@ -836,7 +860,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
     )
     if cand.count() == 0:
-        return out_schema.empty_table()
+        # always a Dataset — a pa.Table on just the zero-candidate path
+        # crashes callers that chain Dataset ops (ADVICE r3)
+        return rd.from_arrow(out_schema.empty_table())
 
     sig_payload = sigs.map_batches(
         lambda t: t.rename_columns(["node", "sig"]), batch_format="pyarrow"

@@ -51,10 +51,49 @@ def synth_media_table(num_rows: int = 256, seed: int = 5) -> pa.Table:
     )
 
 
+def synth_media_dataset(sf_dir: str) -> "rd.Dataset":
+    """Deterministic SF-SCALED media corpus: one media row per document
+    (media_id derived from doc_id), so the corpus grows with the scale
+    factor like every other table. Payload bytes are a sha256 stream of
+    the id — identical at any parallelism — and the generation itself is
+    a ``map_batches`` stage over the documents read (no driver-side
+    table build, unlike the fixed-size ``synth_media_table``)."""
+    from ._util import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        media_ids, payloads, ws, hs = [], [], [], []
+        for i in ids:
+            seed = hashlib.sha256(f"media-{i}".encode()).digest()
+            size = 100 + int.from_bytes(seed[:4], "big") % 4000
+            payloads.append((seed * (size // 32 + 1))[:size])
+            media_ids.append(f"m-{i:09d}")
+            ws.append(16 + seed[4] * 2)
+            hs.append(16 + seed[5] * 2)
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(["image/png"] * len(ids), pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """STUB: real image decode (no imaging libs in this container).
 
     The production kernel would be e.g. PIL/turbojpeg inside the actor.
+    Callers wanting a real kernel inject one via
+    ``media_features(..., use_stub=False, decoder=my_decode)`` — the
+    injected callable receives the payload bytes and returns an HxWxC
+    ndarray; the stage wiring is identical either way.
     """
     raise NotImplementedError("image decode requires an imaging library not present here")
 
@@ -67,13 +106,17 @@ class MediaFeatureStage:
     the distributed plumbing is testable without decode libs. Batches
     must stay small for large binary rows (see ``media_features``)."""
 
-    def __init__(self, use_stub: bool = True):
+    def __init__(self, use_stub: bool = True, decoder=None):
+        # a real deployment injects ``decoder`` (e.g. PIL/turbojpeg
+        # wrapped) — loaded HERE, once per actor, never per batch
         self.use_stub = use_stub
+        self.decoder = decoder if decoder is not None else decode_image
 
     def _features(self, payload: bytes) -> np.ndarray:
         if not self.use_stub:
-            img = decode_image(payload)  # pragma: no cover
-            return img.mean(axis=(0, 1))
+            img = self.decoder(payload)  # HxWxC ndarray from the kernel
+            feat = np.asarray(img, dtype=np.float32).mean(axis=(0, 1))
+            return np.resize(feat, FEATURE_DIM)
         h = hashlib.sha256(payload).digest()
         return np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
 
@@ -165,13 +208,18 @@ def media_frame_sample(media: "rd.Dataset | pa.Table", *, every: int = 10, batch
     )
 
 
-def media_features(media: "rd.Dataset | pa.Table", *, batch_size: int = 64, concurrency: int = 2):
+def media_features(media: "rd.Dataset | pa.Table", *, batch_size: int = 64,
+                   concurrency: int = 2, use_stub: bool = True, decoder=None):
     """Feature-extraction pipeline over a media table.
 
     batch_size is deliberately small: batch bytes ≈ batch_size × payload
-    size must fit the worker heap alongside ``concurrency`` actors."""
+    size must fit the worker heap alongside ``concurrency`` actors.
+    ``use_stub=False`` + ``decoder=<callable>`` routes every payload
+    through the injected decode kernel (constructed once per actor)."""
     ensure_portable()
     ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
     return ds.map_batches(
-        MediaFeatureStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        MediaFeatureStage,
+        fn_constructor_kwargs={"use_stub": use_stub, "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )

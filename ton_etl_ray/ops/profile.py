@@ -30,7 +30,12 @@ import pandas as pd
 import pyarrow as pa
 
 from .._pickle import ensure_portable
+from ..core.partition import assert_polars_hash_stable
 from ._util import read_table
+
+# distinct counts key on polars' row hash — fail loudly on a polars
+# build whose hash diverges from the pinned vectors (see core.partition)
+assert_polars_hash_stable()
 
 
 def profile_table(sf_dir: str, table: str = "events"):
@@ -113,7 +118,12 @@ def profile_table(sf_dir: str, table: str = "events"):
         )
         .to_pandas()
     )
-    out = base.merge(distinct, on="column").sort_values("column")
+    # OUTER merge: an all-NULL column emits zero hash_partials rows, so
+    # an inner merge would silently drop the column from the profile —
+    # exactly the degenerate column a publish gate must report
+    # (n_distinct=0, n_nulls=n_rows). ADVICE r3 finding.
+    out = base.merge(distinct, on="column", how="left").sort_values("column")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
     return pa.table(
         {
             "column": pa.array(out["column"], pa.string()),
