@@ -184,6 +184,30 @@ def run_bench() -> dict:
         # referential-integrity gate (anti-join on key partials)
         "fk_orphans",
     ]
+    # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
+    # needs a lake or change log build it UNTIMED here (cached, shared),
+    # so the per-query timing measures the operator. The setup cost is
+    # reported separately under "setup_sec".
+    from ton_etl_ray.pipelines import (
+        ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
+    )
+
+    setup_hooks = {
+        # cdc_replay / derived_publish time the replay / watcher ingest
+        # themselves — only the synthetic log generation is setup
+        "flagship_log": ensure_flagship_log,
+        # lake analytics read the committed flagship lake
+        "flagship_lake": ensure_flagship_lake,
+        # epoch_diff times the committed-state diff, not the two replays
+        "epoch_diff_lake": ensure_epoch_diff_lake,
+    }
+    setup_sec = {}
+    if not SKIP_QUERIES:
+        for sname, hook in setup_hooks.items():
+            t0 = time.perf_counter()
+            hook(SF_DIR)
+            setup_sec[sname] = round(time.perf_counter() - t0, 3)
+
     qtimes = {}
     if SKIP_QUERIES:
         bench_queries = []
@@ -201,6 +225,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
+        "setup_sec": setup_sec,
         "sf": _sf_tag(),
         "num_cpus": NUM_CPUS,
         "events": num_events,
