@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, ml, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -252,6 +252,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": lambda sf: multimodal.media_frame_sample(
             multimodal.synth_media_dataset(sf)
         ),
+        # --- §2.9 / P-family payload decode: pure-Python BOC codec
+        # (ton_etl_ray/boc.py) driven through actor-pool map_batches;
+        # every decoded field is arithmetically recomputable in DuckDB,
+        # so these carry FULL value-hash oracles
+        "boc_decode_events": messages.boc_decode_events,
+        "uf_addresses": messages.uf_roundtrip_addresses,
+        "tep64_metadata": messages.tep64_part_metadata,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -562,6 +569,31 @@ def oracle_sql() -> dict[str, str]:
               ON o_custkey = p.c_custkey
             WHERE p.c_custkey IS NULL
             GROUP BY 1
+        """,
+        "boc_decode_events": """
+            SELECT event_id,
+                   CASE event_type
+                        WHEN 'click' THEN 0
+                        WHEN 'purchase' THEN 260734629
+                        WHEN 'view' THEN 395134233
+                        WHEN 'signup' THEN 1413869550
+                        WHEN 'error' THEN 3576854235
+                   END AS opcode,
+                   CASE WHEN event_type = 'click' THEN -1 ELSE event_id END AS query_id,
+                   CASE WHEN event_type = 'purchase' THEN event_id * 1000 + 7 ELSE -1 END AS amount_nano,
+                   CASE WHEN event_type = 'purchase'
+                        THEN '0:' || upper(md5('user-' || user_id) || md5('user-' || user_id))
+                   END AS dest_addr,
+                   CASE WHEN event_type = 'click' THEN 'evt ' || event_id END AS comment
+            FROM events
+        """,
+        "uf_addresses": """
+            SELECT c_custkey,
+                   '0:' || upper(md5('cust-' || c_custkey) || md5('cust-' || c_custkey)) AS addr_raw
+            FROM customer
+        """,
+        "tep64_metadata": """
+            SELECT p_partkey, p_name AS name, p_brand AS description FROM part
         """,
         "profile_events": """
             WITH s AS (

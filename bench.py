@@ -183,6 +183,8 @@ def run_bench() -> dict:
         "epoch_diff",
         # referential-integrity gate (anti-join on key partials)
         "fk_orphans",
+        # BOC payload decode (pure-Python codec in actor-pool batches)
+        "boc_decode_events",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),

@@ -673,3 +673,48 @@ def test_retention_cohorts_matches_duckdb():
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     # offset-0 row exists for every cohort (the cohort day itself)
     assert (got.groupby("cohort_day")["day_offset"].min() == 0).all()
+
+
+def test_join_auto_routes_and_agrees():
+    """join_auto: broadcast route (small build side) must agree with the
+    shuffle route on inner AND left-outer joins, and must route large
+    build sides to the shuffle join (threshold 0)."""
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import join_auto, shuffle_join
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    o = orders.map_batches(lambda t: t.rename_columns(["l_orderkey", "o_totalprice"]),
+                           batch_format="pyarrow")
+    key = ["l_orderkey", "l_quantity", "o_totalprice"]
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[key].fillna(-1).itertuples(index=False)))
+
+    bcast = join_auto(li, o, "l_orderkey")                       # fits: broadcast
+    shuf = join_auto(li, o, "l_orderkey", broadcast_bytes=0)     # forced shuffle
+    assert rows(bcast) == rows(shuf)
+
+    lo_b = join_auto(li, o.filter(lambda r: r["l_orderkey"] % 2 == 0), "l_orderkey", how="left_outer")
+    lo_s = shuffle_join(li, o.filter(lambda r: r["l_orderkey"] % 2 == 0), "l_orderkey",
+                        num_partitions=8, how="left_outer")
+    assert rows(lo_b) == rows(lo_s)
+
+
+def test_join_auto_empty_build_side():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import join_auto
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "v": pa.array(["a", "b"], pa.string())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "w": pa.array([], pa.float64())}))
+    inner = join_auto(left, right, "k")
+    assert inner.count() == 0
+    assert set(inner.schema().names) == {"k", "v", "w"}
+    louter = join_auto(left, right, "k", how="left_outer").to_pandas()
+    assert len(louter) == 2 and louter["w"].isna().all()

@@ -513,7 +513,7 @@ def final_state_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
 
 
 def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
-               num_partitions: int = 32) -> "rd.Dataset":
+               num_partitions: int | None = None) -> "rd.Dataset":
     """Committed-state diff between two lake epochs — "what changed
     since epoch a": one row per key that was added, updated (winning
     lsn moved), or deleted between the two commits. The CDC engine's
@@ -530,7 +530,13 @@ def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
     payload never moves), then one hash-partitioned FULL OUTER
     ``shuffle_join`` on doc_id classifies membership; unchanged keys
     (same winning lsn) are dropped inside the map stage, so the output
-    is proportional to the true change set, not the lake."""
+    is proportional to the true change set, not the lake.
+
+    ``num_partitions=None`` (default) sizes the join from the two
+    epochs' ON-DISK bytes (≈64 MiB per partition, clamped [4, 512]) —
+    the native join's aggregator pool costs seconds of fixed latency
+    per partition batch, so a small diff must not pay for 32 reducers
+    while a 100 TB lake still fans out."""
     from ..ops.relational import shuffle_join
 
     def side(epoch, alias):
@@ -553,6 +559,15 @@ def epoch_diff(lake_dir: str, epoch_a: int, epoch_b: int | None = None,
                                           _a: t["lsn"].cast(pa.int64())}),
             batch_format="pyarrow",
         )
+
+    if num_partitions is None:
+        total_bytes = sum(
+            os.path.getsize(f)
+            for e in (epoch_a, epoch_b)
+            for f in sink.lake_files(lake_dir, e)
+            if os.path.exists(f)
+        )
+        num_partitions = int(min(512, max(4, total_bytes // (64 << 20) + 4)))
 
     joined = shuffle_join(
         side(epoch_a, "lsn_from"), side(epoch_b, "lsn_to"),

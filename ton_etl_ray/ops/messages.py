@@ -1,0 +1,244 @@
+"""Message-payload decode stages: the Ray-Data form of the reference's
+parser family over BOC-encoded message bodies (SURVEY.md §2.3 P1-P29
+predicate/decode surface + §2.9 scalar functions).
+
+The reference consumes Kafka rows whose ``body_boc`` column is a
+base64 bag-of-cells blob and routes them through per-parser opcode
+predicates before field extraction (e.g. jetton transfers: opcode
+0x0f8a7ea5, then query_id / amount / destination / forward comment —
+reference parsers/message/* and SURVEY §2.3). Here the same shape runs
+as two ``map_batches`` stages over an Arrow ``binary`` column:
+
+- ``synth_message_dataset``: a DETERMINISTIC message table derived from
+  the events table (the sandbox has no TON feed) — every field of the
+  encoded body is an arithmetic function of the event row, so a DuckDB
+  oracle can recompute the decoded output without ever touching BOC.
+  That makes the decode path fully value-hash-checkable: if any bit of
+  the codec (BOC layout, VarUInteger, MsgAddress, snake strings, CRC)
+  is wrong, the oracle hash mismatches.
+- ``BocDecodeStage``: an actor-pool stage that parses each body with
+  ``ton_etl_ray.boc`` and branches on opcode like the reference's
+  parser registry. Per-row decode is inherent for opaque binary
+  payloads (same ruling as multimodal); the stage is a callable class
+  so lookup tables exist once per actor, and batches stay zero-copy
+  Arrow on both sides.
+
+Opcode map (arbitrary but fixed; values chosen to mirror the
+reference's "well-known 32-bit opcodes" idiom):
+  click   → 0x00000000 comment body (snake text)
+  purchase→ 0x0f8a7ea5 transfer body (query_id, coins, dest address)
+  view    → 0x178d4519 mint-like body (query_id only)
+  signup  → 0x5445efee notification body (query_id only)
+  error   → 0xd53276db bounce body (query_id only)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .._pickle import ensure_portable
+from ..boc import (
+    Builder,
+    decode_comment,
+    parse_boc,
+    raw2uf,
+    serialize_boc,
+    uf2raw,
+)
+from ._util import read_table
+
+OP_BY_TYPE = {
+    "click": 0x00000000,
+    "purchase": 0x0F8A7EA5,
+    "view": 0x178D4519,
+    "signup": 0x5445EFEE,
+    "error": 0xD53276DB,
+}
+
+
+def _user_hash(user_id: int) -> bytes:
+    """32-byte address hash for a synthetic user: md5 hex of the id
+    string repeated — chosen because DuckDB can recompute the RAW form
+    as ``upper(md5(u) || md5(u))`` (sha256 is not in every build)."""
+    h = hashlib.md5(f"user-{user_id}".encode()).hexdigest()
+    return bytes.fromhex(h + h)
+
+
+def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
+    """One event row → BOC message body (deterministic, see module doc).
+
+    amount is integer arithmetic (event_id * 1000 + 7 nanotons), never
+    float, so the oracle reproduces it exactly."""
+    op = OP_BY_TYPE[event_type]
+    b = Builder().store_uint(op, 32)
+    if event_type == "click":
+        b.store_snake_bytes(f"evt {event_id}".encode())
+    else:
+        b.store_uint(event_id, 64)  # query_id
+        if event_type == "purchase":
+            b.store_coins(event_id * 1000 + 7)
+            b.store_address((0, _user_hash(user_id)))
+    return serialize_boc(b.end_cell())
+
+
+def synth_message_dataset(sf_dir: str):
+    """SF-scaled synthetic message table: one BOC body per event row.
+    Generation is itself a distributed ``map_batches`` stage."""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        eids = t["event_id"].to_pylist()
+        uids = t["user_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        bodies = [encode_event_body(e, u, ty) for e, u, ty in zip(eids, uids, types)]
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "body_boc": pa.array(bodies, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+_DECODE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("opcode", pa.int64()),
+        ("query_id", pa.int64()),
+        ("amount_nano", pa.int64()),
+        ("dest_addr", pa.string()),
+        ("comment", pa.string()),
+    ]
+)
+
+
+class BocDecodeStage:
+    """Actor-pool decode: parse each body, branch on opcode (the
+    reference's parser-predicate idiom), emit typed columns. Unknown
+    opcodes pass through with only (event_id, opcode) set — mirroring
+    the reference's 'no parser claimed this message' behavior."""
+
+    def __init__(self):
+        # opcode → handler, built once per actor
+        self._transfer_op = OP_BY_TYPE["purchase"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eids = t["event_id"].to_pylist()
+        opcodes = np.zeros(n, np.int64)
+        query_ids = np.full(n, -1, np.int64)
+        amounts = np.full(n, -1, np.int64)
+        dests: list[str | None] = [None] * n
+        comments: list[str | None] = [None] * n
+        for i, body in enumerate(t["body_boc"].to_pylist()):
+            cell = parse_boc(body)
+            s = cell.begin_parse()
+            op = s.load_uint(32)
+            opcodes[i] = op
+            if op == 0:
+                comments[i] = decode_comment(cell)
+                continue
+            query_ids[i] = s.load_uint(64)
+            if op == self._transfer_op:
+                amounts[i] = s.load_coins()
+                addr = s.load_address()
+                if addr is not None:
+                    wc, h = addr
+                    dests[i] = f"{wc}:{h.hex().upper()}"
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "opcode": pa.array(opcodes, pa.int64()),
+                "query_id": pa.array(query_ids, pa.int64()),
+                "amount_nano": pa.array(amounts, pa.int64()),
+                "dest_addr": pa.array(dests, pa.string()),
+                "comment": pa.array(comments, pa.string()),
+            },
+            schema=_DECODE_SCHEMA,
+        )
+
+
+def boc_decode_events(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 4096):
+    """Full decode pipeline: synth bodies → actor-pool BOC decode.
+
+    -1 sentinels (query_id/amount for comment rows) keep the columns
+    int64 on both engine and oracle sides, same convention as
+    ``parent_event``."""
+    ensure_portable()
+    return synth_message_dataset(sf_dir).map_batches(
+        BocDecodeStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def uf_roundtrip_addresses(sf_dir: str):
+    """Address canonicalization over the customer table: raw →
+    user-friendly (TEP-2 base64url + CRC16) → ``uf2raw`` back to the
+    reference's raw uppercase form (model/parser.py:92-94). The oracle
+    recomputes the raw form arithmetically, so a CRC/base64/tag bug
+    hash-mismatches. Friendly-form vectors are additionally pinned in
+    tests/test_boc.py against hand-derived bytes."""
+    ensure_portable()
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def convert(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_pylist()
+        raws = []
+        friendlies = []
+        for k in keys:
+            h = hashlib.md5(f"cust-{k}".encode()).hexdigest()
+            raw = f"0:{(h + h).upper()}"
+            uf = raw2uf(raw)
+            assert uf2raw(uf) == raw  # round-trip checked in-stage
+            raws.append(raw)
+            friendlies.append(uf)
+        # the friendly form is asserted above but not emitted: the
+        # DuckDB oracle can recompute the RAW form arithmetically, while
+        # base64url+CRC16 is pinned by test vectors instead
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "addr_raw": pa.array(raws, pa.string()),
+            }
+        )
+
+    return ds.map_batches(convert, batch_format="pyarrow")
+
+
+def tep64_part_metadata(sf_dir: str):
+    """TEP-64 metadata round-trip over the part table: encode each
+    part's (name, brand) as an ON-CHAIN sha256-keyed content dict (every
+    7th part chunked, the rest snake), decode with the §2.9 TEP-64
+    decoder, emit the recovered attributes. Oracle = the part columns
+    themselves, so any hashmap/label/snake/chunk bug hash-mismatches
+    (reference nfts_parser.py:45-100)."""
+    ensure_portable()
+    from ..boc import decode_tep64, encode_tep64_onchain
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_pylist()
+        names = t["p_name"].to_pylist()
+        mfgrs = t["p_brand"].to_pylist()
+        out_name, out_mfgr = [], []
+        for k, nm, mf in zip(keys, names, mfgrs):
+            attrs = {"name": nm, "description": mf}
+            cell = encode_tep64_onchain(attrs, chunk=8 if k % 7 == 0 else None)
+            dec = decode_tep64(serialize_boc(cell), keys=("name", "description"))
+            out_name.append(dec["name"])
+            out_mfgr.append(dec["description"])
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys, pa.int64()),
+                "name": pa.array(out_name, pa.string()),
+                "description": pa.array(out_mfgr, pa.string()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")

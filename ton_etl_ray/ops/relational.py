@@ -460,6 +460,62 @@ def union_trades(sf_dir: str):
     )
 
 
+def join_auto(
+    left,
+    right,
+    on: str,
+    *,
+    how: str = "inner",
+    num_partitions: int = 32,
+    broadcast_bytes: int = 64 << 20,
+):
+    """Size-routed join (the AQE idiom): materialize the DECLARED
+    smaller side (``right``), and if its measured bytes fit
+    ``broadcast_bytes``, run a broadcast hash join (``ray.put`` once,
+    Arrow C++ join inside every map task — zero shuffle); otherwise
+    fall through to the hash-partitioned ``shuffle_join``. The same
+    call site is cheap at bench scale and correct at 100 TB, where a
+    post-filter build side outgrows the threshold and the plan becomes
+    the all-to-all join.
+
+    The broadcast path is inner/left-outer only (Arrow's join semantics
+    per batch can't produce right-outer rows without a second pass) and
+    requires scalar key/payload columns; list-typed payloads route to
+    the portable shuffle join regardless."""
+    ensure_portable()
+    right = right.materialize()
+    size = right.size_bytes() or 0
+    has_list = any(
+        pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+        for f in right.schema().base_schema
+    )
+    if how in ("inner", "left", "left_outer") and size <= broadcast_bytes and not has_list:
+        # bounded driver materialization: ≤ broadcast_bytes by the check
+        tbl = pa.concat_tables(
+            b for b in right.iter_batches(batch_format="pyarrow", batch_size=None)
+        ) if right.count() else None
+        join_type = "left outer" if how in ("left", "left_outer") else "inner"
+        if tbl is None:
+            # empty build side: join per batch against a typed empty
+            # table — inner yields zero rows, left-outer yields left
+            # rows with null right columns, both with the JOINED schema
+            tbl = pa.schema(right.schema().base_schema).empty_table()
+        ref = ray.put(tbl.combine_chunks().replace_schema_metadata(None))
+
+        class BroadcastJoin:
+            def __init__(self):
+                self.dim = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                out = t.replace_schema_metadata(None).join(
+                    self.dim, keys=on, join_type=join_type
+                )
+                return out.take(np.arange(out.num_rows)) if out.num_rows else out
+
+        return left.map_batches(BroadcastJoin, batch_format="pyarrow", concurrency=(1, 8))
+    return shuffle_join(left, right, on, num_partitions=num_partitions, how=how)
+
+
 def shuffle_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
@@ -655,7 +711,10 @@ def q3_top_orders(sf_dir: str, k: int = 10):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
-    joined = shuffle_join(
+    # size-routed join: the filtered segment orders are small at bench
+    # scale (broadcast, no shuffle) but SF-proportional — past the
+    # threshold the same call becomes the hash-partitioned shuffle join
+    joined = join_auto(
         li.map_batches(filter_li, batch_format="pyarrow"),
         orders.map_batches(filter_orders, batch_format="pyarrow").map_batches(
             lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
