@@ -62,11 +62,11 @@ def test_replay_hot_keys_salted(tmp_path):
 
 
 def test_replay_many_hot_keys_distributed_fold(tmp_path):
-    """≥64 hot keys: the second-stage spill fold must run as a Ray
-    groupby stage (one group per base partition), not a per-partition
-    driver loop (VERDICT r3 Wrong #4). The `hotspill_fold_parts`
-    counter is produced ONLY by the distributed fold's manifest rows,
-    and the final state must still match the rank-1 oracle exactly."""
+    """≥64 hot keys: the second-stage spill fold must run distributed
+    (per-base ray tasks at this size), not a per-partition driver loop
+    (VERDICT r3 Wrong #4). The `hotspill_fold_parts` counter is produced
+    ONLY by the fold's manifest rows, and the final state must still
+    match the rank-1 oracle exactly."""
     chg = str(tmp_path / "chg")
     lake = str(tmp_path / "lake")
     write_change_log(chg, num_events=30000, num_keys=300, seed=11, num_shards=4, max_tok=12)
@@ -77,6 +77,24 @@ def test_replay_many_hot_keys_distributed_fold(tmp_path):
     assert res.counters["hotspill_parts"] > 0
     # distributed fold ran, touching at most every base partition
     assert 0 < res.counters["hotspill_fold_parts"] <= 8
+    assert res.counters["hotspill_fold_mode"] == "tasks"
+    gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
+    wm = _as_map(_oracle(chg))
+    assert gm == wm
+
+
+def test_replay_fold_dataset_path(tmp_path):
+    """Force the groupby-Dataset fold shape (the huge-fan-out route,
+    fold_task_product_cap=0) and pin it to the same oracle — both fold
+    implementations must be interchangeable."""
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=10000, num_keys=200, seed=9, num_shards=4, max_tok=16)
+    res = replay(chg, lake, num_partitions=8, num_salts=4,
+                 hot_share_threshold=0.02, fold_task_product_cap=0)
+    assert res.hot_keys
+    assert res.counters["hotspill_fold_mode"] == "dataset"
+    assert res.counters["hotspill_fold_parts"] > 0
     gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
     wm = _as_map(_oracle(chg))
     assert gm == wm
