@@ -81,6 +81,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_epoch_diff(sf)
 
+    def jetton_transfers(sf: str):
+        import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY
+        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"messages": synth_message_dataset(sf)}
+        return REGISTRY.select({"JettonTransferParse"}).run(sources)["jetton_transfers"]
+
+    def comment_decode(sf: str):
+        import ton_etl_ray.transforms  # noqa: F401
+        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"messages": synth_message_dataset(sf)}
+        return REGISTRY.select({"SnakeCommentDecode"}).run(sources)["comments"]
+
     def fk_orphans_q(sf: str):
         import pyarrow as _pa
 
@@ -259,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boc_decode_events": messages.boc_decode_events,
         "uf_addresses": messages.uf_roundtrip_addresses,
         "tep64_metadata": messages.tep64_part_metadata,
+        # real P-family parsers through the REGISTRY surface: opcode
+        # predicate on the typed column, BOC body decode per claimed row
+        "jetton_transfers": jetton_transfers,
+        "comment_decode": comment_decode,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -594,6 +614,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tep64_metadata": """
             SELECT p_partkey, p_name AS name, p_brand AS description FROM part
+        """,
+        "jetton_transfers": """
+            SELECT event_id, event_id AS query_id,
+                   event_id * 1000 + 7 AS amount_nano,
+                   '0:' || upper(md5('user-' || user_id) || md5('user-' || user_id)) AS dest_addr
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "comment_decode": """
+            SELECT event_id, 'evt ' || event_id AS comment
+            FROM events WHERE event_type = 'click'
         """,
         "profile_events": """
             WITH s AS (

@@ -80,3 +80,41 @@ def test_metadata_enrich_transform():
     assert (df["event_type"] == "signup").all()
     assert df["fetch_ok"].all()
     assert (df["enrichment"] == '{"u": "SIGNUP"}').all()
+
+
+def test_boc_parsers_pure_no_cluster():
+    """Real P-family parsers: opcode predicate on the typed column, BOC
+    body decode of the claimed rows — values recomputable from the event
+    row (the same arithmetic the DuckDB oracle uses)."""
+    import hashlib
+
+    import numpy as np
+
+    from ton_etl_ray.functions import opcode_signed
+    from ton_etl_ray.ops.messages import OP_BY_TYPE, encode_event_body
+    from ton_etl_ray.transforms import JettonTransferParse, SnakeCommentDecode
+
+    rows = [(10, 3, "purchase"), (11, 4, "click"), (12, 5, "view")]
+    batch = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "opcode": pa.array(
+                opcode_signed(np.array([OP_BY_TYPE[r[2]] for r in rows], np.uint32)),
+                pa.int32(),
+            ),
+            "body_boc": pa.array(
+                [encode_event_body(*r) for r in rows], pa.binary()
+            ),
+        }
+    )
+
+    jt = JettonTransferParse()(batch)
+    assert jt.num_rows == 1
+    h = hashlib.md5(b"user-3").hexdigest()
+    assert jt.to_pylist() == [
+        {"event_id": 10, "query_id": 10, "amount_nano": 10 * 1000 + 7,
+         "dest_addr": f"0:{(h + h).upper()}"}
+    ]
+
+    cm = SnakeCommentDecode()(batch)
+    assert cm.to_pylist() == [{"event_id": 11, "comment": "evt 11"}]

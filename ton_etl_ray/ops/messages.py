@@ -86,8 +86,16 @@ def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
 
 def synth_message_dataset(sf_dir: str):
     """SF-scaled synthetic message table: one BOC body per event row.
-    Generation is itself a distributed ``map_batches`` stage."""
+    Generation is itself a distributed ``map_batches`` stage.
+
+    Carries an ``opcode`` column (SIGNED int32, the reference's
+    messages-table convention — converters/messages.py stores the uint32
+    opcode reinterpreted as int32) so downstream parsers can run their
+    predicate on the cheap typed column and only decode the BOC body for
+    rows they claim, exactly like the reference's parser registry."""
     ensure_portable()
+    from ..functions import opcode_signed
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
     def gen(t: pa.Table) -> pa.Table:
@@ -95,9 +103,11 @@ def synth_message_dataset(sf_dir: str):
         uids = t["user_id"].to_pylist()
         types = t["event_type"].to_pylist()
         bodies = [encode_event_body(e, u, ty) for e, u, ty in zip(eids, uids, types)]
+        ops = opcode_signed(np.array([OP_BY_TYPE[ty] for ty in types], np.uint32))
         return pa.table(
             {
                 "event_id": pa.array(eids, pa.int64()),
+                "opcode": pa.array(ops, pa.int32()),
                 "body_boc": pa.array(bodies, pa.binary()),
             }
         )

@@ -163,6 +163,91 @@ class MetadataEnrich(Transform):
 
 
 @register
+class JettonTransferParse(Transform):
+    """REAL P1-family parser: the reference's jetton-transfer act end to
+    end — predicate on the typed signed-int32 opcode column (the
+    registry routing in parsers/__init__.py + the opcode check in
+    parsers/message/jetton_transfer shape), then per-claimed-row BOC
+    body decode of query_id / VarUInteger coins / MsgAddress destination
+    (model/parser.py:85-94 field extraction). Runs over the ``messages``
+    source (``ops.messages.synth_message_dataset`` — every encoded field
+    is arithmetically recomputable in SQL, so the whole decode is
+    value-hash oracle-checked)."""
+
+    source = "messages"
+    emits = "jetton_transfers"
+
+    OPCODE = 0x0F8A7EA5  # TEP-74 transfer
+
+    def prepare(self) -> None:
+        from .boc import parse_boc  # import once per actor
+
+        self._parse_boc = parse_boc
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        from .functions import opcode_signed
+
+        return pc.equal(batch["opcode"], pa.scalar(opcode_signed(self.OPCODE), pa.int32()))
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        if not hasattr(self, "_parse_boc"):  # direct-call path (tests)
+            self.prepare()
+        n = batch.num_rows
+        qids = np.empty(n, np.int64)
+        amounts = np.empty(n, np.int64)
+        dests: list[str] = []
+        for i, body in enumerate(batch["body_boc"].to_pylist()):
+            s = self._parse_boc(body).begin_parse()
+            s.load_uint(32)  # consume the opcode (matched by the predicate)
+            qids[i] = s.load_uint(64)
+            amounts[i] = s.load_coins()
+            wc, h = s.load_address()
+            dests.append(f"{wc}:{h.hex().upper()}")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "query_id": pa.array(qids, pa.int64()),
+                "amount_nano": pa.array(amounts, pa.int64()),
+                "dest_addr": pa.array(dests, pa.string()),
+            }
+        )
+
+
+@register
+class SnakeCommentDecode(Transform):
+    """C-family converter with real payload decode: opcode-0 text
+    messages → snake-string comment (the reference's comment converter,
+    converters/messages.py:24-30 / parser 'comment' columns). Predicate
+    on the typed opcode column; decode only claimed rows."""
+
+    source = "messages"
+    emits = "comments"
+
+    def prepare(self) -> None:
+        from .boc import decode_comment, parse_boc
+
+        self._parse_boc = parse_boc
+        self._decode_comment = decode_comment
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        return pc.equal(batch["opcode"], pa.scalar(0, pa.int32()))
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        if not hasattr(self, "_parse_boc"):  # direct-call path (tests)
+            self.prepare()
+        comments = [
+            self._decode_comment(self._parse_boc(body))
+            for body in batch["body_boc"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "comment": pa.array(comments, pa.string()),
+            }
+        )
+
+
+@register
 class UpdateFeed(Transform):
     """Continuous derive-and-publish transform over the CDC change
     stream itself (S3's full form, reference datalake/streaming.py:65-191
