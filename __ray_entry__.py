@@ -618,7 +618,11 @@ def oracle_sql() -> dict[str, str]:
         "jetton_transfers": """
             SELECT event_id, event_id AS query_id,
                    event_id * 1000 + 7 AS amount_nano,
-                   '0:' || upper(md5('user-' || user_id) || md5('user-' || user_id)) AS dest_addr
+                   '0:' || upper(md5('user-' || user_id) || md5('user-' || user_id)) AS dest_addr,
+                   '0:' || upper(md5('resp-' || user_id) || md5('resp-' || user_id)) AS resp_addr,
+                   event_id % 5 = 0 AS has_custom_payload,
+                   event_id % 997 AS fwd_ton_amount,
+                   'fwd ' || event_id AS fwd_comment
             FROM events WHERE event_type = 'purchase'
         """,
         "comment_decode": """

@@ -111,9 +111,14 @@ def test_boc_parsers_pure_no_cluster():
     jt = JettonTransferParse()(batch)
     assert jt.num_rows == 1
     h = hashlib.md5(b"user-3").hexdigest()
+    rh = hashlib.md5(b"resp-3").hexdigest()
     assert jt.to_pylist() == [
         {"event_id": 10, "query_id": 10, "amount_nano": 10 * 1000 + 7,
-         "dest_addr": f"0:{(h + h).upper()}"}
+         "dest_addr": f"0:{(h + h).upper()}",
+         "resp_addr": f"0:{(rh + rh).upper()}",
+         "has_custom_payload": True,  # 10 % 5 == 0
+         "fwd_ton_amount": 10 % 997,
+         "fwd_comment": "fwd 10"}
     ]
 
     cm = SnakeCommentDecode()(batch)

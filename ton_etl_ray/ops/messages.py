@@ -71,7 +71,20 @@ def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
     """One event row → BOC message body (deterministic, see module doc).
 
     amount is integer arithmetic (event_id * 1000 + 7 nanotons), never
-    float, so the oracle reproduces it exactly."""
+    float, so the oracle reproduces it exactly.
+
+    Purchase bodies carry the FULL TEP-74 transfer layout::
+
+        transfer#0f8a7ea5 query_id:uint64 amount:(VarUInteger 16)
+          destination:MsgAddress response_destination:MsgAddress
+          custom_payload:(Maybe ^Cell) forward_ton_amount:(VarUInteger 16)
+          forward_payload:(Either Cell ^Cell)
+
+    — exercising maybe-bits (every 5th event carries a custom payload
+    ref), the either-bit (forward payload always in a ref here, the
+    common on-chain form), multi-cell BOC serialization, and a
+    ref-chained snake comment, with every field still an arithmetic
+    function of the event row."""
     op = OP_BY_TYPE[event_type]
     b = Builder().store_uint(op, 32)
     if event_type == "click":
@@ -81,6 +94,22 @@ def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
         if event_type == "purchase":
             b.store_coins(event_id * 1000 + 7)
             b.store_address((0, _user_hash(user_id)))
+            # response_destination
+            rh = hashlib.md5(f"resp-{user_id}".encode()).hexdigest()
+            b.store_address((0, bytes.fromhex(rh + rh)))
+            # custom_payload:(Maybe ^Cell)
+            if event_id % 5 == 0:
+                b.store_bit(1)
+                b.store_ref(Builder().store_uint(event_id % (1 << 32), 32).end_cell())
+            else:
+                b.store_bit(0)
+            # forward_ton_amount
+            b.store_coins(event_id % 997)
+            # forward_payload:(Either Cell ^Cell) — ref form, op-0 comment
+            b.store_bit(1)
+            fwd = Builder().store_uint(0, 32)
+            fwd.store_snake_bytes(f"fwd {event_id}".encode())
+            b.store_ref(fwd.end_cell())
     return serialize_boc(b.end_cell())
 
 

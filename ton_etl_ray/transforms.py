@@ -180,9 +180,10 @@ class JettonTransferParse(Transform):
     OPCODE = 0x0F8A7EA5  # TEP-74 transfer
 
     def prepare(self) -> None:
-        from .boc import parse_boc  # import once per actor
+        from .boc import decode_comment, parse_boc  # import once per actor
 
         self._parse_boc = parse_boc
+        self._decode_comment = decode_comment
 
     def predicate(self, batch: pa.Table) -> pa.Array:
         from .functions import opcode_signed
@@ -195,7 +196,11 @@ class JettonTransferParse(Transform):
         n = batch.num_rows
         qids = np.empty(n, np.int64)
         amounts = np.empty(n, np.int64)
+        fwd_tons = np.empty(n, np.int64)
+        has_custom = np.empty(n, bool)
         dests: list[str] = []
+        resps: list[str] = []
+        fwd_comments: list[str | None] = []
         for i, body in enumerate(batch["body_boc"].to_pylist()):
             s = self._parse_boc(body).begin_parse()
             s.load_uint(32)  # consume the opcode (matched by the predicate)
@@ -203,12 +208,27 @@ class JettonTransferParse(Transform):
             amounts[i] = s.load_coins()
             wc, h = s.load_address()
             dests.append(f"{wc}:{h.hex().upper()}")
+            rwc, rh = s.load_address()  # response_destination
+            resps.append(f"{rwc}:{rh.hex().upper()}")
+            has_custom[i] = bool(s.load_bit())  # custom_payload:(Maybe ^Cell)
+            if has_custom[i]:
+                s.load_ref()  # present but opaque to this parser
+            fwd_tons[i] = s.load_coins()
+            # forward_payload:(Either Cell ^Cell); the ref form carries an
+            # op-0 comment cell (the reference decodes it the same way)
+            fwd_comments.append(
+                self._decode_comment(s.load_ref()) if s.load_bit() else None
+            )
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "query_id": pa.array(qids, pa.int64()),
                 "amount_nano": pa.array(amounts, pa.int64()),
                 "dest_addr": pa.array(dests, pa.string()),
+                "resp_addr": pa.array(resps, pa.string()),
+                "has_custom_payload": pa.array(has_custom),
+                "fwd_ton_amount": pa.array(fwd_tons, pa.int64()),
+                "fwd_comment": pa.array(fwd_comments, pa.string()),
             }
         )
 
