@@ -123,3 +123,33 @@ def test_boc_parsers_pure_no_cluster():
 
     cm = SnakeCommentDecode()(batch)
     assert cm.to_pylist() == [{"event_id": 11, "comment": "evt 11"}]
+
+
+def test_jetton_parser_addr_none():
+    """TEP-74 bodies may carry addr_none destinations (common for
+    response_destination) — the parser must emit NULL, not crash."""
+    import numpy as np
+
+    from ton_etl_ray.boc import Builder, serialize_boc
+    from ton_etl_ray.functions import opcode_signed
+    from ton_etl_ray.transforms import JettonTransferParse
+
+    b = (
+        Builder().store_uint(0x0F8A7EA5, 32).store_uint(9, 64)
+        .store_coins(42).store_address(None).store_address(None)
+        .store_bit(0).store_coins(0).store_bit(0)
+    )
+    batch = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "opcode": pa.array(
+                np.array([opcode_signed(0x0F8A7EA5)], np.int32), pa.int32()
+            ),
+            "body_boc": pa.array([serialize_boc(b.end_cell())], pa.binary()),
+        }
+    )
+    out = JettonTransferParse()(batch).to_pylist()
+    assert out == [{"event_id": 1, "query_id": 9, "amount_nano": 42,
+                    "dest_addr": None, "resp_addr": None,
+                    "has_custom_payload": False, "fwd_ton_amount": 0,
+                    "fwd_comment": None}]

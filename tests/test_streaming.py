@@ -578,3 +578,20 @@ def test_metrics_exporter_scrapes_live_gauges(tmp_path):
                     > m1["tonray_events_routed_total"])
     finally:
         w.close()
+
+
+def test_render_metrics_tolerates_torn_trailing_line(tmp_path):
+    """A scrape racing the watcher's metrics append may observe a
+    half-flushed last line — it must be skipped, not fail the scrape."""
+    import json
+    import os
+
+    from ton_etl_ray.cdc.exporter import render_metrics
+
+    lake = str(tmp_path)
+    with open(os.path.join(lake, "metrics.jsonl"), "w") as f:
+        f.write(json.dumps({"epoch": 0, "events_routed": 5, "events_per_sec": 2.0}) + "\n")
+        f.write('{"epoch": 1, "events_rou')  # torn mid-append
+    text = render_metrics(lake)
+    assert "tonray_epochs_committed_total 1" in text
+    assert "tonray_events_routed_total 5" in text

@@ -93,7 +93,7 @@ class Cell:
     refs: list["Cell"] = field(default_factory=list)
 
     def __post_init__(self):
-        if self.bit_len > MAX_CELL_BITS:
+        if not 0 <= self.bit_len <= MAX_CELL_BITS:
             raise ValueError(f"cell overflow: {self.bit_len} bits > {MAX_CELL_BITS}")
         if len(self.refs) > MAX_CELL_REFS:
             raise ValueError(f"cell overflow: {len(self.refs)} refs > {MAX_CELL_REFS}")
@@ -107,7 +107,9 @@ class Cell:
         )
 
     def __hash__(self):
-        return hash((self.bit_len, self.data, tuple(id(r) for r in self.refs)))
+        # by value like __eq__ (refs recurse); iterative depth would only
+        # matter past ~1000 nested refs, far beyond any message payload
+        return hash((self.bit_len, self.data, tuple(hash(r) for r in self.refs)))
 
     def begin_parse(self) -> "Slice":
         return Slice(self)
@@ -313,7 +315,9 @@ def _cell_repr(c: Cell, kids: list[int], ref_size: int) -> bytes:
 def serialize_boc(root: Cell, *, with_crc: bool = True) -> bytes:
     """Serialize one root cell to BOC bytes (no index table)."""
     order, child_idx = _number_cells(root)
-    ref_size = max(1, (max(1, len(order) - 1).bit_length() + 7) // 8)
+    # sized for the CELL COUNT (the header's cells/roots fields store the
+    # count itself, not just max index — 256 cells need 2 bytes)
+    ref_size = max(1, (len(order).bit_length() + 7) // 8)
     bodies = b"".join(
         _cell_repr(c, kids, ref_size) for c, kids in zip(order, child_idx)
     )
@@ -382,9 +386,11 @@ def parse_boc(data: bytes) -> Cell:
         p += n_bytes
         if partial:
             # strip the completion tag: last 1 bit marks the end
+            if not n_bytes or not body[-1]:
+                raise ValueError("malformed partial cell: no completion tag")
             last = body[-1]
             tag_pos = 0
-            while tag_pos < 8 and not (last >> tag_pos) & 1:
+            while not (last >> tag_pos) & 1:
                 tag_pos += 1
             bit_len = (n_bytes - 1) * 8 + (7 - tag_pos)
             body[-1] &= ~((1 << (tag_pos + 1)) - 1) & 0xFF

@@ -49,8 +49,14 @@ def render_metrics(lake_dir: str) -> str:
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if line:
+                if not line:
+                    continue
+                try:
                     rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a torn trailing line (writer mid-append) must not
+                    # fail the scrape — skip it; the next scrape sees it
+                    continue
     out = []
     out.append("# TYPE tonray_epochs_committed_total counter")
     out.append(f"tonray_epochs_committed_total {len(rows)}")

@@ -679,25 +679,23 @@ def dedup_groups(sf_dir: str, threshold: float = 0.95,
         batch_format="pyarrow",
     )
 
-    pairs_ds = minhash_lsh_pairs(sf_dir, threshold=threshold, ngram=1,
-                                 hot_bucket_cap=hot_bucket_cap)
-    if isinstance(pairs_ds, pa.Table):  # zero candidates short-circuit
+    # minhash_lsh_pairs always returns a Dataset (empty-schema on the
+    # zero-candidate path), so one count() check covers both cases
+    edges = minhash_lsh_pairs(sf_dir, threshold=threshold, ngram=1,
+                              hot_bucket_cap=hot_bucket_cap).materialize()
+    if edges.count() == 0:
         labeled = singles
     else:
-        edges = pairs_ds.materialize()
-        if edges.count() == 0:
-            labeled = singles
-        else:
-            from ray.data.aggregate import Min
+        from ray.data.aggregate import Min
 
-            comp = connected_components(edges)
-            # component labels are ≤ node id, so a grouped min folds the
-            # edge-free singletons in without a null-producing left join
-            labeled = (
-                comp.union(singles)
-                .groupby("node")
-                .aggregate(Min("label", alias_name="label"))
-            )
+        comp = connected_components(edges)
+        # component labels are ≤ node id, so a grouped min folds the
+        # edge-free singletons in without a null-producing left join
+        labeled = (
+            comp.union(singles)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
     return labeled.map_batches(
         lambda t: pa.table(
             {"doc_id": t["node"], "group_id": t["label"]}

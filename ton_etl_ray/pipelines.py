@@ -9,10 +9,12 @@ production replay (SURVEY.md §7.1).
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import hashlib
 import os
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -100,7 +102,16 @@ _CACHE_VER = "r4"
 
 
 def _tag(sf_dir: str) -> str:
-    return hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    """Cache key: path + CONTENT fingerprint of the documents table —
+    regenerating the testdata (new mtime/size) must invalidate every
+    artifact derived from it, or the cached change log silently serves
+    stale rows that no longer match the oracle's view of the parquet."""
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        sig = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = sf_dir
+    return hashlib.sha256(sig.encode()).hexdigest()[:12]
 
 
 def _cache_valid(marker: str) -> bool:
@@ -111,6 +122,41 @@ def _cache_valid(marker: str) -> bool:
         return False
 
 
+@contextlib.contextmanager
+def _build_lock(base: str, timeout: float = 900.0):
+    """Single-builder guard for a /tmp cache dir: two processes that both
+    see a missing marker (e.g. pytest + bench) must not race rmtree
+    against each other's half-built artifact. mkdir is the atomic
+    acquire; a dead holder's lock (pid gone) is reclaimed."""
+    lock = base + ".lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lock)
+            with open(os.path.join(lock, "pid"), "w") as f:
+                f.write(str(os.getpid()))
+            break
+        except FileExistsError:
+            try:
+                pid = int(open(os.path.join(lock, "pid")).read())
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except (OSError, ValueError):
+                alive = True  # holder mid-write or unreadable: assume live
+            if not alive:
+                shutil.rmtree(lock, ignore_errors=True)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"cache build lock stuck: {lock}")
+            time.sleep(0.2)
+    try:
+        yield
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
+
+
 def ensure_flagship_log(sf_dir: str) -> str:
     """Cached deterministic change log for ``sf_dir`` (a pure function
     of the documents table, so one build serves every pipeline/query in
@@ -119,10 +165,12 @@ def ensure_flagship_log(sf_dir: str) -> str:
     chg = f"/tmp/tonray_chg_{_tag(sf_dir)}"
     marker = os.path.join(chg, "_DONE")
     if not _cache_valid(marker):
-        shutil.rmtree(chg, ignore_errors=True)
-        docs_to_change_log(sf_dir, chg)
-        with open(marker, "w") as f:
-            f.write(_CACHE_VER)
+        with _build_lock(chg):
+            if not _cache_valid(marker):  # may have been built while waiting
+                shutil.rmtree(chg, ignore_errors=True)
+                docs_to_change_log(sf_dir, chg)
+                with open(marker, "w") as f:
+                    f.write(_CACHE_VER)
     return chg
 
 
@@ -134,12 +182,14 @@ def ensure_flagship_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     lake = os.path.join(base, "lake")
     marker = os.path.join(base, "_DONE")
     if not _cache_valid(marker):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
-        replay(ensure_flagship_log(sf_dir), lake,
-               num_partitions=num_partitions, hot_share_threshold=1.0)
-        with open(marker, "w") as f:
-            f.write(_CACHE_VER)
+        with _build_lock(base):
+            if not _cache_valid(marker):
+                shutil.rmtree(base, ignore_errors=True)
+                os.makedirs(base, exist_ok=True)
+                replay(ensure_flagship_log(sf_dir), lake,
+                       num_partitions=num_partitions, hot_share_threshold=1.0)
+                with open(marker, "w") as f:
+                    f.write(_CACHE_VER)
     return lake
 
 
@@ -213,25 +263,28 @@ def ensure_epoch_diff_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     marker = os.path.join(base, "_DONE")
     if _cache_valid(marker):
         return lake
-    shutil.rmtree(base, ignore_errors=True)
-    e0, e1 = os.path.join(base, "epoch0"), os.path.join(base, "epoch1")
-    os.makedirs(e0), os.makedirs(e1)
-    chg = ensure_flagship_log(sf_dir)
-    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    cut = 2 * n  # versions 0-1 below, version 2 + tombstones above
-    for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
-        t = pq.read_table(p)
-        lsn = t["lsn"].to_numpy()
-        lo, hi = t.filter(pa.array(lsn < cut)), t.filter(pa.array(lsn >= cut))
-        fname = os.path.basename(p)
-        if lo.num_rows:
-            pq.write_table(lo, os.path.join(e0, fname))
-        if hi.num_rows:
-            pq.write_table(hi, os.path.join(e1, fname))
-    replay(e0, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
-    replay(e1, lake)
-    with open(marker, "w") as f:
-        f.write(_CACHE_VER)
+    with _build_lock(base):
+        if _cache_valid(marker):
+            return lake
+        shutil.rmtree(base, ignore_errors=True)
+        e0, e1 = os.path.join(base, "epoch0"), os.path.join(base, "epoch1")
+        os.makedirs(e0), os.makedirs(e1)
+        chg = ensure_flagship_log(sf_dir)
+        n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        cut = 2 * n  # versions 0-1 below, version 2 + tombstones above
+        for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
+            t = pq.read_table(p)
+            lsn = t["lsn"].to_numpy()
+            lo, hi = t.filter(pa.array(lsn < cut)), t.filter(pa.array(lsn >= cut))
+            fname = os.path.basename(p)
+            if lo.num_rows:
+                pq.write_table(lo, os.path.join(e0, fname))
+            if hi.num_rows:
+                pq.write_table(hi, os.path.join(e1, fname))
+        replay(e0, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
+        replay(e1, lake)
+        with open(marker, "w") as f:
+            f.write(_CACHE_VER)
     return lake
 
 

@@ -206,10 +206,12 @@ class JettonTransferParse(Transform):
             s.load_uint(32)  # consume the opcode (matched by the predicate)
             qids[i] = s.load_uint(64)
             amounts[i] = s.load_coins()
-            wc, h = s.load_address()
-            dests.append(f"{wc}:{h.hex().upper()}")
-            rwc, rh = s.load_address()  # response_destination
-            resps.append(f"{rwc}:{rh.hex().upper()}")
+            # MsgAddress legitimately includes addr_none (common for
+            # response_destination on-chain) — emit NULL, don't crash
+            dest = s.load_address()
+            dests.append(f"{dest[0]}:{dest[1].hex().upper()}" if dest else None)
+            resp = s.load_address()  # response_destination
+            resps.append(f"{resp[0]}:{resp[1].hex().upper()}" if resp else None)
             has_custom[i] = bool(s.load_bit())  # custom_payload:(Maybe ^Cell)
             if has_custom[i]:
                 s.load_ref()  # present but opaque to this parser
