@@ -185,6 +185,8 @@ def run_bench() -> dict:
         "fk_orphans",
         # BOC payload decode (pure-Python codec in actor-pool batches)
         "boc_decode_events",
+        # registry-surface parser with full TEP-74 body decode
+        "jetton_transfers",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
