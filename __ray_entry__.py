@@ -97,6 +97,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sources = {"messages": synth_message_dataset(sf)}
         return REGISTRY.select({"SnakeCommentDecode"}).run(sources)["comments"]
 
+    def nft_mints(sf: str):
+        import ton_etl_ray.transforms  # noqa: F401
+        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.registry import REGISTRY
+
+        sources = {"messages": synth_message_dataset(sf)}
+        return REGISTRY.select({"BatchMintParse"}).run(sources)["nft_mints"]
+
     def fk_orphans_q(sf: str):
         import pyarrow as _pa
 
@@ -279,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predicate on the typed column, BOC body decode per claimed row
         "jetton_transfers": jetton_transfers,
         "comment_decode": comment_decode,
+        "nft_mints": nft_mints,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -628,6 +637,11 @@ def oracle_sql() -> dict[str, str]:
         "comment_decode": """
             SELECT event_id, 'evt ' || event_id AS comment
             FROM events WHERE event_type = 'click'
+        """,
+        "nft_mints": """
+            SELECT event_id, item_idx, event_id * 10 + item_idx AS item_amount
+            FROM (SELECT event_id, unnest(range(0, event_id % 3 + 1)) AS item_idx
+                  FROM events WHERE event_type = 'view')
         """,
         "profile_events": """
             WITH s AS (

@@ -153,3 +153,34 @@ def test_jetton_parser_addr_none():
                     "dest_addr": None, "resp_addr": None,
                     "has_custom_payload": False, "fwd_ton_amount": 0,
                     "fwd_comment": None}]
+
+
+def test_batch_mint_one_to_many():
+    """P17-family 1→many: one view message with k items fans out to k
+    typed rows via the registry's flat-map apply hook."""
+    import numpy as np
+
+    from ton_etl_ray.functions import opcode_signed
+    from ton_etl_ray.ops.messages import OP_BY_TYPE, encode_event_body
+    from ton_etl_ray.transforms import BatchMintParse
+
+    rows = [(5, 1, "view"), (6, 2, "click"), (7, 3, "view")]
+    batch = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "opcode": pa.array(
+                opcode_signed(np.array([OP_BY_TYPE[r[2]] for r in rows], np.uint32)),
+                pa.int32(),
+            ),
+            "body_boc": pa.array([encode_event_body(*r) for r in rows], pa.binary()),
+        }
+    )
+    out = BatchMintParse()(batch).to_pylist()
+    # event 5 → 5 % 3 + 1 = 3 items; event 7 → 2 items; click filtered out
+    assert out == [
+        {"event_id": 5, "item_idx": 0, "item_amount": 50},
+        {"event_id": 5, "item_idx": 1, "item_amount": 51},
+        {"event_id": 5, "item_idx": 2, "item_amount": 52},
+        {"event_id": 7, "item_idx": 0, "item_amount": 70},
+        {"event_id": 7, "item_idx": 1, "item_amount": 71},
+    ]

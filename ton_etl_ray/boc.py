@@ -562,6 +562,24 @@ def _key_bits(name: str) -> str:
     return "".join(f"{b:08b}" for b in h)
 
 
+def build_hashmap_uint(items: dict[int, Cell], key_len: int) -> Cell | None:
+    """Public TL-B ``Hashmap(key_len, ^Cell)`` with unsigned-int keys —
+    the shape of TEP-62 batch-mint item dicts and jetton wallets-by-
+    index maps. Returns None for an empty dict (hashmaps are stored
+    behind a Maybe bit)."""
+    return _build_hashmap(
+        {f"{k:0{key_len}b}": v for k, v in items.items()}, key_len
+    )
+
+
+def parse_hashmap_uint(cell: Cell, key_len: int) -> dict[int, Cell]:
+    """Inverse of :func:`build_hashmap_uint` (accepts all three TL-B
+    label forms)."""
+    out: dict[str, Cell] = {}
+    _parse_hashmap(cell, key_len, out)
+    return {int(k, 2): v for k, v in out.items()}
+
+
 def encode_tep64_onchain(attrs: dict[str, str], *, chunk: int | None = None) -> Cell:
     """On-chain TEP-64 content cell: 0x00 prefix + sha256-keyed dict of
     snake-encoded values (or chunked when ``chunk`` is set)."""

@@ -91,6 +91,20 @@ def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
         b.store_snake_bytes(f"evt {event_id}".encode())
     else:
         b.store_uint(event_id, 64)  # query_id
+        if event_type == "view":
+            # TEP-62-style BATCH MINT: a Hashmap(64, ^item) of
+            # event_id % 3 + 1 items — the reference's 1→many parser
+            # shape (one message → N typed rows); each item's amount is
+            # arithmetic so the fan-out is SQL-recomputable
+            from ..boc import build_hashmap_uint
+
+            n_items = event_id % 3 + 1
+            items = {
+                i: Builder().store_coins(event_id * 10 + i).end_cell()
+                for i in range(n_items)
+            }
+            b.store_bit(1)
+            b.store_ref(build_hashmap_uint(items, 64))
         if event_type == "purchase":
             b.store_coins(event_id * 1000 + 7)
             b.store_address((0, _user_hash(user_id)))

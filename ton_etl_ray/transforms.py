@@ -236,6 +236,57 @@ class JettonTransferParse(Transform):
 
 
 @register
+class BatchMintParse(Transform):
+    """1→many P17-family parser (the reference's NFT/mint history
+    parsers emit several typed rows per claimed message —
+    parsers/accounts/nfts_parser shape): opcode predicate, then each
+    body's TEP-62-style ``Hashmap(64, ^item)`` fans out to one row per
+    minted item. ``apply`` is the flat-map hook — Transform already
+    allows 1 input batch → 0..n output rows."""
+
+    source = "messages"
+    emits = "nft_mints"
+
+    OPCODE = 0x178D4519
+
+    def prepare(self) -> None:
+        from .boc import parse_boc, parse_hashmap_uint
+
+        self._parse_boc = parse_boc
+        self._parse_hashmap = parse_hashmap_uint
+
+    def predicate(self, batch: pa.Table) -> pa.Array:
+        from .functions import opcode_signed
+
+        return pc.equal(batch["opcode"], pa.scalar(opcode_signed(self.OPCODE), pa.int32()))
+
+    def apply(self, batch: pa.Table) -> pa.Table:
+        if not hasattr(self, "_parse_boc"):  # direct-call path (tests)
+            self.prepare()
+        eids: list[int] = []
+        idxs: list[int] = []
+        amounts: list[int] = []
+        for eid, body in zip(batch["event_id"].to_pylist(),
+                             batch["body_boc"].to_pylist()):
+            s = self._parse_boc(body).begin_parse()
+            s.load_uint(32)
+            s.load_uint(64)  # query_id
+            if not s.load_bit():  # Maybe ^Hashmap — empty mint
+                continue
+            for idx, vcell in sorted(self._parse_hashmap(s.load_ref(), 64).items()):
+                eids.append(eid)
+                idxs.append(idx)
+                amounts.append(vcell.begin_parse().load_coins())
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "item_idx": pa.array(idxs, pa.int64()),
+                "item_amount": pa.array(amounts, pa.int64()),
+            }
+        )
+
+
+@register
 class SnakeCommentDecode(Transform):
     """C-family converter with real payload decode: opcode-0 text
     messages → snake-string comment (the reference's comment converter,
