@@ -260,3 +260,15 @@ def test_cell_hash_eq_contract():
     a = Builder().store_uint(5, 16).store_ref(Builder().store_uint(7, 8).end_cell()).end_cell()
     b = Builder().store_uint(5, 16).store_ref(Builder().store_uint(7, 8).end_cell()).end_cell()
     assert a == b and hash(a) == hash(b)
+
+
+def test_build_hashmap_uint_rejects_out_of_range_keys():
+    import pytest
+
+    from ton_etl_ray.boc import Builder, build_hashmap_uint
+
+    v = Builder().store_uint(1, 8).end_cell()
+    with pytest.raises(ValueError, match="outside"):
+        build_hashmap_uint({-1: v}, 64)
+    with pytest.raises(ValueError, match="outside"):
+        build_hashmap_uint({1 << 64: v}, 64)

@@ -567,6 +567,9 @@ def build_hashmap_uint(items: dict[int, Cell], key_len: int) -> Cell | None:
     the shape of TEP-62 batch-mint item dicts and jetton wallets-by-
     index maps. Returns None for an empty dict (hashmaps are stored
     behind a Maybe bit)."""
+    for k in items:
+        if not 0 <= k < (1 << key_len):
+            raise ValueError(f"hashmap key {k} outside [0, 2**{key_len})")
     return _build_hashmap(
         {f"{k:0{key_len}b}": v for k, v in items.items()}, key_len
     )

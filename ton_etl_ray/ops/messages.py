@@ -26,8 +26,11 @@ as two ``map_batches`` stages over an Arrow ``binary`` column:
 Opcode map (arbitrary but fixed; values chosen to mirror the
 reference's "well-known 32-bit opcodes" idiom):
   click   → 0x00000000 comment body (snake text)
-  purchase→ 0x0f8a7ea5 transfer body (query_id, coins, dest address)
-  view    → 0x178d4519 mint-like body (query_id only)
+  purchase→ 0x0f8a7ea5 FULL TEP-74 transfer body (query_id, coins,
+            destination, response_destination, Maybe ^custom_payload,
+            forward coins, Either-ref forward comment)
+  view    → 0x178d4519 BATCH-MINT body (query_id, Maybe bit +
+            ^Hashmap(64, ^item) of event_id % 3 + 1 items)
   signup  → 0x5445efee notification body (query_id only)
   error   → 0xd53276db bounce body (query_id only)
 """

@@ -102,32 +102,45 @@ _CACHE_VER = "r4"
 
 
 def _tag(sf_dir: str) -> str:
-    """Cache key: path + CONTENT fingerprint of the documents table —
-    regenerating the testdata (new mtime/size) must invalidate every
-    artifact derived from it, or the cached change log silently serves
-    stale rows that no longer match the oracle's view of the parquet."""
+    """Cache DIRECTORY key: the source path only — one cache dir per
+    sf_dir forever, rebuilt IN PLACE when the content fingerprint in the
+    marker goes stale (``_fingerprint``). Keying the directory itself on
+    content would orphan a multi-GB tree on every testdata regeneration."""
+    return hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+
+
+def _fingerprint(sf_dir: str) -> str:
+    """Marker content: format version + CONTENT fingerprint of the
+    documents table — regenerating the testdata (new mtime/size) must
+    invalidate every artifact derived from it, or the cached change log
+    silently serves rows that no longer match the oracle's parquet."""
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        sig = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        sig = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        sig = sf_dir
-    return hashlib.sha256(sig.encode()).hexdigest()[:12]
+        sig = "nosrc"
+    return f"{_CACHE_VER}:{sig}"
 
 
-def _cache_valid(marker: str) -> bool:
+def _cache_valid(marker: str, sf_dir: str) -> bool:
     try:
         with open(marker) as f:
-            return f.read() == _CACHE_VER
+            return f.read() == _fingerprint(sf_dir)
     except OSError:
         return False
 
 
 @contextlib.contextmanager
-def _build_lock(base: str, timeout: float = 900.0):
+def _build_lock(base: str, timeout: float = 3600.0, stale_sec: float = 7200.0):
     """Single-builder guard for a /tmp cache dir: two processes that both
     see a missing marker (e.g. pytest + bench) must not race rmtree
     against each other's half-built artifact. mkdir is the atomic
-    acquire; a dead holder's lock (pid gone) is reclaimed."""
+    acquire. Reclaim of a dead/ancient holder's lock is itself atomic —
+    ``os.rename`` to a waiter-unique name, then delete — so two waiters
+    can never both reclaim (the loser's rename raises and it re-loops).
+    While the recorded holder is ALIVE the wait outlasts ``timeout``
+    only if the lock is also younger than ``stale_sec`` (pid-reuse
+    backstop: a recycled pid looks alive forever, lock age does not)."""
     lock = base + ".lock"
     deadline = time.monotonic() + timeout
     while True:
@@ -145,11 +158,23 @@ def _build_lock(base: str, timeout: float = 900.0):
                 alive = False
             except (OSError, ValueError):
                 alive = True  # holder mid-write or unreadable: assume live
-            if not alive:
-                shutil.rmtree(lock, ignore_errors=True)
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # lock vanished between checks — retry acquire
+            if not alive or age > stale_sec:
+                grave = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(lock, grave)  # atomic: one waiter wins
+                except OSError:
+                    continue  # another waiter reclaimed first — re-loop
+                shutil.rmtree(grave, ignore_errors=True)
                 continue
             if time.monotonic() > deadline:
-                raise TimeoutError(f"cache build lock stuck: {lock}")
+                raise TimeoutError(
+                    f"cache build lock {lock} held by live pid {pid} for "
+                    f"{age:.0f}s (> timeout {timeout:.0f}s)"
+                )
             time.sleep(0.2)
     try:
         yield
@@ -164,13 +189,13 @@ def ensure_flagship_log(sf_dir: str) -> str:
     engine, not the synthetic log generation (VERDICT r3 Wrong #5)."""
     chg = f"/tmp/tonray_chg_{_tag(sf_dir)}"
     marker = os.path.join(chg, "_DONE")
-    if not _cache_valid(marker):
+    if not _cache_valid(marker, sf_dir):
         with _build_lock(chg):
-            if not _cache_valid(marker):  # may have been built while waiting
+            if not _cache_valid(marker, sf_dir):  # built while waiting?
                 shutil.rmtree(chg, ignore_errors=True)
                 docs_to_change_log(sf_dir, chg)
                 with open(marker, "w") as f:
-                    f.write(_CACHE_VER)
+                    f.write(_fingerprint(sf_dir))
     return chg
 
 
@@ -181,15 +206,15 @@ def ensure_flagship_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     base = f"/tmp/tonray_flagshiplake_{_tag(sf_dir)}_p{num_partitions}"
     lake = os.path.join(base, "lake")
     marker = os.path.join(base, "_DONE")
-    if not _cache_valid(marker):
+    if not _cache_valid(marker, sf_dir):
         with _build_lock(base):
-            if not _cache_valid(marker):
+            if not _cache_valid(marker, sf_dir):
                 shutil.rmtree(base, ignore_errors=True)
                 os.makedirs(base, exist_ok=True)
                 replay(ensure_flagship_log(sf_dir), lake,
                        num_partitions=num_partitions, hot_share_threshold=1.0)
                 with open(marker, "w") as f:
-                    f.write(_CACHE_VER)
+                    f.write(_fingerprint(sf_dir))
     return lake
 
 
@@ -261,10 +286,10 @@ def ensure_epoch_diff_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     base = f"/tmp/tonray_ediff_{_tag(sf_dir)}_p{num_partitions}"
     lake = os.path.join(base, "lake")
     marker = os.path.join(base, "_DONE")
-    if _cache_valid(marker):
+    if _cache_valid(marker, sf_dir):
         return lake
     with _build_lock(base):
-        if _cache_valid(marker):
+        if _cache_valid(marker, sf_dir):
             return lake
         shutil.rmtree(base, ignore_errors=True)
         e0, e1 = os.path.join(base, "epoch0"), os.path.join(base, "epoch1")
@@ -284,7 +309,7 @@ def ensure_epoch_diff_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
         replay(e0, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
         replay(e1, lake)
         with open(marker, "w") as f:
-            f.write(_CACHE_VER)
+            f.write(_fingerprint(sf_dir))
     return lake
 
 
