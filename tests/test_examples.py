@@ -54,3 +54,15 @@ def test_streaming_watch_example_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "final state matches one-shot replay" in out.stdout
+
+
+def test_message_parsers_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "message_parsers.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "transfers:" in out.stdout
+    assert "forward comments" in out.stdout
+    assert "1-to-many" in out.stdout
