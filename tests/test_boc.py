@@ -272,3 +272,28 @@ def test_build_hashmap_uint_rejects_out_of_range_keys():
         build_hashmap_uint({-1: v}, 64)
     with pytest.raises(ValueError, match="outside"):
         build_hashmap_uint({1 << 64: v}, 64)
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        st.integers(min_value=0, max_value=255),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_hashmap_uint_roundtrip(items):
+    from ton_etl_ray.boc import (
+        Builder,
+        build_hashmap_uint,
+        parse_boc,
+        parse_hashmap_uint,
+        serialize_boc,
+    )
+
+    cells = {k: Builder().store_uint(v, 8).end_cell() for k, v in items.items()}
+    root = build_hashmap_uint(cells, 64)
+    back = parse_hashmap_uint(parse_boc(serialize_boc(root)), 64)
+    got = {k: c.begin_parse().load_uint(8) for k, c in back.items()}
+    assert got == items

@@ -718,3 +718,24 @@ def test_join_auto_empty_build_side():
     assert set(inner.schema().names) == {"k", "v", "w"}
     louter = join_auto(left, right, "k", how="left_outer").to_pandas()
     assert len(louter) == 2 and louter["w"].isna().all()
+
+
+def test_join_auto_duplicate_build_keys():
+    """The per-actor merge index must fan duplicate build-side keys out
+    exactly like a hash join (and null-fill left-outer misses)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import join_auto
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                                   "v": pa.array(list("abcde"), pa.string())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 2, 3], pa.int64()),
+                                    "w": pa.array([10.0, 20.0, 30.0], pa.float64())}))
+    inner = join_auto(left, right, "k").to_pandas()
+    got = sorted(map(tuple, inner[["k", "v", "w"]].itertuples(index=False)))
+    assert got == [(2, "b", 10.0), (2, "b", 20.0), (2, "c", 10.0),
+                   (2, "c", 20.0), (3, "d", 30.0)]
+    lo = join_auto(left, right, "k", how="left_outer").to_pandas()
+    assert len(lo) == 5 + 2  # 5 matches + unmatched k=1, k=4
+    assert lo[lo.k.isin([1, 4])]["w"].isna().all()

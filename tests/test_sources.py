@@ -38,3 +38,53 @@ def test_csv_sink(tmp_path):
 
     back = rd.read_csv(out)  # directory of part files
     assert back.count() == ds.count()
+
+
+def test_pipeline_build_lock_single_builder(tmp_path):
+    """Two processes racing a missing cache marker: exactly one builds,
+    the other waits and sees the finished artifact (the lock exists so
+    a waiter never rmtree's a half-built tree)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys, time
+        sys.path.insert(0, %r)
+        from ton_etl_ray.pipelines import _build_lock
+        base = sys.argv[1]
+        with _build_lock(base):
+            marker = base + "/_DONE"
+            if os.path.exists(marker):
+                print("SKIP")  # other process built it
+            else:
+                os.makedirs(base, exist_ok=True)
+                time.sleep(0.5)  # long enough for the race to matter
+                open(marker, "w").write("ok")
+                print("BUILT")
+    """) % ("/root/repo",)
+    base = str(tmp_path / "cache")
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, base],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(2)
+    ]
+    outs = sorted(p.communicate()[0].strip() for p in procs)
+    assert all(p.returncode == 0 for p in procs)
+    assert outs == ["BUILT", "SKIP"]
+
+
+def test_pipeline_build_lock_reclaims_dead_holder(tmp_path):
+    """A lock left by a crashed (dead-pid) builder is reclaimed instead
+    of stalling the waiter."""
+    import os
+
+    from ton_etl_ray.pipelines import _build_lock
+
+    base = str(tmp_path / "cache")
+    lock = base + ".lock"
+    os.makedirs(lock)
+    with open(os.path.join(lock, "pid"), "w") as f:
+        f.write("999999999")  # certainly dead
+    with _build_lock(base, timeout=10):
+        pass  # acquiring at all proves the reclaim worked
