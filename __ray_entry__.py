@@ -83,26 +83,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def jetton_transfers(sf: str):
         import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY
-        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.ops.messages import message_dataset
         from ton_etl_ray.registry import REGISTRY
 
-        sources = {"messages": synth_message_dataset(sf)}
+        sources = {"messages": message_dataset(sf)}
         return REGISTRY.select({"JettonTransferParse"}).run(sources)["jetton_transfers"]
 
     def comment_decode(sf: str):
         import ton_etl_ray.transforms  # noqa: F401
-        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.ops.messages import message_dataset
         from ton_etl_ray.registry import REGISTRY
 
-        sources = {"messages": synth_message_dataset(sf)}
+        sources = {"messages": message_dataset(sf)}
         return REGISTRY.select({"SnakeCommentDecode"}).run(sources)["comments"]
 
     def nft_mints(sf: str):
         import ton_etl_ray.transforms  # noqa: F401
-        from ton_etl_ray.ops.messages import synth_message_dataset
+        from ton_etl_ray.ops.messages import message_dataset
         from ton_etl_ray.registry import REGISTRY
 
-        sources = {"messages": synth_message_dataset(sf)}
+        sources = {"messages": message_dataset(sf)}
         return REGISTRY.select({"BatchMintParse"}).run(sources)["nft_mints"]
 
     def fk_orphans_q(sf: str):

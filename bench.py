@@ -192,9 +192,13 @@ def run_bench() -> dict:
     # needs a lake or change log build it UNTIMED here (cached, shared),
     # so the per-query timing measures the operator. The setup cost is
     # reported separately under "setup_sec".
+    from ton_etl_ray.ops.messages import ensure_message_table
     from ton_etl_ray.pipelines import (
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
     )
+
+    def _ensure_messages(sf: str) -> str:
+        return ensure_message_table(sf)
 
     setup_hooks = {
         # cdc_replay / derived_publish time the replay / watcher ingest
@@ -204,6 +208,8 @@ def run_bench() -> dict:
         "flagship_lake": ensure_flagship_lake,
         # epoch_diff times the committed-state diff, not the two replays
         "epoch_diff_lake": ensure_epoch_diff_lake,
+        # decode queries time the BOC decode, not the body synthesis
+        "message_table": _ensure_messages,
     }
     setup_sec = {}
     if not SKIP_QUERIES:
