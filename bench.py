@@ -197,9 +197,6 @@ def run_bench() -> dict:
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
     )
 
-    def _ensure_messages(sf: str) -> str:
-        return ensure_message_table(sf)
-
     setup_hooks = {
         # cdc_replay / derived_publish time the replay / watcher ingest
         # themselves — only the synthetic log generation is setup
@@ -209,7 +206,7 @@ def run_bench() -> dict:
         # epoch_diff times the committed-state diff, not the two replays
         "epoch_diff_lake": ensure_epoch_diff_lake,
         # decode queries time the BOC decode, not the body synthesis
-        "message_table": _ensure_messages,
+        "message_table": ensure_message_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

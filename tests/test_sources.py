@@ -88,3 +88,19 @@ def test_pipeline_build_lock_reclaims_dead_holder(tmp_path):
         f.write("999999999")  # certainly dead
     with _build_lock(base, timeout=10):
         pass  # acquiring at all proves the reclaim worked
+
+
+def test_pipeline_build_lock_unreadable_holder_times_out_cleanly(tmp_path):
+    """A lock with no readable pid and young age: the waiter raises a
+    clean TimeoutError (not UnboundLocalError) after the deadline."""
+    import os
+
+    import pytest
+
+    from ton_etl_ray.pipelines import _build_lock
+
+    base = str(tmp_path / "cache")
+    os.makedirs(base + ".lock")  # no pid file inside
+    with pytest.raises(TimeoutError, match="unreadable holder"):
+        with _build_lock(base, timeout=0.5):
+            pass

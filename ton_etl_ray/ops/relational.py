@@ -515,7 +515,13 @@ def join_auto(
                 dim = ray.get(ref)
                 order = pc.sort_indices(dim[on])
                 self.dim = dim.take(order)
-                self.dkeys = self.dim[on].to_numpy(zero_copy_only=False)
+                # a null build-side key would coerce int64 keys to
+                # float64 (>2^53 keys then collide in searchsorted) —
+                # route such dims through the exact Arrow path entirely
+                self.dkeys = (
+                    None if self.dim[on].null_count
+                    else self.dim[on].to_numpy(zero_copy_only=False)
+                )
                 self.payload = self.dim.drop_columns([on])
 
             def _arrow_join(self, t: pa.Table) -> pa.Table:
@@ -525,8 +531,15 @@ def join_auto(
                 return out.take(np.arange(out.num_rows)) if out.num_rows else out
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                if t[on].null_count or not t.num_rows:
-                    return self._arrow_join(t)  # null keys: rare, exact path
+                if (
+                    self.dkeys is None
+                    or t[on].null_count
+                    or not t.num_rows
+                    # overlapping payload names: Arrow raises — keep the
+                    # merge path's behavior identical, not silently dup
+                    or any(n in t.column_names for n in self.payload.column_names)
+                ):
+                    return self._arrow_join(t)  # exact path
                 pk = t[on].to_numpy(zero_copy_only=False)
                 lo = np.searchsorted(self.dkeys, pk, side="left")
                 hi = np.searchsorted(self.dkeys, pk, side="right")

@@ -109,25 +109,40 @@ def _tag(sf_dir: str) -> str:
     return hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
 
 
-def _fingerprint(sf_dir: str) -> str:
+def _fingerprint(sf_dir: str, table: str = "documents") -> str:
     """Marker content: format version + CONTENT fingerprint of the
-    documents table — regenerating the testdata (new mtime/size) must
-    invalidate every artifact derived from it, or the cached change log
-    silently serves rows that no longer match the oracle's parquet."""
+    SOURCE table the artifact is derived from — regenerating the
+    testdata (new mtime/size) must invalidate every artifact derived
+    from it, or the cached change log silently serves rows that no
+    longer match the oracle's parquet. Callers must name the table they
+    actually read (change log/lakes: documents; message table: events)."""
     try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        sig = f"{st.st_mtime_ns}:{st.st_size}"
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        sig = f"{table}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        sig = "nosrc"
+        sig = f"{table}:nosrc"
     return f"{_CACHE_VER}:{sig}"
 
 
-def _cache_valid(marker: str, sf_dir: str) -> bool:
+def _cache_valid(marker: str, sf_dir: str, table: str = "documents") -> bool:
     try:
         with open(marker) as f:
-            return f.read() == _fingerprint(sf_dir)
+            return f.read() == _fingerprint(sf_dir, table)
     except OSError:
         return False
+
+
+def _swap_in(build: str, base: str) -> None:
+    """Promote a finished build dir over the cache path via two renames
+    (never an in-place rmtree of a tree another process may be reading:
+    a reader holding open files on the OLD tree keeps them; only the
+    window between a lazy Dataset capturing old paths and executing its
+    read remains, vs. the whole build duration before)."""
+    old = f"{base}.old.{os.getpid()}.{time.monotonic_ns()}"
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(build, base)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 @contextlib.contextmanager
@@ -135,21 +150,26 @@ def _build_lock(base: str, timeout: float = 3600.0, stale_sec: float = 7200.0):
     """Single-builder guard for a /tmp cache dir: two processes that both
     see a missing marker (e.g. pytest + bench) must not race rmtree
     against each other's half-built artifact. mkdir is the atomic
-    acquire. Reclaim of a dead/ancient holder's lock is itself atomic —
-    ``os.rename`` to a waiter-unique name, then delete — so two waiters
-    can never both reclaim (the loser's rename raises and it re-loops).
-    While the recorded holder is ALIVE the wait outlasts ``timeout``
-    only if the lock is also younger than ``stale_sec`` (pid-reuse
-    backstop: a recycled pid looks alive forever, lock age does not)."""
+    acquire. Reclaim targets only locks whose holder is provably DEAD,
+    or whose pid was never readable AND the lock has aged past
+    ``stale_sec`` (a holder that crashed between mkdir and the pid
+    write) — a live builder is NEVER seized, however long it runs
+    (seizing a live holder would put two builders in the critical
+    section, the exact race this lock exists to prevent). Reclaim is
+    itself atomic — ``os.rename`` to a waiter-unique name, then delete —
+    so two waiters can never both reclaim. Release removes the lock only
+    if this process still owns it (per the recorded pid)."""
     lock = base + ".lock"
+    me = str(os.getpid())
     deadline = time.monotonic() + timeout
     while True:
         try:
             os.mkdir(lock)
             with open(os.path.join(lock, "pid"), "w") as f:
-                f.write(str(os.getpid()))
+                f.write(me)
             break
         except FileExistsError:
+            pid = None
             try:
                 pid = int(open(os.path.join(lock, "pid")).read())
                 os.kill(pid, 0)
@@ -162,7 +182,7 @@ def _build_lock(base: str, timeout: float = 3600.0, stale_sec: float = 7200.0):
                 age = time.time() - os.path.getmtime(lock)
             except OSError:
                 continue  # lock vanished between checks — retry acquire
-            if not alive or age > stale_sec:
+            if not alive or (pid is None and age > stale_sec):
                 grave = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
                 try:
                     os.rename(lock, grave)  # atomic: one waiter wins
@@ -172,14 +192,21 @@ def _build_lock(base: str, timeout: float = 3600.0, stale_sec: float = 7200.0):
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"cache build lock {lock} held by live pid {pid} for "
-                    f"{age:.0f}s (> timeout {timeout:.0f}s)"
+                    f"cache build lock {lock} held by "
+                    f"{'pid ' + str(pid) if pid is not None else 'an unreadable holder'} "
+                    f"for {age:.0f}s (> timeout {timeout:.0f}s)"
                 )
             time.sleep(0.2)
     try:
         yield
     finally:
-        shutil.rmtree(lock, ignore_errors=True)
+        # release ONLY if still the owner: a (hypothetical) reclaimer must
+        # not have its fresh lock deleted by the previous holder's exit
+        try:
+            if open(os.path.join(lock, "pid")).read() == me:
+                shutil.rmtree(lock, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def ensure_flagship_log(sf_dir: str) -> str:
@@ -192,10 +219,12 @@ def ensure_flagship_log(sf_dir: str) -> str:
     if not _cache_valid(marker, sf_dir):
         with _build_lock(chg):
             if not _cache_valid(marker, sf_dir):  # built while waiting?
-                shutil.rmtree(chg, ignore_errors=True)
-                docs_to_change_log(sf_dir, chg)
-                with open(marker, "w") as f:
+                build = f"{chg}.build.{os.getpid()}"
+                shutil.rmtree(build, ignore_errors=True)
+                docs_to_change_log(sf_dir, build)
+                with open(os.path.join(build, "_DONE"), "w") as f:
                     f.write(_fingerprint(sf_dir))
+                _swap_in(build, chg)
     return chg
 
 
@@ -209,12 +238,14 @@ def ensure_flagship_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     if not _cache_valid(marker, sf_dir):
         with _build_lock(base):
             if not _cache_valid(marker, sf_dir):
-                shutil.rmtree(base, ignore_errors=True)
-                os.makedirs(base, exist_ok=True)
-                replay(ensure_flagship_log(sf_dir), lake,
+                build = f"{base}.build.{os.getpid()}"
+                shutil.rmtree(build, ignore_errors=True)
+                os.makedirs(build, exist_ok=True)
+                replay(ensure_flagship_log(sf_dir), os.path.join(build, "lake"),
                        num_partitions=num_partitions, hot_share_threshold=1.0)
-                with open(marker, "w") as f:
+                with open(os.path.join(build, "_DONE"), "w") as f:
                     f.write(_fingerprint(sf_dir))
+                _swap_in(build, base)
     return lake
 
 
@@ -291,8 +322,9 @@ def ensure_epoch_diff_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
     with _build_lock(base):
         if _cache_valid(marker, sf_dir):
             return lake
-        shutil.rmtree(base, ignore_errors=True)
-        e0, e1 = os.path.join(base, "epoch0"), os.path.join(base, "epoch1")
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        e0, e1 = os.path.join(build, "epoch0"), os.path.join(build, "epoch1")
         os.makedirs(e0), os.makedirs(e1)
         chg = ensure_flagship_log(sf_dir)
         n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
@@ -306,10 +338,12 @@ def ensure_epoch_diff_lake(sf_dir: str, *, num_partitions: int = 16) -> str:
                 pq.write_table(lo, os.path.join(e0, fname))
             if hi.num_rows:
                 pq.write_table(hi, os.path.join(e1, fname))
-        replay(e0, lake, num_partitions=num_partitions, hot_share_threshold=1.0)
-        replay(e1, lake)
-        with open(marker, "w") as f:
+        blake = os.path.join(build, "lake")
+        replay(e0, blake, num_partitions=num_partitions, hot_share_threshold=1.0)
+        replay(e1, blake)
+        with open(os.path.join(build, "_DONE"), "w") as f:
             f.write(_fingerprint(sf_dir))
+        _swap_in(build, base)
     return lake
 
 
