@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank1_snapshot": R.rank1_snapshot,
         "cdc_state_events": R.cdc_state_events,
         "windowed_hourly": R.windowed_hourly,
+        # per-user trailing calendar-window rolling spend (RANGE frame)
+        "rolling_daily_spend": R.rolling_daily_spend,
         "sliding_window_counts": R.sliding_window_counts,
         "topk_per_group": R.topk_per_group,
         "supplier_stats": R.supplier_stats,
@@ -637,6 +639,19 @@ def oracle_sql() -> dict[str, str]:
         "comment_decode": """
             SELECT event_id, 'evt ' || event_id AS comment
             FROM events WHERE event_type = 'click'
+        """,
+        "rolling_daily_spend": """
+            WITH daily AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, day,
+                   SUM(cents) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS spend_3d
+            FROM daily
         """,
         "nft_mints": """
             SELECT event_id, item_idx, event_id * 10 + item_idx AS item_amount

@@ -127,7 +127,7 @@ def run_bench() -> dict:
         "asof_last_click", "session_count", "rank1_snapshot",
         "windowed_hourly", "topk_users", "dedup_docs_prefix",
         "exact_dedup_hash", "minhash_lsh_pairs", "knn_cosine",
-        "simhash_signatures", "doc_token_stats",
+        "simhash_signatures", "doc_token_stats", "rolling_daily_spend",
         "q3_top_orders", "q6_forecast_revenue", "sliding_window_counts",
         # word_jaccard_pairs is deliberately absent: it is the declared
         # sf≤0.01 ORACLE path (all-pairs incidence matmul), not a

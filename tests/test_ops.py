@@ -739,3 +739,39 @@ def test_join_auto_duplicate_build_keys():
     lo = join_auto(left, right, "k", how="left_outer").to_pandas()
     assert len(lo) == 5 + 2  # 5 matches + unmatched k=1, k=4
     assert lo[lo.k.isin([1, 4])]["w"].isna().all()
+
+
+def test_rolling_daily_spend_range_semantics(tmp_path):
+    """RANGE frame: a day GAP shrinks the trailing window (calendar
+    days, not rows) — pinned on a hand-built 4-day/2-user table."""
+    import pandas as pd
+
+    from ton_etl_ray.ops.relational import rolling_daily_spend
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: days 0, 1, 3 (gap at day 2)
+        (1, base + pd.Timedelta(days=0, hours=1), 1.00),
+        (1, base + pd.Timedelta(days=1, hours=2), 2.00),
+        (1, base + pd.Timedelta(days=1, hours=3), 0.50),
+        (1, base + pd.Timedelta(days=3, hours=4), 4.00),
+        # user 2: one day only
+        (2, base + pd.Timedelta(days=0, hours=5), 7.25),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = rolling_daily_spend(str(d)).to_pandas().sort_values(
+        ["user_id", "day"]).reset_index(drop=True)
+    # user 1 day0: 1.0; day1: 1.0+2.5; day3: window covers days 1-3 → 2.5+4.0
+    assert out["spend_3d"].tolist() == [1.00, 3.50, 6.50, 7.25]

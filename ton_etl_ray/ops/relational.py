@@ -902,6 +902,64 @@ def sliding_window_counts(sf_dir: str, window_min: int = 60, slide_min: int = 15
     return out.map_batches(lambda t: _round_cols(t, ("sum_value",)), batch_format="pyarrow")
 
 
+def rolling_daily_spend(sf_dir: str, window_days: int = 3, num_buckets: int = 256):
+    """PER-KEY calendar-window rolling aggregate (A5/A7 family, the
+    per-account form of the reference's rolling gauges,
+    prometheus_exporter/gauges/performance.py:64-125): each user's spend
+    per day, summed over the trailing ``window_days``-day calendar
+    window (RANGE semantics — day gaps shrink the window, they don't
+    slide rows in).
+
+    Shape: ONE coarse user-bucket shuffle; inside each bucket the daily
+    pre-aggregate is an exact int64 cents sum (order-independent — the
+    float total is derived once at the end, so it hash-matches SQL), and
+    the rolling window is a prefix-sum read with a vectorized
+    ``searchsorted`` lower cut over a (user-rank << 32 | day-offset)
+    composite key — every user of the bucket at once, no per-key
+    dispatch."""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("day", pa.timestamp("us")),
+         ("spend_3d", pa.float64())]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return out_schema.empty_table()
+        agg = (
+            g.groupby(["user_id", "day"], as_index=False, sort=True)["cents"].sum()
+        )
+        u = agg["user_id"].to_numpy()
+        days = agg["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        ur = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        gkey = (ur << 32) | (days - days.min())
+        cs = np.concatenate([[0], np.cumsum(agg["cents"].to_numpy())])
+        lo = np.searchsorted(gkey, gkey - (window_days - 1), side="left")
+        wsum = cs[1:] - cs[lo]
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "day": pa.array(agg["day"].to_numpy()).cast(pa.timestamp("us")),
+                "spend_3d": pa.array(wsum / 100.0, pa.float64()),
+            }
+        )
+
+    return _bucketed(ds.map_batches(pre, batch_format="pyarrow"),
+                     "user_id", per_bucket, out_schema, num_buckets=num_buckets)
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Grouped top-k (rank ≤ k per key): per-type top events by value.
 
