@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_hourly": R.windowed_hourly,
         # per-user trailing calendar-window rolling spend (RANGE frame)
         "rolling_daily_spend": R.rolling_daily_spend,
+        # PIVOT via conditional aggregation (one grouped Sum per type)
+        "pivot_daily_events": R.pivot_daily_events,
+        # exact per-type quantiles (bounded group vocabulary)
+        "grouped_percentiles": R.grouped_percentiles,
         "sliding_window_counts": R.sliding_window_counts,
         "topk_per_group": R.topk_per_group,
         "supplier_stats": R.supplier_stats,
@@ -639,6 +643,22 @@ def oracle_sql() -> dict[str, str]:
         "comment_decode": """
             SELECT event_id, 'evt ' || event_id AS comment
             FROM events WHERE event_type = 'click'
+        """,
+        "pivot_daily_events": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n
+            FROM events GROUP BY 1
+        """,
+        "grouped_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type
         """,
         "rolling_daily_spend": """
             WITH daily AS (

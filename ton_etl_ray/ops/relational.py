@@ -960,6 +960,81 @@ def rolling_daily_spend(sf_dir: str, window_days: int = 3, num_buckets: int = 25
                      "user_id", per_bucket, out_schema, num_buckets=num_buckets)
 
 
+def pivot_daily_events(sf_dir: str):
+    """PIVOT (long → wide) as conditional aggregation: per day, one
+    count column per event type. No pivot stage exists at all — a
+    vectorized map adds 0/1 indicator columns, then ONE partial-
+    combining grouped Sum per column; the wide schema is fixed by the
+    bounded type vocabulary (the reference's per-type daily exporter
+    tables, datalake_daily_sync.py shape). Fully distributed at any
+    corpus size: output rows = distinct days."""
+    ensure_portable()
+    types = ("click", "purchase", "view", "signup", "error")
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cols = {"day": day}
+        for ty in types:
+            cols[f"{ty}_n"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    wide = (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*[Sum(f"{ty}_n", alias_name=f"{ty}_n") for ty in types])
+    )
+    # the grouped key comes back timestamp[s]; conform to the us oracle
+    return wide.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("day"), "day", t["day"].cast(pa.timestamp("us"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def grouped_percentiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact grouped quantiles per event type (A6/A7 family). The group
+    key is the BOUNDED type vocabulary, so one shuffle on the type and a
+    vectorized np.quantile per group is the honest shape — same bounded-
+    cardinality ruling as ``topk_per_group``'s final reduce. (Unbounded
+    group keys would need a mergeable sketch; ``percentile_values``
+    documents the global form.)"""
+    ensure_portable()
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out_schema = pa.schema(
+        [("event_type", pa.string())] + [(f"p{int(q * 100)}", pa.float64()) for q in qs]
+    )
+
+    def per_type(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return out_schema.empty_table()
+        v = np.sort(g["value"].to_numpy())
+        cols = {"event_type": pa.array([g["event_type"].iloc[0]], pa.string())}
+        for q in qs:
+            # DuckDB's quantile_cont interpolates lo*(1-frac)+hi*frac;
+            # np.quantile computes lo+(hi-lo)*frac — one ulp apart, which
+            # a value-hash compare sees. Use DuckDB's association.
+            pos = q * (len(v) - 1)
+            i = int(np.floor(pos))
+            frac = pos - i
+            hi = v[min(i + 1, len(v) - 1)]
+            cols[f"p{int(q * 100)}"] = pa.array(
+                [float(v[i] * (1 - frac) + hi * frac)], pa.float64()
+            )
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(out_schema.names).cast(out_schema)
+            if out_schema.names[0] in t.column_names else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Grouped top-k (rank ≤ k per key): per-type top events by value.
 
