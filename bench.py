@@ -128,6 +128,7 @@ def run_bench() -> dict:
         "windowed_hourly", "topk_users", "dedup_docs_prefix",
         "exact_dedup_hash", "minhash_lsh_pairs", "knn_cosine",
         "simhash_signatures", "doc_token_stats", "rolling_daily_spend",
+        "pivot_daily_events", "grouped_percentiles",
         "q3_top_orders", "q6_forecast_revenue", "sliding_window_counts",
         # word_jaccard_pairs is deliberately absent: it is the declared
         # sf≤0.01 ORACLE path (all-pairs incidence matmul), not a
