@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, profile, relational as R, sampling, scrub, sketch, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -294,6 +294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jetton_transfers": jetton_transfers,
         "comment_decode": comment_decode,
         "nft_mints": nft_mints,
+        # ston.fi-shaped DEX swap family (P1-P16 two-message decode):
+        # payout-notification decode + parent-request decode joined on
+        # the parent hash, wallet→master broadcast dim, mint anti-join
+        "dex_swaps": swaps.dex_swaps,
+        "swap_volume": swaps.swap_volume,
+        "jetton_mints": swaps.jetton_mints,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -677,6 +683,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, item_idx, event_id * 10 + item_idx AS item_amount
             FROM (SELECT event_id, unnest(range(0, event_id % 3 + 1)) AS item_idx
                   FROM events WHERE event_type = 'view')
+        """,
+        "dex_swaps": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 16 AS pool,
+                       o_orderkey % 2 = 0 AS src0
+                FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT k AS query_id,
+                   '0:' || upper(md5('user-' || c) || md5('user-' || c)) AS swap_user,
+                   '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS swap_pool,
+                   CASE WHEN src0 THEN '0:' || upper(md5('m0-' || pool) || md5('m0-' || pool))
+                        ELSE '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool)) END AS swap_src_token,
+                   CASE WHEN src0 THEN '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool))
+                        ELSE '0:' || upper(md5('m0-' || pool) || md5('m0-' || pool)) END AS swap_dst_token,
+                   (k * 100 + 13) - (k % 97) AS swap_src_amount,
+                   k * 3 + 1 AS swap_dst_amount,
+                   k % 1000 AS min_out,
+                   CASE WHEN k % 7 = 0
+                        THEN '0:' || upper(md5('ref-' || c) || md5('ref-' || c))
+                   END AS referral_address
+            FROM w
+        """,
+        "swap_volume": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_orderkey % 16 AS pool,
+                       o_orderkey % 2 = 0 AS src0
+                FROM orders WHERE o_orderkey % 11 <> 0
+            )
+            SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS swap_pool,
+                   CAST(count(*) AS BIGINT) AS n_swaps,
+                   CAST(sum((k * 100 + 13) - (k % 97)) AS BIGINT) AS src_volume,
+                   CAST(sum(k * 3 + 1) AS BIGINT) AS dst_volume,
+                   CAST(sum((k * 3 + 1) * (pool + 1) *
+                            (CASE WHEN src0 THEN 2 ELSE 1 END)) AS BIGINT) AS volume_quote
+            FROM w GROUP BY pool
+        """,
+        "jetton_mints": """
+            SELECT o_orderkey AS query_id, o_orderkey * 7 + 3 AS amount_nano,
+                   '0:' || upper(md5('user-' || o_custkey) || md5('user-' || o_custkey)) AS from_addr
+            FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
         """,
         "profile_events": """
             WITH s AS (

@@ -1,0 +1,153 @@
+"""DEX-swap parser family (ops/swaps.py): codec round-trips, the
+two-message parse vs a DuckDB recomputation, the exit-code drop, the
+mint anti-join, and the volume rollup."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ton_etl_ray.boc import parse_boc
+from ton_etl_ray.ops import swaps
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return con
+
+
+def test_swap_request_roundtrip():
+    body = swaps.encode_swap_request(14, 3)  # k%7==0 → referral present
+    s = parse_boc(body).begin_parse()
+    assert s.load_uint(32) == swaps.OP_SWAP_REQUEST
+    assert s.load_uint(64) == 14
+    s.load_address()  # to
+    tw = s.load_address()
+    assert tw == (0, swaps._addr_bytes("w0", 14 % swaps.N_POOLS))  # even → side 0
+    assert s.load_coins() == 14 * 100 + 13
+    assert s.load_coins() == 14 % 1000
+    assert s.load_uint(1) == 1
+    ad = s.load_ref().begin_parse()
+    assert ad.load_address() == (0, swaps._addr_bytes("user", 3))
+    assert ad.load_address() == (0, swaps._addr_bytes("ref", 3))
+
+
+def test_swap_payout_exit_codes():
+    ok = parse_boc(swaps.encode_swap_payout(13, 1)).begin_parse()
+    ok.load_uint(32), ok.load_uint(64), ok.load_address()
+    assert ok.load_uint(32) == swaps.PAYOUT_OK
+    bad = parse_boc(swaps.encode_swap_payout(22, 1)).begin_parse()  # 22 % 11 == 0
+    bad.load_uint(32), bad.load_uint(64), bad.load_address()
+    assert bad.load_uint(32) != swaps.PAYOUT_OK
+
+
+def test_dex_swaps_matches_duckdb(ray_session):
+    got = (
+        swaps.dex_swaps(SF)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    con = _orders_con()
+    exp = con.execute(
+        """
+        WITH w AS (
+            SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 16 AS pool,
+                   o_orderkey % 2 = 0 AS src0
+            FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT k AS query_id,
+               '0:' || upper(md5('user-' || c) || md5('user-' || c)) AS swap_user,
+               '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS swap_pool,
+               CASE WHEN src0 THEN '0:' || upper(md5('m0-' || pool) || md5('m0-' || pool))
+                    ELSE '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool)) END AS swap_src_token,
+               CASE WHEN src0 THEN '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool))
+                    ELSE '0:' || upper(md5('m0-' || pool) || md5('m0-' || pool)) END AS swap_dst_token,
+               (k * 100 + 13) - (k % 97) AS swap_src_amount,
+               k * 3 + 1 AS swap_dst_amount,
+               k % 1000 AS min_out,
+               CASE WHEN k % 7 = 0 THEN '0:' || upper(md5('ref-' || c) || md5('ref-' || c))
+               END AS referral_address
+        FROM w ORDER BY query_id
+        """
+    ).df()
+    for c in ("query_id", "swap_src_amount", "swap_dst_amount", "min_out"):
+        exp[c] = exp[c].astype("int64")
+    assert len(got)  # the filter must not drop everything
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # every 11th order's payout has a non-OK exit code and must be gone
+    assert not (got["query_id"] % 11 == 0).any()
+
+
+def test_jetton_mints_anti_join(ray_session):
+    got = (
+        swaps.jetton_mints(SF)
+        .to_pandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    con = _orders_con()
+    exp = con.execute(
+        """
+        SELECT o_orderkey AS query_id, o_orderkey * 7 + 3 AS amount_nano,
+               '0:' || upper(md5('user-' || o_custkey) || md5('user-' || o_custkey)) AS from_addr
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0 ORDER BY 1
+        """
+    ).df()
+    for c in ("query_id", "amount_nano"):
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+    # internal transfers WITH a transfer parent (k % 10 == 0) are skipped
+    assert not (got["query_id"] % 10 == 0).any()
+
+
+def test_swap_volume_rollup(ray_session):
+    got = (
+        swaps.swap_volume(SF)
+        .to_pandas()
+        .sort_values("swap_pool")
+        .reset_index(drop=True)
+    )
+    con = _orders_con()
+    exp = con.execute(
+        """
+        WITH w AS (
+            SELECT o_orderkey AS k, o_orderkey % 16 AS pool, o_orderkey % 2 = 0 AS src0
+            FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS swap_pool,
+               CAST(count(*) AS BIGINT) AS n_swaps,
+               CAST(sum((k * 100 + 13) - (k % 97)) AS BIGINT) AS src_volume,
+               CAST(sum(k * 3 + 1) AS BIGINT) AS dst_volume,
+               CAST(sum((k * 3 + 1) * (pool + 1) *
+                        (CASE WHEN src0 THEN 2 ELSE 1 END)) AS BIGINT) AS volume_quote
+        FROM w GROUP BY pool ORDER BY swap_pool
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_unknown_wallet_is_detectable():
+    """The Assemble stage raises on a wallet missing from the dim; this
+    pins the searchsorted-equality contract that check relies on."""
+    import numpy as np
+
+    dim = swaps.wallet_master_dim()
+    wallets = np.sort(np.asarray(dim["wallet"].to_pylist()))
+    probe = np.asarray(["0:" + "F" * 64])
+    idx = np.clip(np.searchsorted(wallets, probe), 0, len(wallets) - 1)
+    assert not (wallets[idx] == probe).all()
+
+
+def test_synth_table_caches(ray_session, tmp_path):
+    import os
+
+    base = swaps.ensure_swap_table(SF)
+    marker = os.path.join(base, "_DONE")
+    mtime = os.path.getmtime(marker)
+    assert swaps.ensure_swap_table(SF) == base  # second call reuses
+    assert os.path.getmtime(marker) == mtime

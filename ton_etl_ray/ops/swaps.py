@@ -1,0 +1,626 @@
+"""DEX-swap parser family: the reference's two-message decode shape
+(SURVEY.md §2.3 P1-P16) re-expressed as Ray Data stages.
+
+The reference's ston.fi parser (parsers/message/stonfi_swap.py:17-118)
+is the canonical P1 form and the hardest parser shape in the family:
+
+- predicate on the typed ``opcode`` envelope column (payout
+  notification 0xf93bb43f, direction "in", destination == router),
+- decode the notification body (query_id, owner, exit_code, and a
+  ref cell carrying token0/token1 amounts + wallet addresses),
+- drop non-payout exit codes (!= 0xc64370e5),
+- fetch the PARENT message (``db.get_parent_message_body``) and decode
+  the swap request 0x25938561 (to_address, token_wallet, token_amount,
+  min_out, and a ref cell with from_user + optional referral),
+- pick src/dst sides by comparing the request's token_wallet against
+  the notification's wallet0/wallet1,
+- resolve each wallet to its jetton master (``db.get_wallet_master``).
+
+Here the same semantics run cluster-shaped: the per-row parent DB
+lookup becomes ONE hash join between the decoded notification set and
+the decoded request set (``join_auto`` — broadcast when the build side
+measures small, hash-partitioned shuffle otherwise), and the
+wallet→master point lookups become a broadcast dim probed per batch.
+Per-claimed-row BOC decode is inherent for opaque binary payloads
+(same ruling as the jetton-transfer parser); everything after decode
+is vectorized numpy/Arrow.
+
+The message table is DETERMINISTIC, derived from the orders table the
+same way ``ops.messages`` derives its table from events: every encoded
+field is an arithmetic function of (o_orderkey, o_custkey), so a DuckDB
+oracle recomputes the full parsed output and any codec/join/side-pick
+bug value-hash-mismatches. Per order key ``k`` (custkey ``c``,
+pool ``k % 16``):
+
+- swap request  (msg_hash md5('req-k')): query_id=k, to=addr(user,c),
+  token_wallet = w0(pool) if k even else w1(pool),
+  token_amount = k*100+13, min_out = k%1000, ref{from_user=addr(user,c),
+  referral=addr(ref,c) iff k%7==0}.
+- payout notification (msg_hash md5('pay-k'), parent md5('req-k')):
+  owner=addr(user,c), exit_code = 0xc64370e5 unless k%11==0 (then a
+  non-payout code, so the row is dropped exactly like the reference's
+  "not a payment to user" branch), ref{token0, w0(pool), token1,
+  w1(pool)} where the SRC side refunds k%97 and the DST side pays out
+  k*3+1 — so the engine must pick sides by wallet equality to emit
+  src_amount = (k*100+13) - k%97 and dst_amount = k*3+1.
+- internal_transfer 0x178d4519 (k%5==0, msg_hash md5('it-k')): the
+  TEP-74 *recommended* mint form (parsers/message/jetton_mint.py:15-38)
+  — query_id=k, amount=k*7+3, from=addr(user,c). Every 10th order also
+  carries a preceding 0x0f8a7ea5 transfer parent (md5('tr-k')), which
+  the mint detector must anti-join away ("skip ordinary chain
+  transfer => internal_transfer").
+
+Wallet/master dim (the reference's jetton_wallets table):
+w{s}(p) = '0:' + upper(md5('w{s}-{p}') * 2),
+m{s}(p) = '0:' + upper(md5('m{s}-{p}') * 2), s in {0,1}, p in 0..15.
+Quote price for volume estimation (parsers/message/swap_volume.py
+estimate_volume, deterministic stand-in for core prices):
+price(m{s}(p)) = (p+1) * (s+1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._pickle import ensure_portable
+from ..boc import Builder, parse_boc, serialize_boc
+from ._util import read_table
+
+OP_SWAP_REQUEST = 0x25938561
+OP_SWAP_PAYOUT = 0xF93BB43F
+OP_INTERNAL_TRANSFER = 0x178D4519
+OP_JETTON_TRANSFER = 0x0F8A7EA5
+PAYOUT_OK = 0xC64370E5  # 3326308581 — "payment to user" exit code
+N_POOLS = 16
+
+_MSG_SCHEMA = pa.schema(
+    [
+        ("msg_hash", pa.string()),
+        ("parent_msg_hash", pa.string()),
+        ("opcode", pa.int32()),
+        ("direction", pa.string()),
+        ("source", pa.string()),
+        ("destination", pa.string()),
+        ("body_boc", pa.binary()),
+    ]
+)
+
+
+def _hex2(tag: str, n: int) -> str:
+    """64-hex-char account hash: md5 of 'tag-n' repeated (DuckDB
+    recomputes it as md5(x) || md5(x))."""
+    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
+    return h + h
+
+
+def _addr_str(tag: str, n: int) -> str:
+    return f"0:{_hex2(tag, n).upper()}"
+
+
+def _addr_bytes(tag: str, n: int) -> bytes:
+    return bytes.fromhex(_hex2(tag, n))
+
+
+ROUTER = _addr_str("router", 0)
+
+
+def encode_swap_request(k: int, c: int) -> bytes:
+    """swap#25938561 query_id to_address token_wallet amount min_out
+    has_ref ^[from_user referral?] — the parent-message layout the
+    reference decodes at stonfi_swap.py:63-78."""
+    b = Builder().store_uint(OP_SWAP_REQUEST, 32).store_uint(k, 64)
+    b.store_address((0, _addr_bytes("user", c)))  # to_address
+    side = 0 if k % 2 == 0 else 1
+    b.store_address((0, _addr_bytes(f"w{side}", k % N_POOLS)))
+    b.store_coins(k * 100 + 13)
+    b.store_coins(k % 1000)
+    has_ref = 1 if k % 7 == 0 else 0
+    b.store_uint(has_ref, 1)
+    ad = Builder().store_address((0, _addr_bytes("user", c)))
+    if has_ref:
+        ad.store_address((0, _addr_bytes("ref", c)))
+    b.store_ref(ad.end_cell())
+    return serialize_boc(b.end_cell())
+
+
+def encode_swap_payout(k: int, c: int) -> bytes:
+    """payout#f93bb43f query_id owner exit_code
+    ^[token0 wallet0 token1 wallet1] (stonfi_swap.py:24-44)."""
+    b = Builder().store_uint(OP_SWAP_PAYOUT, 32).store_uint(k, 64)
+    b.store_address((0, _addr_bytes("user", c)))  # owner
+    exit_code = PAYOUT_OK if k % 11 else (k % 1009) + 1
+    b.store_uint(exit_code, 32)
+    refund, out = k % 97, k * 3 + 1
+    t0, t1 = (refund, out) if k % 2 == 0 else (out, refund)
+    p = Builder()
+    p.store_coins(t0)
+    p.store_address((0, _addr_bytes("w0", k % N_POOLS)))
+    p.store_coins(t1)
+    p.store_address((0, _addr_bytes("w1", k % N_POOLS)))
+    b.store_ref(p.end_cell())
+    return serialize_boc(b.end_cell())
+
+
+def encode_internal_transfer(k: int, c: int) -> bytes:
+    """internal_transfer#178d4519 query_id amount from response
+    fwd_ton (Either ...) — the TEP-74 recommended mint body
+    (jetton_mint.py docstring)."""
+    b = Builder().store_uint(OP_INTERNAL_TRANSFER, 32).store_uint(k, 64)
+    b.store_coins(k * 7 + 3)
+    b.store_address((0, _addr_bytes("user", c)))
+    b.store_address((0, _addr_bytes("resp", c)))
+    b.store_coins(k % 53)
+    b.store_bit(0)  # forward payload in place (empty)
+    return serialize_boc(b.end_cell())
+
+
+def encode_transfer_parent(k: int, c: int) -> bytes:
+    """A minimal valid TEP-74 transfer body for the 'ordinary chain
+    transfer => internal_transfer' parents the mint detector skips."""
+    b = Builder().store_uint(OP_JETTON_TRANSFER, 32).store_uint(k, 64)
+    b.store_coins(k * 7 + 3)
+    b.store_address((0, _addr_bytes("user", c)))
+    b.store_address((0, _addr_bytes("resp", c)))
+    b.store_bit(0)  # no custom payload
+    b.store_coins(0)
+    b.store_bit(0)  # forward payload in place (empty)
+    return serialize_boc(b.end_cell())
+
+
+def synth_swap_messages(sf_dir: str):
+    """SF-scaled synthetic DEX message table (see module doc): derived
+    from orders, generated as a distributed ``map_batches`` stage."""
+    ensure_portable()
+    from ..functions import opcode_signed
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        custs = t["o_custkey"].to_pylist()
+        rows: list[tuple] = []
+        sgn = lambda op: int(opcode_signed(np.array([op], np.uint32))[0])  # noqa: E731
+        for k, c in zip(keys, custs):
+            pool = k % N_POOLS
+            h = lambda p: hashlib.md5(f"{p}-{k}".encode()).hexdigest()  # noqa: E731
+            rows.append(
+                (h("req"), None, sgn(OP_SWAP_REQUEST), "in",
+                 _addr_str("user", c), ROUTER, encode_swap_request(k, c))
+            )
+            rows.append(
+                (h("pay"), h("req"), sgn(OP_SWAP_PAYOUT), "in",
+                 _addr_str("pool", pool), ROUTER, encode_swap_payout(k, c))
+            )
+            if k % 5 == 0:
+                rows.append(
+                    (h("it"), h("tr") if k % 10 == 0 else None,
+                     sgn(OP_INTERNAL_TRANSFER), "in",
+                     _addr_str("jw", c), _addr_str("jw2", c),
+                     encode_internal_transfer(k, c))
+                )
+            if k % 10 == 0:
+                rows.append(
+                    (h("tr"), None, sgn(OP_JETTON_TRANSFER), "in",
+                     _addr_str("user", c), _addr_str("jw", c),
+                     encode_transfer_parent(k, c))
+                )
+        cols = list(zip(*rows)) if rows else [[] for _ in _MSG_SCHEMA]
+        return pa.table(
+            {f.name: pa.array(list(col), f.type)
+             for f, col in zip(_MSG_SCHEMA, cols)},
+            schema=_MSG_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_swap_table(sf_dir: str) -> str:
+    """Cached parquet copy (content-fingerprinted on orders.parquet):
+    swap queries time the PARSERS, not the synthetic body encoding —
+    the same setup/compute split as ``ops.messages.ensure_message_table``."""
+    import os
+    import shutil
+
+    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
+
+    base = f"/tmp/tonray_swaps_{_tag(sf_dir)}"
+    marker = os.path.join(base, "_DONE")
+    if not _cache_valid(marker, sf_dir, table="orders"):
+        with _build_lock(base):
+            if not _cache_valid(marker, sf_dir, table="orders"):
+                build = f"{base}.build.{os.getpid()}"
+                shutil.rmtree(build, ignore_errors=True)
+                synth_swap_messages(sf_dir).write_parquet(build)
+                with open(os.path.join(build, "_DONE"), "w") as f:
+                    f.write(_fingerprint(sf_dir, table="orders"))
+                _swap_in(build, base)
+    return base
+
+
+def swap_message_dataset(sf_dir: str):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    base = ensure_swap_table(sf_dir)
+    files = sorted(_glob.glob(f"{base}/*.parquet"))
+    if not files:
+        return rd.from_arrow(_MSG_SCHEMA.empty_table())
+    schema = _pq.read_schema(files[0]).remove_metadata()
+    return rd.read_parquet(files, schema=schema)
+
+
+def wallet_master_dim() -> pa.Table:
+    """The jetton_wallets dim (wallet → master), 2 × N_POOLS rows —
+    the reference's ``db.get_wallet_master`` point-lookup table, here a
+    broadcast dim. Small by construction (one row per pool wallet)."""
+    wallets, masters, prices = [], [], []
+    for p in range(N_POOLS):
+        for s in (0, 1):
+            wallets.append(_addr_str(f"w{s}", p))
+            masters.append(_addr_str(f"m{s}", p))
+            prices.append((p + 1) * (s + 1))
+    return pa.table(
+        {
+            "wallet": pa.array(wallets, pa.string()),
+            "master": pa.array(masters, pa.string()),
+            "price_quote": pa.array(prices, pa.int64()),
+        }
+    )
+
+
+_NOTIF_SCHEMA = pa.schema(
+    [
+        ("parent_msg_hash", pa.string()),
+        ("swap_pool", pa.string()),
+        ("query_id", pa.int64()),
+        ("token0_amount", pa.int64()),
+        ("wallet0", pa.string()),
+        ("token1_amount", pa.int64()),
+        ("wallet1", pa.string()),
+    ]
+)
+
+_REQ_SCHEMA = pa.schema(
+    [
+        ("parent_msg_hash", pa.string()),
+        ("token_wallet", pa.string()),
+        ("token_amount", pa.int64()),
+        ("min_out", pa.int64()),
+        ("swap_user", pa.string()),
+        ("referral_address", pa.string()),
+    ]
+)
+
+
+def _fmt_addr(a) -> str | None:
+    return f"{a[0]}:{a[1].hex().upper()}" if a is not None else None
+
+
+def _op_scalar(op: int) -> pa.Scalar:
+    from ..functions import opcode_signed
+
+    return pa.scalar(int(opcode_signed(np.array([op], np.uint32))[0]), pa.int32())
+
+
+# The decode stages are task-based map_batches, NOT actor pools: their
+# only per-stage state is the signed opcode scalar above (recomputed per
+# batch for pennies).  This pipeline composes several concurrent stages
+# (two decodes + join + assemble + partial-agg); making each an actor
+# pool reserves min-1 CPU per pool and starves small sessions — observed
+# as a wedged RequestDecode pool on a 4-CPU test session.  Pools are
+# kept only where there is real per-actor state (the broadcast dim in
+# Assemble / PartialVolume).
+
+
+def decode_payouts(t: pa.Table) -> pa.Table:
+    """Claim payout notifications (typed-opcode predicate + router
+    destination, stonfi_swap.py:18-22), decode the body, keep only
+    successful payouts (exit_code check, :42-44)."""
+    mask = pc.and_(
+        pc.equal(t["opcode"], _op_scalar(OP_SWAP_PAYOUT)),
+        pc.and_(
+            pc.equal(t["direction"], pa.scalar("in")),
+            pc.equal(t["destination"], pa.scalar(ROUTER)),
+        ),
+    )
+    t = t.filter(mask)
+    parents, pools = t["parent_msg_hash"].to_pylist(), t["source"].to_pylist()
+    keep_p, keep_pool = [], []
+    qids, t0s, t1s, w0s, w1s = [], [], [], [], []
+    for parent, pool, body in zip(parents, pools, t["body_boc"].to_pylist()):
+        s = parse_boc(body).begin_parse()
+        s.load_uint(32)
+        qid = s.load_uint(64)
+        s.load_address()  # owner (logged only in the reference)
+        if s.load_uint(32) != PAYOUT_OK:
+            continue  # not a payment to user
+        p = s.load_ref().begin_parse()
+        t0 = p.load_coins()
+        w0 = _fmt_addr(p.load_address())
+        t1 = p.load_coins()
+        w1 = _fmt_addr(p.load_address())
+        keep_p.append(parent)
+        keep_pool.append(pool)
+        qids.append(qid)
+        t0s.append(t0)
+        w0s.append(w0)
+        t1s.append(t1)
+        w1s.append(w1)
+    return pa.table(
+        {
+            "parent_msg_hash": pa.array(keep_p, pa.string()),
+            "swap_pool": pa.array(keep_pool, pa.string()),
+            "query_id": pa.array(qids, pa.int64()),
+            "token0_amount": pa.array(t0s, pa.int64()),
+            "wallet0": pa.array(w0s, pa.string()),
+            "token1_amount": pa.array(t1s, pa.int64()),
+            "wallet1": pa.array(w1s, pa.string()),
+        },
+        schema=_NOTIF_SCHEMA,
+    )
+
+
+def decode_requests(t: pa.Table) -> pa.Table:
+    """Decode swap-request bodies (the parent side of the join —
+    stonfi_swap.py:58-78). Emits its msg_hash AS ``parent_msg_hash`` so
+    the join key has one name on both sides."""
+    t = t.filter(pc.equal(t["opcode"], _op_scalar(OP_SWAP_REQUEST)))
+    hashes = t["msg_hash"].to_pylist()
+    tws, tas, mos, users, refs = [], [], [], [], []
+    for body in t["body_boc"].to_pylist():
+        s = parse_boc(body).begin_parse()
+        s.load_uint(32)
+        s.load_uint(64)  # parent_query_id
+        s.load_address()  # to_address
+        tws.append(_fmt_addr(s.load_address()))  # token_wallet
+        tas.append(s.load_coins())
+        mos.append(s.load_coins())
+        has_ref = s.load_uint(1)
+        ad = s.load_ref().begin_parse()
+        users.append(_fmt_addr(ad.load_address()))
+        refs.append(_fmt_addr(ad.load_address()) if has_ref else None)
+    return pa.table(
+        {
+            "parent_msg_hash": pa.array(hashes, pa.string()),
+            "token_wallet": pa.array(tws, pa.string()),
+            "token_amount": pa.array(tas, pa.int64()),
+            "min_out": pa.array(mos, pa.int64()),
+            "swap_user": pa.array(users, pa.string()),
+            "referral_address": pa.array(refs, pa.string()),
+        },
+        schema=_REQ_SCHEMA,
+    )
+
+
+_SWAP_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("swap_user", pa.string()),
+        ("swap_pool", pa.string()),
+        ("swap_src_token", pa.string()),
+        ("swap_dst_token", pa.string()),
+        ("swap_src_amount", pa.int64()),
+        ("swap_dst_amount", pa.int64()),
+        ("min_out", pa.int64()),
+        ("referral_address", pa.string()),
+    ]
+)
+
+
+def dex_swaps(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 4096):
+    """Full ston.fi-shaped swap parse (module doc): notification decode
+    ∥ request decode → one hash join on the parent hash (the
+    reference's per-row ``get_parent_message_body`` lookup,
+    cluster-shaped) → vectorized side pick + broadcast wallet→master
+    resolution.  ``concurrency`` bounds the stateful Assemble pool; the
+    decode stages are plain tasks (see the note above decode_payouts)."""
+    ensure_portable()
+    import ray
+
+    from .relational import join_auto
+
+    msgs = swap_message_dataset(sf_dir)
+    notif = msgs.map_batches(
+        decode_payouts, batch_format="pyarrow", batch_size=batch_size
+    )
+    reqs = msgs.map_batches(
+        decode_requests, batch_format="pyarrow", batch_size=batch_size
+    )
+    joined = join_auto(notif, reqs, on="parent_msg_hash")
+
+    dim = wallet_master_dim()
+    order = pc.sort_indices(dim["wallet"])
+    dim_ref = ray.put(dim.take(order).combine_chunks())
+
+    class Assemble:
+        """Vectorized side pick (stonfi_swap.py:79-88) + wallet→master
+        probe (db.get_wallet_master) against the broadcast dim, sorted
+        once per actor."""
+
+        def __init__(self):
+            d = ray.get(dim_ref)
+            self._wallets = np.asarray(d["wallet"].to_pylist())
+            self._masters = np.asarray(d["master"].to_pylist())
+
+        def _lookup(self, wallets: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(self._wallets, wallets)
+            idx = np.clip(idx, 0, len(self._wallets) - 1)
+            out = self._masters[idx]
+            # unknown wallet → reference logs a warning and drops;
+            # here the synthetic dim is total, assert instead of drop
+            if not (self._wallets[idx] == wallets).all():
+                raise ValueError("wallet not found in jetton_wallets dim")
+            return out
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return _SWAP_SCHEMA.empty_table()
+            tw = np.asarray(t["token_wallet"].to_pylist())
+            w0 = np.asarray(t["wallet0"].to_pylist())
+            w1 = np.asarray(t["wallet1"].to_pylist())
+            t0 = t["token0_amount"].to_numpy(zero_copy_only=False)
+            t1 = t["token1_amount"].to_numpy(zero_copy_only=False)
+            ta = t["token_amount"].to_numpy(zero_copy_only=False)
+            src_is_0 = tw == w0
+            if not (src_is_0 | (tw == w1)).any() and len(tw):
+                raise ValueError("token_wallet matches neither pool wallet")
+            src_amount = ta - np.where(src_is_0, t0, t1)
+            dst_amount = np.where(src_is_0, t1, t0)
+            dst_wallet = np.where(src_is_0, w1, w0)
+            return pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "swap_user": t["swap_user"],
+                    "swap_pool": t["swap_pool"],
+                    "swap_src_token": pa.array(self._lookup(tw), pa.string()),
+                    "swap_dst_token": pa.array(self._lookup(dst_wallet), pa.string()),
+                    "swap_src_amount": pa.array(src_amount, pa.int64()),
+                    "swap_dst_amount": pa.array(dst_amount, pa.int64()),
+                    "min_out": t["min_out"],
+                    "referral_address": t["referral_address"],
+                },
+                schema=_SWAP_SCHEMA,
+            )
+
+    return joined.map_batches(Assemble, batch_format="pyarrow", concurrency=concurrency)
+
+
+def swap_volume(sf_dir: str):
+    """Per-pool swap rollup with quote-priced volume — the
+    ``estimate_volume`` step (parsers/message/swap_volume.py) folded
+    into a partial-combining aggregate: per-batch per-pool sums inside
+    ``map_batches`` (≤ N_POOLS rows leave each block), then one tiny
+    groupby. Volume = dst_amount × price(dst master) from the same
+    broadcast dim."""
+    ensure_portable()
+    import ray
+    from ray.data.aggregate import Sum
+
+    dim = wallet_master_dim()
+    order = pc.sort_indices(dim["master"])
+    dim_ref = ray.put(dim.take(order).combine_chunks())
+
+    class PartialVolume:
+        def __init__(self):
+            d = ray.get(dim_ref)
+            self._masters = np.asarray(d["master"].to_pylist())
+            self._prices = d["price_quote"].to_numpy(zero_copy_only=False)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            if not t.num_rows:
+                return pa.table(
+                    {
+                        "swap_pool": pa.array([], pa.string()),
+                        "n_swaps": pa.array([], pa.int64()),
+                        "src_volume": pa.array([], pa.int64()),
+                        "dst_volume": pa.array([], pa.int64()),
+                        "volume_quote": pa.array([], pa.int64()),
+                    }
+                )
+            dst = np.asarray(t["swap_dst_token"].to_pylist())
+            idx = np.searchsorted(self._masters, dst)
+            price = self._prices[np.clip(idx, 0, len(self._masters) - 1)]
+            df = pd.DataFrame(
+                {
+                    "swap_pool": t["swap_pool"].to_pylist(),
+                    "n_swaps": 1,
+                    "src_volume": t["swap_src_amount"].to_numpy(zero_copy_only=False),
+                    "dst_volume": t["swap_dst_amount"].to_numpy(zero_copy_only=False),
+                    "volume_quote": t["swap_dst_amount"].to_numpy(zero_copy_only=False)
+                    * price,
+                }
+            )
+            g = df.groupby("swap_pool", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = dex_swaps(sf_dir).map_batches(
+        PartialVolume, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = partial.groupby("swap_pool").aggregate(
+        Sum("n_swaps"), Sum("src_volume"), Sum("dst_volume"), Sum("volume_quote")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["swap_pool", "n_swaps", "src_volume", "dst_volume", "volume_quote"]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+_MINT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("amount_nano", pa.int64()),
+        ("from_addr", pa.string()),
+    ]
+)
+
+
+def decode_internal_transfers(t: pa.Table) -> pa.Table:
+    """Decode internal_transfer bodies, keeping the parent hash for the
+    mint anti-join (parsers/message/jetton_mint.py:29-47)."""
+    t = t.filter(pc.equal(t["opcode"], _op_scalar(OP_INTERNAL_TRANSFER)))
+    parents = t["parent_msg_hash"].to_pylist()
+    qids, amounts, froms = [], [], []
+    for body in t["body_boc"].to_pylist():
+        s = parse_boc(body).begin_parse()
+        s.load_uint(32)
+        qids.append(s.load_uint(64))
+        amounts.append(s.load_coins())
+        froms.append(_fmt_addr(s.load_address()))
+    return pa.table(
+        {
+            "parent_msg_hash": pa.array(parents, pa.string()),
+            "query_id": pa.array(qids, pa.int64()),
+            "amount_nano": pa.array(amounts, pa.int64()),
+            "from_addr": pa.array(froms, pa.string()),
+        }
+    )
+
+
+def jetton_mints(sf_dir: str, *, batch_size: int = 4096):
+    """Mint detection: internal_transfer messages WITHOUT a preceding
+    TEP-74 transfer — the reference's per-message
+    ``get_parent_message_with_body`` + opcode check
+    (jetton_mint.py:33-38), cluster-shaped as a left-outer join against
+    the (small, post-filter) transfer-parent hash set followed by a
+    null-parent filter."""
+    ensure_portable()
+    from ..functions import opcode_signed
+    from .relational import join_auto
+
+    msgs = swap_message_dataset(sf_dir)
+    internals = msgs.map_batches(
+        decode_internal_transfers, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    transfer_op = pa.scalar(
+        int(opcode_signed(np.array([OP_JETTON_TRANSFER], np.uint32))[0]), pa.int32()
+    )
+
+    def transfer_hashes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["opcode"], transfer_op))
+        return pa.table(
+            {
+                "parent_msg_hash": t["msg_hash"],
+                "parent_is_transfer": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    parents = msgs.map_batches(transfer_hashes, batch_format="pyarrow")
+    joined = join_auto(internals, parents, on="parent_msg_hash", how="left")
+
+    def mints_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["parent_is_transfer"]))
+        return t.select(["query_id", "amount_nano", "from_addr"]).cast(_MINT_SCHEMA)
+
+    return joined.map_batches(mints_only, batch_format="pyarrow")
