@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, prices, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens, trades
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -300,6 +300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dex_swaps": swaps.dex_swaps,
         "swap_volume": swaps.swap_volume,
         "jetton_mints": swaps.jetton_mints,
+        # TonFun-shaped launchpad ext-out trade family (P12-P16):
+        # multi-opcode + sender-whitelist predicate, branch-by-opcode
+        # body decode, buy/sell normalized into one trade table
+        "bcl_trades": trades.bcl_trades,
+        "bcl_graduations": trades.bcl_graduations,
+        # account-state parser family (P21-P24 CorePrices/TVL shape):
+        # code-hash whitelist -> rank-1 LWW per account on lt ->
+        # decode WINNER state bodies only -> integer price/TVL
+        "core_prices": prices.core_prices,
+        "pool_tvl_history": prices.pool_tvl_history,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -723,6 +733,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS query_id, o_orderkey * 7 + 3 AS amount_nano,
                    '0:' || upper(md5('user-' || o_custkey) || md5('user-' || o_custkey)) AS from_addr
             FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+        """,
+        "bcl_trades": """
+            WITH w AS (
+                SELECT l_orderkey*8 + l_linenumber AS k, l_suppkey AS c
+                FROM lineitem WHERE (l_orderkey*8 + l_linenumber) % 13 <> 0
+            )
+            SELECT k AS query_id,
+                   '0:' || upper(md5('bcl-' || (k%12)) || md5('bcl-' || (k%12))) AS contract,
+                   '0:' || upper(md5('t-' || c) || md5('t-' || c)) AS trader,
+                   CASE WHEN k%3=0 THEN 'buy' ELSE 'sell' END AS side,
+                   CASE WHEN k%3=0 THEN k*50+7 ELSE k*50+2 END AS ton_amount,
+                   CASE WHEN k%3=0 THEN k*20+3 ELSE k*20+5 END AS jetton_amount,
+                   k % 100 AS fee
+            FROM w WHERE k % 3 < 2
+        """,
+        "bcl_graduations": """
+            WITH w AS (
+                SELECT l_orderkey*8 + l_linenumber AS k
+                FROM lineitem WHERE (l_orderkey*8 + l_linenumber) % 13 <> 0
+            )
+            SELECT k AS query_id,
+                   '0:' || upper(md5('bcl-' || (k%12)) || md5('bcl-' || (k%12))) AS contract,
+                   k*1000+1 AS total_supply
+            FROM w WHERE k % 3 = 2
+        """,
+        "core_prices": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_orderkey % 4096 AS pool
+                FROM orders WHERE o_orderkey % 17 <> 0
+            ), r AS (
+                SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS account,
+                       k AS lt, k*1000+17 AS reserve0, k*377+29 AS reserve1,
+                       row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM w
+            )
+            SELECT account, lt, reserve0, reserve1,
+                   CAST(CAST(reserve1 AS HUGEINT) * 1000000000 // reserve0 AS BIGINT) AS price_nano
+            FROM r WHERE rn = 1
+        """,
+        "pool_tvl_history": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_orderkey % 4096 AS pool,
+                       o_orderkey // 65536 AS win
+                FROM orders WHERE o_orderkey % 17 <> 0
+            ), r AS (
+                SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS account,
+                       win AS window_id, k AS lt, k*1000+17 AS reserve0, k*377+29 AS reserve1,
+                       row_number() OVER (PARTITION BY pool, win ORDER BY k DESC) AS rn
+                FROM w
+            )
+            SELECT account, window_id, lt, reserve0, reserve1,
+                   reserve0 + reserve1 AS tvl_nano
+            FROM r WHERE rn = 1
         """,
         "profile_events": """
             WITH s AS (

@@ -1,0 +1,110 @@
+"""Account-state parser family (ops/prices.py): pool-state codec
+round-trip, the whitelist -> rank-1 -> decode-winners -> price pipeline
+vs a DuckDB window-function recomputation, and the TVL window series."""
+
+import duckdb
+import pandas as pd
+
+from ton_etl_ray.boc import parse_boc
+from ton_etl_ray.ops import prices
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return con
+
+
+def test_pool_state_roundtrip():
+    s = parse_boc(prices.encode_pool_state(42)).begin_parse()
+    assert s.load_uint(32) == prices.POOL_MAGIC
+    assert s.load_coins() == 42 * 1000 + 17
+    assert s.load_coins() == 42 * 377 + 29
+    wc, h = s.load_address()
+    assert wc == 0 and len(h) == 32
+
+
+def test_core_prices_matches_duckdb(ray_session):
+    got = (
+        prices.core_prices(SF)
+        .to_pandas()
+        .sort_values("account")
+        .reset_index(drop=True)
+    )
+    exp = _con().execute(
+        """
+        WITH w AS (
+            SELECT o_orderkey AS k, o_orderkey % 4096 AS pool
+            FROM orders WHERE o_orderkey % 17 <> 0
+        ), r AS (
+            SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS account,
+                   k AS lt, k*1000+17 AS reserve0, k*377+29 AS reserve1,
+                   row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+            FROM w
+        )
+        SELECT account, lt, reserve0, reserve1,
+               CAST(CAST(reserve1 AS HUGEINT) * 1000000000 // reserve0 AS BIGINT) AS price_nano
+        FROM r WHERE rn = 1 ORDER BY account
+        """
+    ).df()
+    for c in ("lt", "reserve0", "reserve1", "price_nano"):
+        exp[c] = exp[c].astype("int64")
+    assert len(got)  # whitelist must not drop everything
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # non-whitelisted (wallet-code) states never win: every 17th key absent
+    assert not (got["lt"] % 17 == 0).any()
+
+
+def test_pool_tvl_history_matches_duckdb(ray_session):
+    got = (
+        prices.pool_tvl_history(SF)
+        .to_pandas()
+        .sort_values(["account", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = _con().execute(
+        """
+        WITH w AS (
+            SELECT o_orderkey AS k, o_orderkey % 4096 AS pool,
+                   o_orderkey // 65536 AS win
+            FROM orders WHERE o_orderkey % 17 <> 0
+        ), r AS (
+            SELECT '0:' || upper(md5('pool-' || pool) || md5('pool-' || pool)) AS account,
+                   win AS window_id, k AS lt, k*1000+17 AS reserve0, k*377+29 AS reserve1,
+                   row_number() OVER (PARTITION BY pool, win ORDER BY k DESC) AS rn
+            FROM w
+        )
+        SELECT account, window_id, lt, reserve0, reserve1,
+               reserve0 + reserve1 AS tvl_nano
+        FROM r WHERE rn = 1 ORDER BY account, window_id
+        """
+    ).df()
+    for c in ("window_id", "lt", "reserve0", "reserve1", "tvl_nano"):
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # windowed rank-1 keeps AT LEAST the pools of the unwindowed rank-1
+    assert len(got) >= got["account"].nunique()
+
+
+def test_decode_rejects_non_pool_cell():
+    """The winner decode validates the state magic — a foreign cell
+    fails loudly instead of yielding garbage reserves."""
+    import pyarrow as pa
+    import pytest
+
+    from ton_etl_ray.boc import Builder, serialize_boc
+
+    bad = serialize_boc(Builder().store_uint(0xDEAD, 32).end_cell())
+    t = pa.table(
+        {
+            "account": ["0:AB"],
+            "lt": pa.array([1], "int64"),
+            "data_boc": pa.array([bad], pa.binary()),
+        }
+    )
+    with pytest.raises(ValueError, match="pool state"):
+        prices._decode_reserves(t, [])

@@ -1,0 +1,249 @@
+"""Account-state parser family: the reference's latest_account_states
+decode shape (SURVEY.md §2.3 P21-P29) re-expressed as Ray Data stages.
+
+The reference's CorePrices* and TVLPoolStateParser (P21-P24,
+parsers/accounts/core_prices.py:14-72, tvl.py:22-233) consume account
+STATE rows — (account, lt, data cell) — with a predicate on the
+account address / code hash, decode pool reserves out of the state
+data cell, and derive a price / TVL from the latest state per pool.
+(The per-platform TVM-emulator get-method calls some of those parsers
+use are a virtual machine, not a data transform — out of scope by the
+standing SURVEY §2.3 ruling; the data-cell decode path here is the
+real parser shape.)
+
+Cluster shape (contrast with the reference's row-at-a-time consumer):
+
+1. vectorized predicate on the code-hash column (the whitelist check,
+   staking_pools.py:16-27 / tvl.py:35-38),
+2. LWW rank-1 per account on lt — the engine's core reduce (A2), run
+   as a map-side partial argmax (≤ one row per account per block
+   leaves the map stage) + ONE coarse-bucket shuffle with the per-key
+   argmax vectorized inside each bucket,
+3. decode reserves from the WINNER bodies only (decode-after-reduce:
+   the reference parses every state it polls; at 100 TB decoding only
+   rank-1 survivors is the scalable order),
+4. price from integer reserve arithmetic — ``price_nano =
+   reserve1 * 10^9 // reserve0`` (core_prices.py derives
+   price-from-reserves the same way; integer nano-units keep the
+   DuckDB oracle bit-exact, no floats).
+
+The state table is DETERMINISTIC, derived from orders: per order key
+``k``, pool index ``a = k % 4096``, one state row
+(account=addr(pool,a), lt=k, code_hash=md5('amm-code-v1')) whose data
+cell carries reserve0=k*1000+17, reserve1=k*377+29 — except every 17th
+row carries code_hash md5('wallet-code') (NOT whitelisted, dropped by
+the predicate like non-pool accounts in tvl.py:35-38). A DuckDB oracle
+recomputes rank-1 per pool with a window function and the reserves /
+price arithmetically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .._pickle import ensure_portable
+from ..boc import Builder, parse_boc, serialize_boc
+from ._util import read_table
+
+N_POOLS = 4096
+POOL_MAGIC = 0x504F4F4C  # "POOL"
+AMM_CODE_HASH = hashlib.md5(b"amm-code-v1").hexdigest()
+_TVL_WINDOW = 65536  # lt-range bucket for the TVL history series
+
+_STATE_SCHEMA = pa.schema(
+    [
+        ("account", pa.string()),
+        ("lt", pa.int64()),
+        ("code_hash", pa.string()),
+        ("data_boc", pa.binary()),
+    ]
+)
+
+
+def _hex2(tag: str, n: int) -> str:
+    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
+    return h + h
+
+
+def _addr_str(tag: str, n: int) -> str:
+    return f"0:{_hex2(tag, n).upper()}"
+
+
+def encode_pool_state(k: int) -> bytes:
+    """Pool state data cell: magic, reserve0, reserve1, admin address
+    (exercising coins + address loads like the reference's reserve
+    slices in tvl.py:46-217)."""
+    b = Builder().store_uint(POOL_MAGIC, 32)
+    b.store_coins(k * 1000 + 17)
+    b.store_coins(k * 377 + 29)
+    b.store_address((0, bytes.fromhex(_hex2("admin", k % N_POOLS))))
+    return serialize_boc(b.end_cell())
+
+
+def synth_account_states(sf_dir: str):
+    """SF-scaled synthetic latest_account_states feed (module doc),
+    generated as a distributed ``map_batches`` stage over orders."""
+    ensure_portable()
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    wallet_hash = hashlib.md5(b"wallet-code").hexdigest()
+
+    def gen(t: pa.Table) -> pa.Table:
+        ks = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        accounts, hashes, bodies = [], [], []
+        for k in ks.tolist():
+            accounts.append(_addr_str("pool", k % N_POOLS))
+            hashes.append(wallet_hash if k % 17 == 0 else AMM_CODE_HASH)
+            bodies.append(encode_pool_state(k))
+        return pa.table(
+            {
+                "account": pa.array(accounts, pa.string()),
+                "lt": pa.array(ks, pa.int64()),
+                "code_hash": pa.array(hashes, pa.string()),
+                "data_boc": pa.array(bodies, pa.binary()),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_state_table(sf_dir: str) -> str:
+    """Cached parquet copy (content-fingerprinted on orders.parquet):
+    price queries time the PARSER + reduce, not the body encoding."""
+    import os
+    import shutil
+
+    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
+
+    base = f"/tmp/tonray_states_{_tag(sf_dir)}"
+    marker = os.path.join(base, "_DONE")
+    if not _cache_valid(marker, sf_dir, table="orders"):
+        with _build_lock(base):
+            if not _cache_valid(marker, sf_dir, table="orders"):
+                build = f"{base}.build.{os.getpid()}"
+                shutil.rmtree(build, ignore_errors=True)
+                synth_account_states(sf_dir).write_parquet(build)
+                with open(os.path.join(build, "_DONE"), "w") as f:
+                    f.write(_fingerprint(sf_dir, table="orders"))
+                _swap_in(build, base)
+    return base
+
+
+def state_dataset(sf_dir: str):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    base = ensure_state_table(sf_dir)
+    files = sorted(_glob.glob(f"{base}/*.parquet"))
+    if not files:
+        return rd.from_arrow(_STATE_SCHEMA.empty_table())
+    schema = _pq.read_schema(files[0]).remove_metadata()
+    return rd.read_parquet(files, schema=schema)
+
+
+def _whitelisted(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["code_hash"], pa.scalar(AMM_CODE_HASH)))
+
+
+def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
+    """Shared rank-1-by-lt reduce over whitelisted states, keyed on
+    ``key_cols`` (account, or account+window): map-side partial argmax
+    per block, then ONE coarse-bucket shuffle on the first key with the
+    final argmax vectorized inside each bucket (the engine's A2 reduce
+    in the proven _bucketed shape — never one Python call per key)."""
+    from .relational import _bucketed
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _whitelisted(t)
+        df = t.select(key_cols + ["lt", "data_boc"]).to_pandas()
+        df = df.sort_values(key_cols + ["lt"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(key_cols, keep="last"), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out_schema = pa.schema(
+        [(c, pa.string() if c == "account" else pa.int64()) for c in key_cols]
+        + [("lt", pa.int64()), ("data_boc", pa.binary())]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + ["lt"], kind="mergesort")
+        return g.drop_duplicates(key_cols, keep="last")[
+            key_cols + ["lt", "data_boc"]
+        ]
+
+    ds = state_dataset(sf_dir)
+    if "window_id" in key_cols:
+        def add_window(t: pa.Table) -> pa.Table:
+            w = t["lt"].to_numpy(zero_copy_only=False) // _TVL_WINDOW
+            return t.append_column("window_id", pa.array(w, pa.int64()))
+
+        ds = ds.map_batches(add_window, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed(partials, "account", per_bucket, out_schema,
+                     num_buckets=num_buckets)
+
+
+def _decode_reserves(t: pa.Table, extra_cols: list[str]) -> pa.Table:
+    """Winner-body reserve decode (per-row BOC parse is inherent for
+    opaque binary payloads; runs over rank-1 survivors only)."""
+    accounts = t["account"].to_pylist()
+    lts = t["lt"].to_pylist()
+    r0s, r1s = [], []
+    for body in t["data_boc"].to_pylist():
+        s = parse_boc(body).begin_parse()
+        if s.load_uint(32) != POOL_MAGIC:
+            raise ValueError("not a pool state cell")
+        r0s.append(s.load_coins())
+        r1s.append(s.load_coins())
+    cols = {"account": pa.array(accounts, pa.string())}
+    for c in extra_cols:
+        cols[c] = t[c]
+    cols["lt"] = pa.array(lts, pa.int64())
+    cols["reserve0"] = pa.array(r0s, pa.int64())
+    cols["reserve1"] = pa.array(r1s, pa.int64())
+    return pa.table(cols)
+
+
+def core_prices(sf_dir: str, *, num_buckets: int = 64):
+    """Latest price per pool (P21-P23 CorePrices shape): whitelist →
+    LWW rank-1 per account → decode winner reserves → integer
+    nano-price. Output: account, lt, reserve0, reserve1, price_nano."""
+    ensure_portable()
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _decode_reserves(t, [])
+        r0 = t["reserve0"].to_numpy(zero_copy_only=False).astype(object)
+        r1 = t["reserve1"].to_numpy(zero_copy_only=False).astype(object)
+        # object-dtype Python ints: r1 * 1e9 overflows int64 at large sf
+        price = [int(b) * 10**9 // int(a) for a, b in zip(r0, r1)]
+        return t.append_column("price_nano", pa.array(price, pa.int64()))
+
+    return _latest_states(sf_dir, ["account"], num_buckets=num_buckets).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def pool_tvl_history(sf_dir: str, *, num_buckets: int = 64):
+    """TVL history series (P24 TVLPoolStateParser shape: current state
+    + history rows, tvl.py:222-233): rank-1 per (account, lt-window)
+    keeps the last state of each pool in each window; TVL is the
+    decoded reserve sum. Output: account, window_id, lt, reserve0,
+    reserve1, tvl_nano."""
+    ensure_portable()
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _decode_reserves(t, ["window_id"])
+        tvl = pc.add(t["reserve0"], t["reserve1"])
+        return t.append_column("tvl_nano", tvl.cast(pa.int64()))
+
+    return _latest_states(
+        sf_dir, ["account", "window_id"], num_buckets=num_buckets
+    ).map_batches(finish, batch_format="pyarrow")
