@@ -41,3 +41,48 @@ def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None, **kw
         if sz < 1 << 20:
             kw["override_num_blocks"] = 8
     return rd.read_parquet(path, columns=columns, schema=schema, **kw)
+
+
+def pool(min_actors: int = 1, cap: int = 64) -> tuple[int, int]:
+    """Session-sized autoscaling actor-pool bounds: ``(min, ~CPUs)``.
+
+    Stateful stages need an actor pool, but a FIXED bound is wrong on
+    both ends: pools pinned at session CPUs deadlock small sessions
+    (actors pin every CPU and the upstream read starves — observed on a
+    4-cpu pytest session), while a small hard cap like ``(1, 4)``
+    throttles big sessions BADLY once Ray fuses an expensive upstream
+    task stage into the pool (a 32-cpu run of the swap parse spent its
+    ~90 s of per-row BOC decode on 4 actors). Autoscaling ``(1, CPUs)``
+    serves both: the pool starts at one actor, scales with backlog, and
+    Ray's resource manager keeps it from starving co-running stages.
+    ``cap`` bounds per-actor state replication (e.g. broadcast dims) on
+    very large clusters."""
+    cpus = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    return (min_actors, max(4, min(cap, cpus)))
+
+
+def worker_cache() -> dict:
+    """Per-worker-process memo for broadcast build-side state.
+
+    Hosted on ``sys`` (always pickled by reference) rather than a
+    module global: ton_etl_ray modules ship to workers pickled BY VALUE
+    (``_pickle.ensure_portable``), so a module global deserializes
+    fresh with every task and never caches — measured: a module-global
+    flag rebuilt on 10/10 tasks of one worker while a sys-hosted one
+    built once. Callers must bound their own entries (see
+    ``relational._bcast_index``'s 8-entry eviction) so long sessions
+    running many queries don't accumulate dim copies in worker heaps."""
+    import sys as _s
+
+    c = getattr(_s, "_tonray_bcast_idx", None)
+    if c is None:
+        c = {}
+        _s._tonray_bcast_idx = c
+    return c

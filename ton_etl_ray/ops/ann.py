@@ -22,7 +22,7 @@ import ray
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import _t, read_table
+from ._util import _t, pool as _pool, read_table
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
@@ -131,7 +131,7 @@ def knn_cosine(sf_dir: str, k: int = 10):
             sims, ids = _topk_ties(sims[keep], ids[keep], k)
             return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
 
-    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=_pool())
     rows = partials.take_all()
     best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r["vec_id"]))
     return pa.table(
@@ -190,7 +190,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 3):
             sims, ids = _topk_ties(sims, ids, k)
             return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims, pa.float64())})
 
-    rows = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=2).take_all()
+    rows = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=_pool()).take_all()
     best = heapq.nlargest(k, rows, key=lambda r: (r["sim"], -r["vec_id"]))
     return pa.table(
         {
@@ -268,7 +268,7 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
     from ..ops.dedup import _distinct_pairs
 
     cand = _distinct_pairs(
-        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=_pool())
         .groupby("shard")
         .map_groups(pairs, batch_format="pandas")
     ).materialize()  # pair ids only — tiny relative to the vectors
@@ -375,7 +375,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
                  "sim": pa.array(sv, pa.float64())}
             )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=_pool())
 
 
 def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
@@ -413,7 +413,7 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
                              "vec_id": pa.array(out_id, pa.int64()),
                              "sim": pa.array(out_s, pa.float64())})
 
-    rows = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=2).take_all()
+    rows = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=_pool()).take_all()
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r)

@@ -29,7 +29,7 @@ import ray.data as rd
 
 from .._pickle import ensure_portable
 from ..core.partition import assert_polars_hash_stable
-from ._util import _t, read_table
+from ._util import _t, pool as _util_pool, read_table
 
 # shingle/band/bucket keys all ride polars' seeded hash — fail loudly on
 # a polars build whose hash diverges from the pinned vectors (a silent
@@ -450,11 +450,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, *, ngram: int = 3,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
         # one task per input block (a row-count batch bound bundles the
         # small doc blocks into 2 fat tasks and serializes every
-        # downstream stage); the autoscaling (1, 4) pool keeps hashing
-        # parallel WITHOUT deadlocking a small session — a fixed pool of
-        # 4 pins every CPU of a 4-cpu test cluster and the read tasks
-        # starve
-        batch_format="pandas", concurrency=(1, 4),
+        # downstream stage); the session-sized autoscaling pool keeps
+        # hashing parallel WITHOUT deadlocking a small session — a fixed
+        # pool pinning every CPU of a 4-cpu test cluster starves the
+        # read tasks
+        batch_format="pandas", concurrency=_util_pool(),
     )
 
     # shuffle on a COARSE key (bkey % 256): per-bucket groups are mostly
@@ -581,7 +581,7 @@ class SimHashStage:
 def simhash_signatures(sf_dir: str):
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=_util_pool())
 
 
 def word_jaccard_pairs(sf_dir: str, threshold: float = 0.5):

@@ -264,16 +264,18 @@ class BocDecodeStage:
         )
 
 
-def boc_decode_events(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 4096):
+def boc_decode_events(sf_dir: str, *, concurrency=None, batch_size: int = 4096):
     """Full decode pipeline: synth bodies → actor-pool BOC decode.
 
     -1 sentinels (query_id/amount for comment rows) keep the columns
     int64 on both engine and oracle sides, same convention as
     ``parent_event``."""
     ensure_portable()
+    from ._util import pool as _pool
+
     return message_dataset(sf_dir).map_batches(
         BocDecodeStage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
+        batch_size=batch_size, concurrency=concurrency or _pool(),
     )
 
 

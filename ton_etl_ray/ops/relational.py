@@ -31,7 +31,33 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .._pickle import ensure_portable
-from ._util import _t, read_table
+from ._util import _t, pool as _pool, read_table, worker_cache
+
+
+def _bcast_index(ref, on: str):
+    """Sorted merge index over a broadcast (``ray.put``) build side:
+    ray.get once per worker (zero-copy, object is node-local), sort by
+    the key once per worker, probe per batch with searchsorted. Returns
+    ``(dim, dkeys, payload)``; ``dkeys`` is None when the build keys
+    contain nulls (callers must route to an exact join — a null key
+    would coerce int64 probes to float64 and collide past 2^53)."""
+    import ray
+
+    cache = worker_cache()
+    key = (ref.hex(), on)
+    ent = cache.get(key)
+    if ent is None:
+        dim = ray.get(ref)
+        dim = dim.take(pc.sort_indices(dim[on]))
+        dkeys = (
+            None if dim[on].null_count
+            else dim[on].to_numpy(zero_copy_only=False)
+        )
+        ent = (dim, dkeys, dim.drop_columns([on]))
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[key] = ent
+    return ent
 
 
 def _bucketed(ds: "rd.Dataset", key: str, per_bucket, out_schema: pa.Schema,
@@ -148,16 +174,26 @@ def broadcast_join_parts(sf_dir: str):
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
 
-    class Join:
-        def __init__(self):
-            self.dim = ray.get(ref)
+    def join(t: pa.Table) -> pa.Table:
+        # sorted merge index over the broadcast dim, built once per
+        # worker process (task-based: no actor spin-up per query)
+        dim, dkeys, payload = _bcast_index(ref, "l_partkey")
+        if dkeys is None or t["l_partkey"].null_count:
+            out = t.join(dim, keys=["l_partkey"], join_type="left outer")
+        else:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(dkeys, pk)
+            idx = np.clip(idx, 0, len(dkeys) - 1)
+            brand = payload["p_brand"].take(pa.array(idx, pa.int64()))
+            brand = pc.if_else(
+                pc.equal(pa.array(dkeys[idx]), t["l_partkey"]),
+                brand,
+                pa.scalar(None, pa.string()),
+            )
+            out = t.append_column("p_brand", brand)
+        return out.select(["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "p_brand"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # Arrow C++ hash join per batch against the broadcast dim
-            out = t.join(self.dim, keys=["l_partkey"], join_type="left outer")
-            return out.select(["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "p_brand"])
-
-    return ds.map_batches(Join, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 def asof_last_click(sf_dir: str, num_buckets: int = 256):
@@ -502,70 +538,56 @@ def join_auto(
             tbl = pa.schema(right.schema().base_schema).empty_table()
         ref = ray.put(tbl.combine_chunks().replace_schema_metadata(None))
 
-        class BroadcastJoin:
-            """Per-actor merge index: `pa.Table.join` rebuilds the build
-            side's hash table on EVERY batch (measured ~0.5 s/batch
-            against a 150k-row dim — 33 s of redundant UDF time across
-            one order_lifecycle run), so the dim is sorted by key ONCE
-            in ``__init__`` and each batch probes it with two
-            ``searchsorted`` cuts + arithmetic expansion (duplicate dim
-            keys fan out exactly like the join would)."""
-
-            def __init__(self):
-                dim = ray.get(ref)
-                order = pc.sort_indices(dim[on])
-                self.dim = dim.take(order)
-                # a null build-side key would coerce int64 keys to
-                # float64 (>2^53 keys then collide in searchsorted) —
-                # route such dims through the exact Arrow path entirely
-                self.dkeys = (
-                    None if self.dim[on].null_count
-                    else self.dim[on].to_numpy(zero_copy_only=False)
-                )
-                self.payload = self.dim.drop_columns([on])
-
-            def _arrow_join(self, t: pa.Table) -> pa.Table:
+        def broadcast_probe(t: pa.Table) -> pa.Table:
+            """Merge-index probe against the broadcast dim, TASK-based
+            with a per-worker-process index cache (``_bcast_index``).
+            `pa.Table.join` rebuilds the build side's hash table on
+            EVERY batch (measured ~0.5 s/batch against a 150k-row dim —
+            33 s of redundant UDF time across one order_lifecycle run),
+            and an actor pool pays actor spin-up + autoscale ramp on
+            every query — tasks reuse the session's warm worker pool
+            and the sorted index is built once per process."""
+            dim, dkeys, payload = _bcast_index(ref, on)
+            if (
+                dkeys is None
+                or t[on].null_count
+                or not t.num_rows
+                # overlapping payload names: Arrow raises — keep the
+                # merge path's behavior identical, not silently dup
+                or any(n in t.column_names for n in payload.column_names)
+            ):
+                # exact Arrow path (null build keys would coerce int64
+                # probes to float64 and collide past 2^53)
                 out = t.replace_schema_metadata(None).join(
-                    self.dim, keys=on, join_type=join_type
+                    dim, keys=on, join_type=join_type
                 )
                 return out.take(np.arange(out.num_rows)) if out.num_rows else out
+            pk = t[on].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(dkeys, pk, side="left")
+            hi = np.searchsorted(dkeys, pk, side="right")
+            counts = hi - lo
+            tot = int(counts.sum())
+            pidx = np.repeat(np.arange(len(pk)), counts)
+            offs = np.cumsum(counts) - counts
+            didx = np.repeat(lo, counts) + (np.arange(tot) - np.repeat(offs, counts))
+            lpart, rpart = t.take(pidx), payload.take(didx)
+            if join_type == "left outer":
+                miss = np.flatnonzero(counts == 0)
+                if len(miss):
+                    lmiss = t.take(miss)
+                    rmiss = pa.table(
+                        {f.name: pa.nulls(len(miss), f.type)
+                         for f in payload.schema},
+                        schema=payload.schema,
+                    )
+                    lpart = pa.concat_tables([lpart, lmiss])
+                    rpart = pa.concat_tables([rpart, rmiss])
+            out = lpart
+            for name in rpart.column_names:
+                out = out.append_column(name, rpart[name])
+            return out
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if (
-                    self.dkeys is None
-                    or t[on].null_count
-                    or not t.num_rows
-                    # overlapping payload names: Arrow raises — keep the
-                    # merge path's behavior identical, not silently dup
-                    or any(n in t.column_names for n in self.payload.column_names)
-                ):
-                    return self._arrow_join(t)  # exact path
-                pk = t[on].to_numpy(zero_copy_only=False)
-                lo = np.searchsorted(self.dkeys, pk, side="left")
-                hi = np.searchsorted(self.dkeys, pk, side="right")
-                counts = hi - lo
-                tot = int(counts.sum())
-                pidx = np.repeat(np.arange(len(pk)), counts)
-                offs = np.cumsum(counts) - counts
-                didx = np.repeat(lo, counts) + (np.arange(tot) - np.repeat(offs, counts))
-                lpart, rpart = t.take(pidx), self.payload.take(didx)
-                if join_type == "left outer":
-                    miss = np.flatnonzero(counts == 0)
-                    if len(miss):
-                        lmiss = t.take(miss)
-                        rmiss = pa.table(
-                            {f.name: pa.nulls(len(miss), f.type)
-                             for f in self.payload.schema},
-                            schema=self.payload.schema,
-                        )
-                        lpart = pa.concat_tables([lpart, lmiss])
-                        rpart = pa.concat_tables([rpart, rmiss])
-                out = lpart
-                for name in rpart.column_names:
-                    out = out.append_column(name, rpart[name])
-                return out
-
-        return left.map_batches(BroadcastJoin, batch_format="pyarrow", concurrency=(1, 8))
+        return left.map_batches(broadcast_probe, batch_format="pyarrow")
     return shuffle_join(left, right, on, num_partitions=num_partitions, how=how)
 
 
@@ -1219,7 +1241,7 @@ def order_lifecycle(sf_dir: str):
         out = t.join(dim, keys=["o_custkey"], join_type="left outer")
         return out.select(["o_orderkey", "c_name", "first_ship", "prev_orderdate"])
 
-    return joined.map_batches(add_name, batch_format="pyarrow", concurrency=2)
+    return joined.map_batches(add_name, batch_format="pyarrow")
 
 
 def partitioned_export(sf_dir: str, out_dir: str):

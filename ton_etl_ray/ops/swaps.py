@@ -413,13 +413,42 @@ _SWAP_SCHEMA = pa.schema(
 )
 
 
-def dex_swaps(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 4096):
+def _dim_arrays(dim_ref, key_col: str, val_col: str):
+    """Per-worker-process (key, value) numpy pair from the broadcast
+    dim, sorted by key — built once per worker via the sys-hosted
+    ``worker_cache`` (the fixed-width '<U66' arrays make searchsorted
+    several times faster than Arrow's object-dtype conversion)."""
+    import ray
+
+    from ._util import worker_cache
+
+    cache = worker_cache()
+    key = (dim_ref.hex(), key_col, val_col)
+    ent = cache.get(key)
+    if ent is None:
+        d = ray.get(dim_ref)
+        keys = np.asarray(d[key_col].to_pylist())
+        vals = (
+            np.asarray(d[val_col].to_pylist())
+            if pa.types.is_string(d.schema.field(val_col).type)
+            else d[val_col].to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(keys)
+        ent = (keys[order], vals[order])
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[key] = ent
+    return ent
+
+
+def dex_swaps(sf_dir: str, *, batch_size: int = 4096):
     """Full ston.fi-shaped swap parse (module doc): notification decode
     ∥ request decode → one hash join on the parent hash (the
     reference's per-row ``get_parent_message_body`` lookup,
     cluster-shaped) → vectorized side pick + broadcast wallet→master
-    resolution.  ``concurrency`` bounds the stateful Assemble pool; the
-    decode stages are plain tasks (see the note above decode_payouts)."""
+    resolution. Every stage is a plain task over the session's warm
+    worker pool (see the note above decode_payouts); the wallet dim is
+    ``ray.put`` once and index-built once per worker process."""
     ensure_portable()
     import ray
 
@@ -434,61 +463,56 @@ def dex_swaps(sf_dir: str, *, concurrency=(1, 4), batch_size: int = 4096):
     )
     joined = join_auto(notif, reqs, on="parent_msg_hash")
 
-    dim = wallet_master_dim()
-    order = pc.sort_indices(dim["wallet"])
-    dim_ref = ray.put(dim.take(order).combine_chunks())
+    dim_ref = ray.put(wallet_master_dim().combine_chunks())
 
-    class Assemble:
+    def _lookup(wallets_sorted, masters, probe: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(wallets_sorted, probe)
+        idx = np.clip(idx, 0, len(wallets_sorted) - 1)
+        out = masters[idx]
+        # unknown wallet → reference logs a warning and drops;
+        # here the synthetic dim is total, assert instead of drop
+        if not (wallets_sorted[idx] == probe).all():
+            raise ValueError("wallet not found in jetton_wallets dim")
+        return out
+
+    def assemble(t: pa.Table) -> pa.Table:
         """Vectorized side pick (stonfi_swap.py:79-88) + wallet→master
-        probe (db.get_wallet_master) against the broadcast dim, sorted
-        once per actor."""
+        probe (db.get_wallet_master) against the broadcast dim."""
+        if not t.num_rows:
+            return _SWAP_SCHEMA.empty_table()
+        wallets, masters = _dim_arrays(dim_ref, "wallet", "master")
+        tw = np.asarray(t["token_wallet"].to_pylist())
+        w0 = np.asarray(t["wallet0"].to_pylist())
+        w1 = np.asarray(t["wallet1"].to_pylist())
+        t0 = t["token0_amount"].to_numpy(zero_copy_only=False)
+        t1 = t["token1_amount"].to_numpy(zero_copy_only=False)
+        ta = t["token_amount"].to_numpy(zero_copy_only=False)
+        src_is_0 = tw == w0
+        if not (src_is_0 | (tw == w1)).any() and len(tw):
+            raise ValueError("token_wallet matches neither pool wallet")
+        src_amount = ta - np.where(src_is_0, t0, t1)
+        dst_amount = np.where(src_is_0, t1, t0)
+        dst_wallet = np.where(src_is_0, w1, w0)
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "swap_user": t["swap_user"],
+                "swap_pool": t["swap_pool"],
+                "swap_src_token": pa.array(
+                    _lookup(wallets, masters, tw), pa.string()
+                ),
+                "swap_dst_token": pa.array(
+                    _lookup(wallets, masters, dst_wallet), pa.string()
+                ),
+                "swap_src_amount": pa.array(src_amount, pa.int64()),
+                "swap_dst_amount": pa.array(dst_amount, pa.int64()),
+                "min_out": t["min_out"],
+                "referral_address": t["referral_address"],
+            },
+            schema=_SWAP_SCHEMA,
+        )
 
-        def __init__(self):
-            d = ray.get(dim_ref)
-            self._wallets = np.asarray(d["wallet"].to_pylist())
-            self._masters = np.asarray(d["master"].to_pylist())
-
-        def _lookup(self, wallets: np.ndarray) -> np.ndarray:
-            idx = np.searchsorted(self._wallets, wallets)
-            idx = np.clip(idx, 0, len(self._wallets) - 1)
-            out = self._masters[idx]
-            # unknown wallet → reference logs a warning and drops;
-            # here the synthetic dim is total, assert instead of drop
-            if not (self._wallets[idx] == wallets).all():
-                raise ValueError("wallet not found in jetton_wallets dim")
-            return out
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if not t.num_rows:
-                return _SWAP_SCHEMA.empty_table()
-            tw = np.asarray(t["token_wallet"].to_pylist())
-            w0 = np.asarray(t["wallet0"].to_pylist())
-            w1 = np.asarray(t["wallet1"].to_pylist())
-            t0 = t["token0_amount"].to_numpy(zero_copy_only=False)
-            t1 = t["token1_amount"].to_numpy(zero_copy_only=False)
-            ta = t["token_amount"].to_numpy(zero_copy_only=False)
-            src_is_0 = tw == w0
-            if not (src_is_0 | (tw == w1)).any() and len(tw):
-                raise ValueError("token_wallet matches neither pool wallet")
-            src_amount = ta - np.where(src_is_0, t0, t1)
-            dst_amount = np.where(src_is_0, t1, t0)
-            dst_wallet = np.where(src_is_0, w1, w0)
-            return pa.table(
-                {
-                    "query_id": t["query_id"],
-                    "swap_user": t["swap_user"],
-                    "swap_pool": t["swap_pool"],
-                    "swap_src_token": pa.array(self._lookup(tw), pa.string()),
-                    "swap_dst_token": pa.array(self._lookup(dst_wallet), pa.string()),
-                    "swap_src_amount": pa.array(src_amount, pa.int64()),
-                    "swap_dst_amount": pa.array(dst_amount, pa.int64()),
-                    "min_out": t["min_out"],
-                    "referral_address": t["referral_address"],
-                },
-                schema=_SWAP_SCHEMA,
-            )
-
-    return joined.map_batches(Assemble, batch_format="pyarrow", concurrency=concurrency)
+    return joined.map_batches(assemble, batch_format="pyarrow")
 
 
 def swap_volume(sf_dir: str):
@@ -502,48 +526,39 @@ def swap_volume(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    dim = wallet_master_dim()
-    order = pc.sort_indices(dim["master"])
-    dim_ref = ray.put(dim.take(order).combine_chunks())
+    dim_ref = ray.put(wallet_master_dim().combine_chunks())
 
-    class PartialVolume:
-        def __init__(self):
-            d = ray.get(dim_ref)
-            self._masters = np.asarray(d["master"].to_pylist())
-            self._prices = d["price_quote"].to_numpy(zero_copy_only=False)
+    def partial_volume(t: pa.Table) -> pa.Table:
+        import pandas as pd
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            if not t.num_rows:
-                return pa.table(
-                    {
-                        "swap_pool": pa.array([], pa.string()),
-                        "n_swaps": pa.array([], pa.int64()),
-                        "src_volume": pa.array([], pa.int64()),
-                        "dst_volume": pa.array([], pa.int64()),
-                        "volume_quote": pa.array([], pa.int64()),
-                    }
-                )
-            dst = np.asarray(t["swap_dst_token"].to_pylist())
-            idx = np.searchsorted(self._masters, dst)
-            price = self._prices[np.clip(idx, 0, len(self._masters) - 1)]
-            df = pd.DataFrame(
+        if not t.num_rows:
+            return pa.table(
                 {
-                    "swap_pool": t["swap_pool"].to_pylist(),
-                    "n_swaps": 1,
-                    "src_volume": t["swap_src_amount"].to_numpy(zero_copy_only=False),
-                    "dst_volume": t["swap_dst_amount"].to_numpy(zero_copy_only=False),
-                    "volume_quote": t["swap_dst_amount"].to_numpy(zero_copy_only=False)
-                    * price,
+                    "swap_pool": pa.array([], pa.string()),
+                    "n_swaps": pa.array([], pa.int64()),
+                    "src_volume": pa.array([], pa.int64()),
+                    "dst_volume": pa.array([], pa.int64()),
+                    "volume_quote": pa.array([], pa.int64()),
                 }
             )
-            g = df.groupby("swap_pool", as_index=False).sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+        masters, prices = _dim_arrays(dim_ref, "master", "price_quote")
+        dst = np.asarray(t["swap_dst_token"].to_pylist())
+        idx = np.searchsorted(masters, dst)
+        price = prices[np.clip(idx, 0, len(masters) - 1)]
+        df = pd.DataFrame(
+            {
+                "swap_pool": t["swap_pool"].to_pylist(),
+                "n_swaps": 1,
+                "src_volume": t["swap_src_amount"].to_numpy(zero_copy_only=False),
+                "dst_volume": t["swap_dst_amount"].to_numpy(zero_copy_only=False),
+                "volume_quote": t["swap_dst_amount"].to_numpy(zero_copy_only=False)
+                * price,
+            }
+        )
+        g = df.groupby("swap_pool", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    partial = dex_swaps(sf_dir).map_batches(
-        PartialVolume, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    partial = dex_swaps(sf_dir).map_batches(partial_volume, batch_format="pyarrow")
     agg = partial.groupby("swap_pool").aggregate(
         Sum("n_swaps"), Sum("src_volume"), Sum("dst_volume"), Sum("volume_quote")
     )

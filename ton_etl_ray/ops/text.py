@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import _t, read_table
+from ._util import _t, pool as _pool, read_table
 
 
 def doc_token_stats(sf_dir: str):
@@ -66,7 +66,7 @@ class BpeTokenCount:
 def bpe_token_count(sf_dir: str):
     ensure_portable()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(BpeTokenCount, batch_format="pandas", batch_size=4096, concurrency=2)
+    return ds.map_batches(BpeTokenCount, batch_format="pandas", batch_size=4096, concurrency=_pool())
 
 
 # tiny per-language stopword tables for the n-gram/stopword heuristic

@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ._pickle import ensure_portable
+from .ops._util import pool as _pool
 
 
 class Transform:
@@ -100,7 +101,7 @@ class TransformRegistry:
         self,
         sources: dict[str, "rd.Dataset"],
         *,
-        concurrency: int = 2,
+        concurrency=None,
         batch_size: int | None = None,
     ) -> dict[str, "rd.Dataset"]:
         """Fan each source Dataset through its transforms.
@@ -117,7 +118,7 @@ class TransformRegistry:
                     fn_constructor_args=(cls, kw),
                     batch_format="pyarrow",
                     batch_size=batch_size,
-                    concurrency=concurrency,
+                    concurrency=concurrency or _pool(),
                 )
                 outputs[cls.emits or f"{src}__{cls.__name__}"].append(out)
         result = {}
