@@ -16,11 +16,12 @@ as two ``map_batches`` stages over an Arrow ``binary`` column:
   That makes the decode path fully value-hash-checkable: if any bit of
   the codec (BOC layout, VarUInteger, MsgAddress, snake strings, CRC)
   is wrong, the oracle hash mismatches.
-- ``BocDecodeStage``: an actor-pool stage that parses each body with
+- ``BocDecodeStage``: a decode stage that parses each body with
   ``ton_etl_ray.boc`` and branches on opcode like the reference's
   parser registry. Per-row decode is inherent for opaque binary
   payloads (same ruling as multimodal); the stage is a callable class
-  so lookup tables exist once per actor, and batches stay zero-copy
+  (lookup tables built once, instance shipped with the task) run as
+  plain tasks over the warm worker pool, and batches stay zero-copy
   Arrow on both sides.
 
 Opcode map (arbitrary but fixed; values chosen to mirror the
@@ -219,13 +220,17 @@ _DECODE_SCHEMA = pa.schema(
 
 
 class BocDecodeStage:
-    """Actor-pool decode: parse each body, branch on opcode (the
+    """Batch decode: parse each body, branch on opcode (the
     reference's parser-predicate idiom), emit typed columns. Unknown
     opcodes pass through with only (event_id, opcode) set — mirroring
-    the reference's 'no parser claimed this message' behavior."""
+    the reference's 'no parser claimed this message' behavior.
+
+    Kept callable-class shaped for API compatibility, but the state is
+    one dict lookup — ``boc_decode_events`` runs it as a plain task
+    (no actor pool: tasks reuse the session's warm workers, pools pay
+    spin-up + autoscale ramp per query)."""
 
     def __init__(self):
-        # opcode → handler, built once per actor
         self._transfer_op = OP_BY_TYPE["purchase"]
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -264,18 +269,17 @@ class BocDecodeStage:
         )
 
 
-def boc_decode_events(sf_dir: str, *, concurrency=None, batch_size: int = 4096):
-    """Full decode pipeline: synth bodies → actor-pool BOC decode.
+def boc_decode_events(sf_dir: str, *, batch_size: int = 4096):
+    """Full decode pipeline: synth bodies → task-based BOC decode.
 
     -1 sentinels (query_id/amount for comment rows) keep the columns
     int64 on both engine and oracle sides, same convention as
     ``parent_event``."""
     ensure_portable()
-    from ._util import pool as _pool
+    _stage = BocDecodeStage()
 
     return message_dataset(sf_dir).map_batches(
-        BocDecodeStage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency or _pool(),
+        _stage, batch_format="pyarrow", batch_size=batch_size,
     )
 
 

@@ -44,7 +44,7 @@ def _bcast_index(ref, on: str):
     import ray
 
     cache = worker_cache()
-    key = (ref.hex(), on)
+    key = ("dim", ref.hex(), on)
     ent = cache.get(key)
     if ent is None:
         dim = ray.get(ref)
@@ -54,10 +54,18 @@ def _bcast_index(ref, on: str):
             else dim[on].to_numpy(zero_copy_only=False)
         )
         ent = (dim, dkeys, dim.drop_columns([on]))
-        while len(cache) >= 8:
-            cache.pop(next(iter(cache)))
+        _evict_dims(cache)
         cache[key] = ent
     return ent
+
+
+def _evict_dims(cache: dict, keep: int = 7) -> None:
+    """Bound the heavy ("dim", ...) entries only — lightweight cached
+    transform instances (keyed "xform") are one-per-registered-class
+    and must not churn with dim traffic."""
+    dims = [k for k in cache if isinstance(k, tuple) and k and k[0] == "dim"]
+    for k in dims[: max(0, len(dims) - keep)]:
+        cache.pop(k, None)
 
 
 def _bucketed(ds: "rd.Dataset", key: str, per_bucket, out_schema: pa.Schema,

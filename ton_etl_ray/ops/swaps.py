@@ -423,7 +423,7 @@ def _dim_arrays(dim_ref, key_col: str, val_col: str):
     from ._util import worker_cache
 
     cache = worker_cache()
-    key = (dim_ref.hex(), key_col, val_col)
+    key = ("dim", dim_ref.hex(), key_col, val_col)
     ent = cache.get(key)
     if ent is None:
         d = ray.get(dim_ref)
@@ -435,8 +435,9 @@ def _dim_arrays(dim_ref, key_col: str, val_col: str):
         )
         order = np.argsort(keys)
         ent = (keys[order], vals[order])
-        while len(cache) >= 8:
-            cache.pop(next(iter(cache)))
+        from .relational import _evict_dims
+
+        _evict_dims(cache)
         cache[key] = ent
     return ent
 

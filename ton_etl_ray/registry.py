@@ -16,9 +16,11 @@ Our Ray-Data-native mirror:
   function over Arrow batches, unit-testable without a cluster (the
   analogue of the reference's DBMock backfill harness,
   parser/backfill.py:29-106);
-- a **registry** keyed by source table; ``run_transforms`` fans one
-  source Dataset out through every registered transform for it, as a
-  single actor-pool ``map_batches`` stage per transform.
+- a **registry** keyed by source table; ``run`` fans one source
+  Dataset out through every registered transform for it, as a single
+  ``map_batches`` stage per transform — task-based with the prepared
+  instance cached per worker process by default, an explicit actor
+  pool on request (heavy per-actor state).
 """
 
 from __future__ import annotations
@@ -31,7 +33,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ._pickle import ensure_portable
-from .ops._util import pool as _pool
 
 
 class Transform:
@@ -62,7 +63,9 @@ class Transform:
 
 
 class _TransformActor:
-    """Actor wrapper: prepare() runs once, batches stream through."""
+    """Actor wrapper: prepare() runs once, batches stream through. Used
+    only when the caller asks for an explicit actor pool (heavy state:
+    models, connections); the default path is ``_transform_fn``."""
 
     def __init__(self, transform_cls, kwargs):
         self.t = transform_cls(**kwargs)
@@ -70,6 +73,35 @@ class _TransformActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.t(batch)
+
+
+def _transform_fn(transform_cls, kwargs):
+    """Task-based transform with the prepared instance memoized once
+    per worker process (``_util.worker_cache``): the same
+    setup-once/stream-batches contract as the actor pool, without the
+    per-query actor spin-up + autoscale ramp — tasks reuse the
+    session's warm workers. The cache key is the class identity plus
+    the registration kwargs, so two registrations of one class with
+    different kwargs keep separate instances."""
+    from .ops._util import worker_cache
+
+    sig = (
+        "xform",
+        transform_cls.__module__,
+        transform_cls.__qualname__,
+        tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
+    )
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cache = worker_cache()
+        t = cache.get(sig)
+        if t is None:
+            t = transform_cls(**kwargs)
+            t.prepare()
+            cache[sig] = t
+        return t(batch)
+
+    return apply
 
 
 class TransformRegistry:
@@ -108,18 +140,31 @@ class TransformRegistry:
 
         Returns one Dataset per output table; transforms emitting the
         same table are unioned (the reference's many-parsers-one-table
-        pattern, e.g. 11 DEX parsers → dex_swap_parsed)."""
+        pattern, e.g. 11 DEX parsers → dex_swap_parsed).
+
+        ``concurrency=None`` (default) runs transforms as plain tasks
+        with the prepared instance cached once per worker process;
+        pass an int or ``(min, max)`` tuple to pin an actor pool
+        instead (for transforms holding heavy state — a model, an open
+        connection — where per-actor lifecycle matters)."""
         ensure_portable()
         outputs: dict[str, list[rd.Dataset]] = defaultdict(list)
         for src, ds in sources.items():
             for cls, kw in self.transforms_for(src):
-                out = ds.map_batches(
-                    _TransformActor,
-                    fn_constructor_args=(cls, kw),
-                    batch_format="pyarrow",
-                    batch_size=batch_size,
-                    concurrency=concurrency or _pool(),
-                )
+                if concurrency is not None:
+                    out = ds.map_batches(
+                        _TransformActor,
+                        fn_constructor_args=(cls, kw),
+                        batch_format="pyarrow",
+                        batch_size=batch_size,
+                        concurrency=concurrency,
+                    )
+                else:
+                    out = ds.map_batches(
+                        _transform_fn(cls, kw),
+                        batch_format="pyarrow",
+                        batch_size=batch_size,
+                    )
                 outputs[cls.emits or f"{src}__{cls.__name__}"].append(out)
         result = {}
         for table, parts in outputs.items():
