@@ -184,8 +184,13 @@ def broadcast_join_parts(sf_dir: str):
 
     def join(t: pa.Table) -> pa.Table:
         # sorted merge index over the broadcast dim, built once per
-        # worker process (task-based: no actor spin-up per query)
+        # worker process (task-based: no actor spin-up per query).
+        # The single-idx probe below assumes UNIQUE dim keys (p_partkey
+        # is the part PK); a duplicated key would need the fan-out
+        # probe in join_auto's broadcast path — fail loud, not wrong.
         dim, dkeys, payload = _bcast_index(ref, "l_partkey")
+        if dkeys is not None and len(dkeys) > 1 and (dkeys[1:] == dkeys[:-1]).any():
+            raise ValueError("broadcast_join_parts requires unique dim keys")
         if dkeys is None or t["l_partkey"].null_count:
             out = t.join(dim, keys=["l_partkey"], join_type="left outer")
         else:
