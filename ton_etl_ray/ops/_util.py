@@ -86,3 +86,61 @@ def worker_cache() -> dict:
         c = {}
         _s._tonray_bcast_idx = c
     return c
+
+
+def hex2(tag: str, n: int) -> str:
+    """64-hex-char synthetic account hash: md5 of 'tag-n' repeated —
+    chosen so DuckDB recomputes it as ``upper(md5(x) || md5(x))``
+    (shared by every synthetic parser table; one definition, four
+    parser families)."""
+    import hashlib
+
+    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
+    return h + h
+
+
+def addr_str(tag: str, n: int) -> str:
+    return f"0:{hex2(tag, n).upper()}"
+
+
+def addr_bytes(tag: str, n: int) -> bytes:
+    return bytes.fromhex(hex2(tag, n))
+
+
+def cached_synth_table(sf_dir: str, cache_tag: str, source_table: str, build):
+    """Shared build-once cache for deterministic synthetic parser
+    tables: content-fingerprinted on the SOURCE testdata parquet,
+    single-builder lock, atomic swap-in — so parser queries time the
+    PARSER, not the synthetic body encoding. ``build(sf_dir)`` returns
+    the Dataset to persist. Returns the cache directory."""
+    import os
+    import shutil
+
+    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
+
+    base = f"/tmp/tonray_{cache_tag}_{_tag(sf_dir)}"
+    marker = os.path.join(base, "_DONE")
+    if not _cache_valid(marker, sf_dir, table=source_table):
+        with _build_lock(base):
+            if not _cache_valid(marker, sf_dir, table=source_table):
+                bdir = f"{base}.build.{os.getpid()}"
+                shutil.rmtree(bdir, ignore_errors=True)
+                build(sf_dir).write_parquet(bdir)
+                with open(os.path.join(bdir, "_DONE"), "w") as f:
+                    f.write(_fingerprint(sf_dir, table=source_table))
+                _swap_in(bdir, base)
+    return base
+
+
+def read_synth_dir(base: str, empty_schema: "pa.Schema") -> "rd.Dataset":
+    """Read a ``cached_synth_table`` directory back as a Dataset with
+    metadata-free schema (typed empty Dataset when no files exist)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{base}/*.parquet"))
+    if not files:
+        return rd.from_arrow(empty_schema.empty_table())
+    schema = _pq.read_schema(files[0]).remove_metadata()
+    return rd.read_parquet(files, schema=schema)

@@ -168,43 +168,22 @@ def ensure_message_table(sf_dir: str) -> str:
     synthetic body encoding — the same setup/compute split the bench
     applies to the flagship lake (VERDICT r3 Wrong #5). Uses the shared
     content-fingerprinted marker + single-builder lock."""
-    import os
-    import shutil
+    from ._util import cached_synth_table
 
-    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
-
-    base = f"/tmp/tonray_msgs_{_tag(sf_dir)}"
-    marker = os.path.join(base, "_DONE")
-    # fingerprint the EVENTS table — the one this artifact derives from
-    if not _cache_valid(marker, sf_dir, table="events"):
-        with _build_lock(base):
-            if not _cache_valid(marker, sf_dir, table="events"):
-                build = f"{base}.build.{os.getpid()}"
-                shutil.rmtree(build, ignore_errors=True)
-                synth_message_dataset(sf_dir).write_parquet(build)
-                with open(os.path.join(build, "_DONE"), "w") as f:
-                    f.write(_fingerprint(sf_dir, table="events"))
-                _swap_in(build, base)
-    return base
+    # fingerprints the EVENTS table — the one this artifact derives from
+    return cached_synth_table(sf_dir, "msgs", "events", synth_message_dataset)
 
 
 def message_dataset(sf_dir: str):
     """The message table as a Dataset — cached parquet (one build per
     sf_dir serves every decode query and bench run)."""
-    import ray.data as rd
+    from ._util import read_synth_dir
 
-    base = ensure_message_table(sf_dir)
-    import glob as _glob
-    import pyarrow.parquet as _pq
-
-    files = sorted(_glob.glob(f"{base}/*.parquet"))
-    if not files:  # empty events table → zero-block write, no part files
-        return rd.from_arrow(
-            pa.schema([("event_id", pa.int64()), ("opcode", pa.int32()),
-                       ("body_boc", pa.binary())]).empty_table()
-        )
-    schema = _pq.read_schema(files[0]).remove_metadata()
-    return rd.read_parquet(files, schema=schema)
+    return read_synth_dir(
+        ensure_message_table(sf_dir),
+        pa.schema([("event_id", pa.int64()), ("opcode", pa.int32()),
+                   ("body_boc", pa.binary())]),
+    )
 
 
 _DECODE_SCHEMA = pa.schema(

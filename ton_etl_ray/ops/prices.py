@@ -41,14 +41,13 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import read_table
+from ._util import addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, read_synth_dir, read_table
 
 N_POOLS = 4096
 POOL_MAGIC = 0x504F4F4C  # "POOL"
@@ -65,13 +64,9 @@ _STATE_SCHEMA = pa.schema(
 )
 
 
-def _hex2(tag: str, n: int) -> str:
-    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
-    return h + h
-
-
-def _addr_str(tag: str, n: int) -> str:
-    return f"0:{_hex2(tag, n).upper()}"
+# shared synthetic-address helpers (ops/_util.py)
+_hex2 = _hex2_u
+_addr_str = _addr_str_u
 
 
 def encode_pool_state(k: int) -> bytes:
@@ -115,37 +110,11 @@ def synth_account_states(sf_dir: str):
 def ensure_state_table(sf_dir: str) -> str:
     """Cached parquet copy (content-fingerprinted on orders.parquet):
     price queries time the PARSER + reduce, not the body encoding."""
-    import os
-    import shutil
-
-    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
-
-    base = f"/tmp/tonray_states_{_tag(sf_dir)}"
-    marker = os.path.join(base, "_DONE")
-    if not _cache_valid(marker, sf_dir, table="orders"):
-        with _build_lock(base):
-            if not _cache_valid(marker, sf_dir, table="orders"):
-                build = f"{base}.build.{os.getpid()}"
-                shutil.rmtree(build, ignore_errors=True)
-                synth_account_states(sf_dir).write_parquet(build)
-                with open(os.path.join(build, "_DONE"), "w") as f:
-                    f.write(_fingerprint(sf_dir, table="orders"))
-                _swap_in(build, base)
-    return base
+    return cached_synth_table(sf_dir, "states", "orders", synth_account_states)
 
 
 def state_dataset(sf_dir: str):
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-    import ray.data as rd
-
-    base = ensure_state_table(sf_dir)
-    files = sorted(_glob.glob(f"{base}/*.parquet"))
-    if not files:
-        return rd.from_arrow(_STATE_SCHEMA.empty_table())
-    schema = _pq.read_schema(files[0]).remove_metadata()
-    return rd.read_parquet(files, schema=schema)
+    return read_synth_dir(ensure_state_table(sf_dir), _STATE_SCHEMA)
 
 
 def _whitelisted(t: pa.Table) -> pa.Table:
@@ -220,10 +189,10 @@ def core_prices(sf_dir: str, *, num_buckets: int = 64):
 
     def finish(t: pa.Table) -> pa.Table:
         t = _decode_reserves(t, [])
-        r0 = t["reserve0"].to_numpy(zero_copy_only=False).astype(object)
-        r1 = t["reserve1"].to_numpy(zero_copy_only=False).astype(object)
-        # object-dtype Python ints: r1 * 1e9 overflows int64 at large sf
-        price = [int(b) * 10**9 // int(a) for a, b in zip(r0, r1)]
+        r0 = t["reserve0"].to_pylist()
+        r1 = t["reserve1"].to_pylist()
+        # Python-int arithmetic: r1 * 1e9 overflows int64 at large sf
+        price = [b * 10**9 // a for a, b in zip(r0, r1)]
         return t.append_column("price_nano", pa.array(price, pa.int64()))
 
     return _latest_states(sf_dir, ["account"], num_buckets=num_buckets).map_batches(

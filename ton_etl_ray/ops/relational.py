@@ -38,9 +38,11 @@ def _bcast_index(ref, on: str):
     """Sorted merge index over a broadcast (``ray.put``) build side:
     ray.get once per worker (zero-copy, object is node-local), sort by
     the key once per worker, probe per batch with searchsorted. Returns
-    ``(dim, dkeys, payload)``; ``dkeys`` is None when the build keys
-    contain nulls (callers must route to an exact join — a null key
-    would coerce int64 probes to float64 and collide past 2^53)."""
+    ``(dim, dkeys, payload, unique)``; ``dkeys`` is None when the build
+    keys contain nulls (callers must route to an exact join — a null
+    key would coerce int64 probes to float64 and collide past 2^53);
+    ``unique`` says whether the build keys are duplicate-free, computed
+    once here so single-index probes need no per-batch scan."""
     import ray
 
     cache = worker_cache()
@@ -53,18 +55,35 @@ def _bcast_index(ref, on: str):
             None if dim[on].null_count
             else dim[on].to_numpy(zero_copy_only=False)
         )
-        ent = (dim, dkeys, dim.drop_columns([on]))
+        unique = dkeys is not None and (
+            len(dkeys) < 2 or not (dkeys[1:] == dkeys[:-1]).any()
+        )
+        ent = (dim, dkeys, dim.drop_columns([on]), unique)
         _evict_dims(cache)
         cache[key] = ent
     return ent
 
 
-def _evict_dims(cache: dict, keep: int = 7) -> None:
+def _evict_dims(cache: dict, budget_bytes: int = 128 << 20, keep: int = 7) -> None:
     """Bound the heavy ("dim", ...) entries only — lightweight cached
-    transform instances (keyed "xform") are one-per-registered-class
-    and must not churn with dim traffic."""
+    transform instances (keyed "xform") are one-per-registration and
+    must not churn with dim traffic. Task-based probes replicate the
+    sorted dim per worker PROCESS (no actor-pool cap bounds the copy
+    count anymore), so the per-process budget matters at session scale:
+    evict oldest dims past ``keep`` entries OR past ``budget_bytes`` of
+    summed Arrow buffer size, whichever binds first."""
     dims = [k for k in cache if isinstance(k, tuple) and k and k[0] == "dim"]
-    for k in dims[: max(0, len(dims) - keep)]:
+
+    def _nbytes(k):
+        try:
+            return cache[k][0].nbytes
+        except Exception:
+            return 0
+
+    total = sum(_nbytes(k) for k in dims)
+    while dims and (len(dims) > keep or total > budget_bytes):
+        k = dims.pop(0)
+        total -= _nbytes(k)
         cache.pop(k, None)
 
 
@@ -188,8 +207,9 @@ def broadcast_join_parts(sf_dir: str):
         # The single-idx probe below assumes UNIQUE dim keys (p_partkey
         # is the part PK); a duplicated key would need the fan-out
         # probe in join_auto's broadcast path — fail loud, not wrong.
-        dim, dkeys, payload = _bcast_index(ref, "l_partkey")
-        if dkeys is not None and len(dkeys) > 1 and (dkeys[1:] == dkeys[:-1]).any():
+        # Uniqueness is computed once per worker inside _bcast_index.
+        dim, dkeys, payload, unique = _bcast_index(ref, "l_partkey")
+        if dkeys is not None and not unique:
             raise ValueError("broadcast_join_parts requires unique dim keys")
         if dkeys is None or t["l_partkey"].null_count:
             out = t.join(dim, keys=["l_partkey"], join_type="left outer")
@@ -560,7 +580,7 @@ def join_auto(
             and an actor pool pays actor spin-up + autoscale ramp on
             every query — tasks reuse the session's warm worker pool
             and the sorted index is built once per process."""
-            dim, dkeys, payload = _bcast_index(ref, on)
+            dim, dkeys, payload, _ = _bcast_index(ref, on)
             if (
                 dkeys is None
                 or t[on].null_count

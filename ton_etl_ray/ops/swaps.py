@@ -68,7 +68,7 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import read_table
+from ._util import addr_bytes as _addr_bytes_u, addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, read_synth_dir, read_table
 
 OP_SWAP_REQUEST = 0x25938561
 OP_SWAP_PAYOUT = 0xF93BB43F
@@ -90,19 +90,11 @@ _MSG_SCHEMA = pa.schema(
 )
 
 
-def _hex2(tag: str, n: int) -> str:
-    """64-hex-char account hash: md5 of 'tag-n' repeated (DuckDB
-    recomputes it as md5(x) || md5(x))."""
-    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
-    return h + h
-
-
-def _addr_str(tag: str, n: int) -> str:
-    return f"0:{_hex2(tag, n).upper()}"
-
-
-def _addr_bytes(tag: str, n: int) -> bytes:
-    return bytes.fromhex(_hex2(tag, n))
+# shared synthetic-address helpers (one definition for all four
+# parser families — ops/_util.py)
+_hex2 = _hex2_u
+_addr_str = _addr_str_u
+_addr_bytes = _addr_bytes_u
 
 
 ROUTER = _addr_str("router", 0)
@@ -222,37 +214,11 @@ def ensure_swap_table(sf_dir: str) -> str:
     """Cached parquet copy (content-fingerprinted on orders.parquet):
     swap queries time the PARSERS, not the synthetic body encoding —
     the same setup/compute split as ``ops.messages.ensure_message_table``."""
-    import os
-    import shutil
-
-    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
-
-    base = f"/tmp/tonray_swaps_{_tag(sf_dir)}"
-    marker = os.path.join(base, "_DONE")
-    if not _cache_valid(marker, sf_dir, table="orders"):
-        with _build_lock(base):
-            if not _cache_valid(marker, sf_dir, table="orders"):
-                build = f"{base}.build.{os.getpid()}"
-                shutil.rmtree(build, ignore_errors=True)
-                synth_swap_messages(sf_dir).write_parquet(build)
-                with open(os.path.join(build, "_DONE"), "w") as f:
-                    f.write(_fingerprint(sf_dir, table="orders"))
-                _swap_in(build, base)
-    return base
+    return cached_synth_table(sf_dir, "swaps", "orders", synth_swap_messages)
 
 
 def swap_message_dataset(sf_dir: str):
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-    import ray.data as rd
-
-    base = ensure_swap_table(sf_dir)
-    files = sorted(_glob.glob(f"{base}/*.parquet"))
-    if not files:
-        return rd.from_arrow(_MSG_SCHEMA.empty_table())
-    schema = _pq.read_schema(files[0]).remove_metadata()
-    return rd.read_parquet(files, schema=schema)
+    return read_synth_dir(ensure_swap_table(sf_dir), _MSG_SCHEMA)
 
 
 def wallet_master_dim() -> pa.Table:
@@ -489,7 +455,11 @@ def dex_swaps(sf_dir: str, *, batch_size: int = 4096):
         t1 = t["token1_amount"].to_numpy(zero_copy_only=False)
         ta = t["token_amount"].to_numpy(zero_copy_only=False)
         src_is_0 = tw == w0
-        if not (src_is_0 | (tw == w1)).any() and len(tw):
+        # per-ROW membership: a single mismatched row must fail loud,
+        # not be silently assembled with wrong sides (.any() only
+        # caught the all-rows-bad case)
+        bad = ~(src_is_0 | (tw == w1))
+        if bad.any():
             raise ValueError("token_wallet matches neither pool wallet")
         src_amount = ta - np.where(src_is_0, t0, t1)
         dst_amount = np.where(src_is_0, t1, t0)

@@ -54,7 +54,7 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import read_table
+from ._util import addr_bytes as _addr_bytes_t, addr_str as _addr_str_t, cached_synth_table, read_synth_dir, read_table
 
 OP_BUY = 0xCD78325D
 OP_SELL = 0x5E97D116
@@ -73,17 +73,10 @@ _MSG_SCHEMA = pa.schema(
 )
 
 
-def _hex2(tag: str, n: int) -> str:
-    h = hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
-    return h + h
-
-
-def _addr_str(tag: str, n: int) -> str:
-    return f"0:{_hex2(tag, n).upper()}"
-
-
-def _addr_bytes(tag: str, n: int) -> bytes:
-    return bytes.fromhex(_hex2(tag, n))
+# shared synthetic-address helpers (one definition for all four
+# parser families — ops/_util.py)
+_addr_str = _addr_str_t
+_addr_bytes = _addr_bytes_t
 
 
 def contract_whitelist() -> list[str]:
@@ -158,37 +151,11 @@ def synth_trade_messages(sf_dir: str):
 def ensure_trade_table(sf_dir: str) -> str:
     """Cached parquet copy (content-fingerprinted on lineitem.parquet):
     trade queries time the PARSER, not the synthetic body encoding."""
-    import os
-    import shutil
-
-    from ..pipelines import _build_lock, _cache_valid, _fingerprint, _swap_in, _tag
-
-    base = f"/tmp/tonray_trades_{_tag(sf_dir)}"
-    marker = os.path.join(base, "_DONE")
-    if not _cache_valid(marker, sf_dir, table="lineitem"):
-        with _build_lock(base):
-            if not _cache_valid(marker, sf_dir, table="lineitem"):
-                build = f"{base}.build.{os.getpid()}"
-                shutil.rmtree(build, ignore_errors=True)
-                synth_trade_messages(sf_dir).write_parquet(build)
-                with open(os.path.join(build, "_DONE"), "w") as f:
-                    f.write(_fingerprint(sf_dir, table="lineitem"))
-                _swap_in(build, base)
-    return base
+    return cached_synth_table(sf_dir, "trades", "lineitem", synth_trade_messages)
 
 
 def trade_message_dataset(sf_dir: str):
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-    import ray.data as rd
-
-    base = ensure_trade_table(sf_dir)
-    files = sorted(_glob.glob(f"{base}/*.parquet"))
-    if not files:
-        return rd.from_arrow(_MSG_SCHEMA.empty_table())
-    schema = _pq.read_schema(files[0]).remove_metadata()
-    return rd.read_parquet(files, schema=schema)
+    return read_synth_dir(ensure_trade_table(sf_dir), _MSG_SCHEMA)
 
 
 def _fmt_addr(a) -> str | None:

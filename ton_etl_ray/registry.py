@@ -75,22 +75,22 @@ class _TransformActor:
         return self.t(batch)
 
 
-def _transform_fn(transform_cls, kwargs):
+def _transform_fn(transform_cls, kwargs, token: str):
     """Task-based transform with the prepared instance memoized once
     per worker process (``_util.worker_cache``): the same
     setup-once/stream-batches contract as the actor pool, without the
     per-query actor spin-up + autoscale ramp — tasks reuse the
-    session's warm workers. The cache key is the class identity plus
-    the registration kwargs, so two registrations of one class with
-    different kwargs keep separate instances."""
+    session's warm workers. The cache key is the REGISTRATION token
+    (unique per ``register()`` call), so re-registering a same-named
+    class or equal-repr kwargs can never serve a stale instance, while
+    repeat ``run()`` calls over the same registration reuse it. Cached
+    instances live for the worker's lifetime — a transform whose
+    ``prepare()`` opens a connection/client should be run through the
+    explicit-``concurrency`` actor pool instead, whose actors release
+    that state when the query ends."""
     from .ops._util import worker_cache
 
-    sig = (
-        "xform",
-        transform_cls.__module__,
-        transform_cls.__qualname__,
-        tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
-    )
+    sig = ("xform", token)
 
     def apply(batch: pa.Table) -> pa.Table:
         cache = worker_cache()
@@ -108,15 +108,24 @@ class TransformRegistry:
     """Registry keyed by source table (parsers/__init__.py analogue)."""
 
     def __init__(self):
-        self._by_source: dict[str, list[tuple[type, dict]]] = defaultdict(list)
+        self._by_source: dict[str, list[tuple[type, dict, str]]] = defaultdict(list)
+        self._next_token = 0
 
     def register(self, transform_cls: type, **kwargs):
         if not transform_cls.source:
             raise ValueError(f"{transform_cls.__name__} must set .source")
-        self._by_source[transform_cls.source].append((transform_cls, kwargs))
+        # per-REGISTRATION identity token: the worker cache must not key
+        # on class name + repr(kwargs) alone — a redefined same-named
+        # class, or a callable kwarg whose repr (memory address) happens
+        # to collide with a GC'd one, would silently serve a stale
+        # prepared instance. A fresh registration always gets a fresh
+        # token, so it always builds fresh instances.
+        token = f"{id(transform_cls):x}.{self._next_token}"
+        self._next_token += 1
+        self._by_source[transform_cls.source].append((transform_cls, kwargs, token))
         return transform_cls
 
-    def transforms_for(self, source: str) -> list[tuple[type, dict]]:
+    def transforms_for(self, source: str) -> list[tuple[type, dict, str]]:
         return list(self._by_source.get(source, []))
 
     def select(self, enabled: set[str] | None):
@@ -124,9 +133,9 @@ class TransformRegistry:
         parsers/__init__.py:118-132)."""
         out = TransformRegistry()
         for src, lst in self._by_source.items():
-            for cls, kw in lst:
+            for cls, kw, token in lst:
                 if enabled is None or cls.__name__ in enabled:
-                    out._by_source[src].append((cls, kw))
+                    out._by_source[src].append((cls, kw, token))
         return out
 
     def run(
@@ -150,7 +159,7 @@ class TransformRegistry:
         ensure_portable()
         outputs: dict[str, list[rd.Dataset]] = defaultdict(list)
         for src, ds in sources.items():
-            for cls, kw in self.transforms_for(src):
+            for cls, kw, token in self.transforms_for(src):
                 if concurrency is not None:
                     out = ds.map_batches(
                         _TransformActor,
@@ -161,7 +170,7 @@ class TransformRegistry:
                     )
                 else:
                     out = ds.map_batches(
-                        _transform_fn(cls, kw),
+                        _transform_fn(cls, kw, token),
                         batch_format="pyarrow",
                         batch_size=batch_size,
                     )
