@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode WINNER state bodies only -> integer price/TVL
         "core_prices": prices.core_prices,
         "pool_tvl_history": prices.pool_tvl_history,
+        # P25 staking-pools shape: rank-1 per pool, then the WINNER
+        # state's nominator hashmap fans out 1->many (flat-map over
+        # account states)
+        "staking_nominators": prices.staking_nominators,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -786,6 +790,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT account, window_id, lt, reserve0, reserve1,
                    reserve0 + reserve1 AS tvl_nano
             FROM r WHERE rn = 1
+        """,
+        "staking_nominators": """
+            WITH w AS (
+                SELECT c_custkey AS k, c_custkey % 512 AS pool
+                FROM customer WHERE c_custkey % 23 <> 0
+            ), r AS (
+                SELECT k, pool,
+                       row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM w
+            ), win AS (SELECT k, pool FROM r WHERE rn = 1)
+            SELECT '0:' || upper(md5('stake-' || pool) || md5('stake-' || pool)) AS account,
+                   k AS lt,
+                   CAST(i AS BIGINT) AS nominator_idx,
+                   '0:' || upper(md5('nom-' || ((k*7+i) % 100000)) || md5('nom-' || ((k*7+i) % 100000))) AS nominator,
+                   k*31 + i*13 AS stake
+            FROM (SELECT k, pool, unnest(range(0, k % 5 + 1)) AS i FROM win)
         """,
         "profile_events": """
             WITH s AS (

@@ -195,13 +195,18 @@ def run_bench() -> dict:
         "bcl_trades",
         # account-state rank-1 → decode-winners → price (P21-P24 shape)
         "core_prices",
+        # account-state 1→many: winner's nominator hashmap fan-out (P25)
+        "staking_nominators",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
     # so the per-query timing measures the operator. The setup cost is
     # reported separately under "setup_sec".
     from ton_etl_ray.ops.messages import ensure_message_table
-    from ton_etl_ray.ops.prices import ensure_state_table as _ensure_state_table
+    from ton_etl_ray.ops.prices import (
+        ensure_stake_table as _ensure_stake_table,
+        ensure_state_table as _ensure_state_table,
+    )
     from ton_etl_ray.ops.swaps import ensure_swap_table as _ensure_swap_table
     from ton_etl_ray.ops.trades import ensure_trade_table as _ensure_trade_table
     from ton_etl_ray.pipelines import (
@@ -223,6 +228,7 @@ def run_bench() -> dict:
         # trade/state queries time the claim+decode / rank-1+decode
         "trade_table": _ensure_trade_table,
         "state_table": _ensure_state_table,
+        "stake_table": _ensure_stake_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

@@ -108,3 +108,56 @@ def test_decode_rejects_non_pool_cell():
     )
     with pytest.raises(ValueError, match="pool state"):
         prices._decode_reserves(t, [])
+
+
+def test_stake_state_roundtrip():
+    """Hashmap fan-out codec: k=7 → 3 nominators with arithmetic stakes."""
+    from ton_etl_ray.boc import parse_hashmap_uint
+
+    s = parse_boc(prices.encode_stake_state(7)).begin_parse()
+    assert s.load_uint(32) == prices.STAKE_MAGIC
+    items = parse_hashmap_uint(s.load_ref(), 32)
+    assert sorted(items) == [0, 1, 2]
+    v = items[2].begin_parse()
+    wc, h = v.load_address()
+    assert wc == 0
+    assert v.load_coins() == 7 * 31 + 2 * 13
+
+
+def test_staking_nominators_matches_duckdb(ray_session):
+    got = (
+        prices.staking_nominators(SF)
+        .to_pandas()
+        .sort_values(["account", "nominator_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+    )
+    exp = con.execute(
+        """
+        WITH w AS (
+            SELECT c_custkey AS k, c_custkey % 512 AS pool
+            FROM customer WHERE c_custkey % 23 <> 0
+        ), r AS (
+            SELECT k, pool,
+                   row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+            FROM w
+        ), win AS (SELECT k, pool FROM r WHERE rn = 1)
+        SELECT '0:' || upper(md5('stake-' || pool) || md5('stake-' || pool)) AS account,
+               k AS lt, CAST(i AS BIGINT) AS nominator_idx,
+               '0:' || upper(md5('nom-' || ((k*7+i) % 100000)) || md5('nom-' || ((k*7+i) % 100000))) AS nominator,
+               k*31 + i*13 AS stake
+        FROM (SELECT k, pool, unnest(range(0, k % 5 + 1)) AS i FROM win)
+        ORDER BY account, nominator_idx
+        """
+    ).df()
+    for c in ("lt", "nominator_idx", "stake"):
+        exp[c] = exp[c].astype("int64")
+    assert len(got)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # non-whitelisted states never win: every 23rd key absent
+    assert not (got["lt"] % 23 == 0).any()
+    # the 1->many fan-out really happened (pools with >1 nominator)
+    assert (got.groupby("account").size() > 1).any()

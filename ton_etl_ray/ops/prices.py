@@ -216,3 +216,151 @@ def pool_tvl_history(sf_dir: str, *, num_buckets: int = 64):
     return _latest_states(
         sf_dir, ["account", "window_id"], num_buckets=num_buckets
     ).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# P25 StakingPoolsParser shape: account-state 1→many flat-map.
+# The reference iterates a lisp-list/hashmap of nominators inside the
+# pool's state cell and emits ONE ROW PER NOMINATOR
+# (parsers/accounts/staking_pools.py:22-67 — "one state → many rows").
+# Cluster shape: whitelist → rank-1 LWW per pool (only the LATEST state
+# fans out, like the reference's latest_account_states feed) → parse the
+# winner's Hashmap(32, nominator) → flat-map to typed rows.
+# ---------------------------------------------------------------------------
+
+N_STAKE_POOLS = 512
+STAKE_MAGIC = 0x5354414B  # "STAK"
+STAKING_CODE_HASH = hashlib.md5(b"staking-pool-code-v1").hexdigest()
+
+
+def encode_stake_state(k: int) -> bytes:
+    """Staking-pool state cell: magic + ^Hashmap(32, nominator) where
+    nominator value = address + stake coins. ``k % 5 + 1`` nominators;
+    nominator i = addr(nom, (k*7+i) % 100000), stake = k*31 + i*13 —
+    all arithmetic, so DuckDB recomputes the fan-out with
+    unnest(range(...))."""
+    from ..boc import build_hashmap_uint
+
+    items = {}
+    for i in range(k % 5 + 1):
+        v = Builder()
+        v.store_address((0, bytes.fromhex(_hex2("nom", (k * 7 + i) % 100000))))
+        v.store_coins(k * 31 + i * 13)
+        items[i] = v.end_cell()
+    b = Builder().store_uint(STAKE_MAGIC, 32)
+    b.store_ref(build_hashmap_uint(items, 32))
+    return serialize_boc(b.end_cell())
+
+
+def synth_stake_states(sf_dir: str):
+    """SF-scaled synthetic staking-pool state feed derived from
+    customer: per c_custkey ``k``, pool = addr(stake, k % 512), lt = k;
+    every 23rd row carries a non-whitelisted code hash and must be
+    dropped by the predicate (staking_pools.py:16-27)."""
+    ensure_portable()
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+    other_hash = hashlib.md5(b"other-code").hexdigest()
+
+    def gen(t: pa.Table) -> pa.Table:
+        ks = t["c_custkey"].to_numpy(zero_copy_only=False)
+        accounts, hashes, bodies = [], [], []
+        for k in ks.tolist():
+            accounts.append(_addr_str("stake", k % N_STAKE_POOLS))
+            hashes.append(other_hash if k % 23 == 0 else STAKING_CODE_HASH)
+            bodies.append(encode_stake_state(k))
+        return pa.table(
+            {
+                "account": pa.array(accounts, pa.string()),
+                "lt": pa.array(ks, pa.int64()),
+                "code_hash": pa.array(hashes, pa.string()),
+                "data_boc": pa.array(bodies, pa.binary()),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_stake_table(sf_dir: str) -> str:
+    return cached_synth_table(sf_dir, "stakes", "customer", synth_stake_states)
+
+
+def stake_dataset(sf_dir: str):
+    return read_synth_dir(ensure_stake_table(sf_dir), _STATE_SCHEMA)
+
+
+_NOM_SCHEMA = pa.schema(
+    [
+        ("account", pa.string()),
+        ("lt", pa.int64()),
+        ("nominator_idx", pa.int64()),
+        ("nominator", pa.string()),
+        ("stake", pa.int64()),
+    ]
+)
+
+
+def staking_nominators(sf_dir: str, *, num_buckets: int = 64):
+    """Latest nominator set per staking pool (P25): code-hash whitelist
+    → rank-1 LWW per account on lt (map-side partial + ONE coarse-bucket
+    shuffle, the engine's A2 reduce) → parse the WINNER state's
+    nominator hashmap → one row per nominator (the 1→many flat-map over
+    account states). Output: account, lt, nominator_idx, nominator,
+    stake."""
+    ensure_portable()
+    from ..boc import parse_hashmap_uint
+    from .relational import _bucketed
+
+    whitelist = pa.scalar(STAKING_CODE_HASH)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["code_hash"], whitelist))
+        df = t.select(["account", "lt", "data_boc"]).to_pandas()
+        df = df.sort_values(["account", "lt"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["account"], keep="last"), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    rank1_schema = pa.schema(
+        [("account", pa.string()), ("lt", pa.int64()), ("data_boc", pa.binary())]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["account", "lt"], kind="mergesort")
+        return g.drop_duplicates(["account"], keep="last")[
+            ["account", "lt", "data_boc"]
+        ]
+
+    winners = _bucketed(
+        stake_dataset(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        "account", per_bucket, rank1_schema, num_buckets=num_buckets,
+    )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        accounts = t["account"].to_pylist()
+        lts = t["lt"].to_pylist()
+        oa, ol, oi, on, ost = [], [], [], [], []
+        for acc, lt, body in zip(accounts, lts, t["data_boc"].to_pylist()):
+            s = parse_boc(body).begin_parse()
+            if s.load_uint(32) != STAKE_MAGIC:
+                raise ValueError("not a staking-pool state cell")
+            for idx, cell in sorted(parse_hashmap_uint(s.load_ref(), 32).items()):
+                v = cell.begin_parse()
+                wc, h = v.load_address()
+                oa.append(acc)
+                ol.append(lt)
+                oi.append(idx)
+                on.append(f"{wc}:{h.hex().upper()}")
+                ost.append(v.load_coins())
+        return pa.table(
+            {
+                "account": pa.array(oa, pa.string()),
+                "lt": pa.array(ol, pa.int64()),
+                "nominator_idx": pa.array(oi, pa.int64()),
+                "nominator": pa.array(on, pa.string()),
+                "stake": pa.array(ost, pa.int64()),
+            },
+            schema=_NOM_SCHEMA,
+        )
+
+    return winners.map_batches(fan_out, batch_format="pyarrow")
