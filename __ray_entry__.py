@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state's nominator hashmap fans out 1->many (flat-map over
         # account states)
         "staking_nominators": prices.staking_nominators,
+        # P26 nft-items shape: code-hash blacklist -> rank-1 -> decode
+        # owner + TEP-64 name/description from winner states only
+        "nft_item_states": prices.nft_item_states,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -806,6 +809,20 @@ def oracle_sql() -> dict[str, str]:
                    '0:' || upper(md5('nom-' || ((k*7+i) % 100000)) || md5('nom-' || ((k*7+i) % 100000))) AS nominator,
                    k*31 + i*13 AS stake
             FROM (SELECT k, pool, unnest(range(0, k % 5 + 1)) AS i FROM win)
+        """,
+        "nft_item_states": """
+            WITH w AS (
+                SELECT p_partkey AS k, p_partkey % 2048 AS pool, p_name, p_brand
+                FROM part WHERE p_partkey % 19 <> 0
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM w
+            )
+            SELECT '0:' || upper(md5('nft-' || pool) || md5('nft-' || pool)) AS account,
+                   k AS lt,
+                   '0:' || upper(md5('own-' || k) || md5('own-' || k)) AS owner,
+                   p_name AS name, p_brand AS description
+            FROM r WHERE rn = 1
         """,
         "profile_events": """
             WITH s AS (

@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "core_prices",
         # account-state 1→many: winner's nominator hashmap fan-out (P25)
         "staking_nominators",
+        # account-state TEP-64 decode from rank-1 winners (P26)
+        "nft_item_states",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
@@ -204,6 +206,7 @@ def run_bench() -> dict:
     # reported separately under "setup_sec".
     from ton_etl_ray.ops.messages import ensure_message_table
     from ton_etl_ray.ops.prices import (
+        ensure_nft_state_table as _ensure_nft_state_table,
         ensure_stake_table as _ensure_stake_table,
         ensure_state_table as _ensure_state_table,
     )
@@ -229,6 +232,7 @@ def run_bench() -> dict:
         "trade_table": _ensure_trade_table,
         "state_table": _ensure_state_table,
         "stake_table": _ensure_stake_table,
+        "nft_state_table": _ensure_nft_state_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

@@ -161,3 +161,51 @@ def test_staking_nominators_matches_duckdb(ray_session):
     assert not (got["lt"] % 23 == 0).any()
     # the 1->many fan-out really happened (pools with >1 nominator)
     assert (got.groupby("account").size() > 1).any()
+
+
+def test_nft_state_roundtrip():
+    """TEP-64-in-state codec: chunked form every 7th key (k=7), snake
+    otherwise."""
+    from ton_etl_ray.boc import decode_tep64
+
+    body = prices.encode_nft_state(7, "Name Seven", "BRAND#7")
+    s = parse_boc(body).begin_parse()
+    assert s.load_uint(32) == prices.NFT_MAGIC
+    wc, h = s.load_address()
+    assert wc == 0 and len(h) == 32
+    attrs = decode_tep64(s.load_ref(), keys=("name", "description"))
+    assert attrs == {"name": "Name Seven", "description": "BRAND#7"}
+
+
+def test_nft_item_states_matches_duckdb(ray_session):
+    got = (
+        prices.nft_item_states(SF)
+        .to_pandas()
+        .sort_values("account")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{SF}/part.parquet')"
+    )
+    exp = con.execute(
+        """
+        WITH w AS (
+            SELECT p_partkey AS k, p_partkey % 2048 AS pool, p_name, p_brand
+            FROM part WHERE p_partkey % 19 <> 0
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+            FROM w
+        )
+        SELECT '0:' || upper(md5('nft-' || pool) || md5('nft-' || pool)) AS account,
+               k AS lt,
+               '0:' || upper(md5('own-' || k) || md5('own-' || k)) AS owner,
+               p_name AS name, p_brand AS description
+        FROM r WHERE rn = 1 ORDER BY account
+        """
+    ).df()
+    exp["lt"] = exp["lt"].astype("int64")
+    assert len(got)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # blacklisted (scam-code) states never win: every 19th key absent
+    assert not (got["lt"] % 19 == 0).any()

@@ -364,3 +364,141 @@ def staking_nominators(sf_dir: str, *, num_buckets: int = 64):
         )
 
     return winners.map_batches(fan_out, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# P26 NFTItemsParser shape: account-state decode with TEP-64 metadata.
+# The reference filters states by code hash (with a LEARNED blacklist,
+# nfts_parser.py:40-43, 140-143), decodes owner + TEP-64 content out of
+# the state data cell (:45-100), and LWW-upserts into nft_items (K2).
+# Cluster shape: blacklist predicate → rank-1 LWW per item on lt →
+# decode owner + TEP-64 attrs from WINNER states only.
+# ---------------------------------------------------------------------------
+
+N_NFT_ITEMS = 2048
+NFT_MAGIC = 0x4E465449  # "NFTI"
+NFT_CODE_HASH = hashlib.md5(b"nft-item-code-v1").hexdigest()
+
+
+def encode_nft_state(k: int, name: str, description: str) -> bytes:
+    """NFT item state cell: magic + owner address + ^TEP-64 on-chain
+    content (name/description) — the decode surface of
+    nfts_parser.py:45-100; every 7th item uses the CHUNKED value form."""
+    from ..boc import encode_tep64_onchain
+
+    b = Builder().store_uint(NFT_MAGIC, 32)
+    b.store_address((0, bytes.fromhex(_hex2("own", k))))
+    b.store_ref(
+        encode_tep64_onchain(
+            {"name": name, "description": description},
+            chunk=8 if k % 7 == 0 else None,
+        )
+    )
+    return serialize_boc(b.end_cell())
+
+
+def synth_nft_states(sf_dir: str):
+    """SF-scaled synthetic nft-item state feed derived from part: per
+    p_partkey ``k``, item account = addr(nft, k % 2048), lt = k,
+    metadata = (p_name, p_brand); every 19th row carries a BLACKLISTED
+    code hash (the learned code_hash_blacklist idiom,
+    nfts_parser.py:140-143) and must be dropped."""
+    ensure_portable()
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    scam_hash = hashlib.md5(b"scam-code").hexdigest()
+
+    def gen(t: pa.Table) -> pa.Table:
+        ks = t["p_partkey"].to_pylist()
+        names = t["p_name"].to_pylist()
+        brands = t["p_brand"].to_pylist()
+        accounts, hashes, bodies = [], [], []
+        for k, nm, br in zip(ks, names, brands):
+            accounts.append(_addr_str("nft", k % N_NFT_ITEMS))
+            hashes.append(scam_hash if k % 19 == 0 else NFT_CODE_HASH)
+            bodies.append(encode_nft_state(k, nm, br))
+        return pa.table(
+            {
+                "account": pa.array(accounts, pa.string()),
+                "lt": pa.array(ks, pa.int64()),
+                "code_hash": pa.array(hashes, pa.string()),
+                "data_boc": pa.array(bodies, pa.binary()),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_nft_state_table(sf_dir: str) -> str:
+    return cached_synth_table(sf_dir, "nftstates", "part", synth_nft_states)
+
+
+_NFT_SCHEMA = pa.schema(
+    [
+        ("account", pa.string()),
+        ("lt", pa.int64()),
+        ("owner", pa.string()),
+        ("name", pa.string()),
+        ("description", pa.string()),
+    ]
+)
+
+
+def nft_item_states(sf_dir: str, *, num_buckets: int = 64):
+    """Latest NFT item rows (P26): code-hash blacklist → rank-1 LWW per
+    item on lt → decode owner + TEP-64 name/description from WINNER
+    states only (decode-after-reduce). Output: account, lt, owner,
+    name, description."""
+    ensure_portable()
+    from ..boc import decode_tep64
+    from .relational import _bucketed
+
+    good = pa.scalar(NFT_CODE_HASH)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["code_hash"], good))
+        df = t.select(["account", "lt", "data_boc"]).to_pandas()
+        df = df.sort_values(["account", "lt"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["account"], keep="last"), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    rank1_schema = pa.schema(
+        [("account", pa.string()), ("lt", pa.int64()), ("data_boc", pa.binary())]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["account", "lt"], kind="mergesort")
+        return g.drop_duplicates(["account"], keep="last")[
+            ["account", "lt", "data_boc"]
+        ]
+
+    winners = _bucketed(
+        read_synth_dir(ensure_nft_state_table(sf_dir), _STATE_SCHEMA)
+        .map_batches(partial, batch_format="pyarrow"),
+        "account", per_bucket, rank1_schema, num_buckets=num_buckets,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        owners, names, descs = [], [], []
+        for body in t["data_boc"].to_pylist():
+            s = parse_boc(body).begin_parse()
+            if s.load_uint(32) != NFT_MAGIC:
+                raise ValueError("not an nft item state cell")
+            wc, h = s.load_address()
+            owners.append(f"{wc}:{h.hex().upper()}")
+            attrs = decode_tep64(s.load_ref(), keys=("name", "description"))
+            names.append(attrs.get("name"))
+            descs.append(attrs.get("description"))
+        return pa.table(
+            {
+                "account": t["account"],
+                "lt": t["lt"],
+                "owner": pa.array(owners, pa.string()),
+                "name": pa.array(names, pa.string()),
+                "description": pa.array(descs, pa.string()),
+            },
+            schema=_NFT_SCHEMA,
+        )
+
+    return winners.map_batches(decode, batch_format="pyarrow")
