@@ -144,3 +144,10 @@ def read_synth_dir(base: str, empty_schema: "pa.Schema") -> "rd.Dataset":
         return rd.from_arrow(empty_schema.empty_table())
     schema = _pq.read_schema(files[0]).remove_metadata()
     return rd.read_parquet(files, schema=schema)
+
+
+def fmt_addr(a) -> "str | None":
+    """Raw-form address string from a decoded MsgAddress tuple —
+    None-safe (``addr_none`` is a legal TL-B form and decodes to None).
+    The one definition behind every parser family's address output."""
+    return f"{a[0]}:{a[1].hex().upper()}" if a is not None else None

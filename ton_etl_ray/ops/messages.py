@@ -52,7 +52,7 @@ from ..boc import (
     serialize_boc,
     uf2raw,
 )
-from ._util import read_table
+from ._util import fmt_addr, read_table
 
 OP_BY_TYPE = {
     "click": 0x00000000,
@@ -231,10 +231,7 @@ class BocDecodeStage:
             query_ids[i] = s.load_uint(64)
             if op == self._transfer_op:
                 amounts[i] = s.load_coins()
-                addr = s.load_address()
-                if addr is not None:
-                    wc, h = addr
-                    dests[i] = f"{wc}:{h.hex().upper()}"
+                dests[i] = fmt_addr(s.load_address())
         return pa.table(
             {
                 "event_id": pa.array(eids, pa.int64()),

@@ -47,7 +47,7 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, read_synth_dir, read_table
+from ._util import addr_str as _addr_str_u, cached_synth_table, fmt_addr, hex2 as _hex2_u, read_synth_dir, read_table
 
 N_POOLS = 4096
 POOL_MAGIC = 0x504F4F4C  # "POOL"
@@ -117,20 +117,20 @@ def state_dataset(sf_dir: str):
     return read_synth_dir(ensure_state_table(sf_dir), _STATE_SCHEMA)
 
 
-def _whitelisted(t: pa.Table) -> pa.Table:
-    return t.filter(pc.equal(t["code_hash"], pa.scalar(AMM_CODE_HASH)))
-
-
-def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
-    """Shared rank-1-by-lt reduce over whitelisted states, keyed on
-    ``key_cols`` (account, or account+window): map-side partial argmax
-    per block, then ONE coarse-bucket shuffle on the first key with the
-    final argmax vectorized inside each bucket (the engine's A2 reduce
-    in the proven _bucketed shape — never one Python call per key)."""
+def _rank1_states(ds, code_hash: str, key_cols: list[str], *, num_buckets: int):
+    """Shared rank-1-by-lt reduce over code-hash-whitelisted states,
+    keyed on ``key_cols`` (account, or account+window): map-side
+    partial argmax per block, then ONE coarse-bucket shuffle on the
+    first key with the final argmax vectorized inside each bucket (the
+    engine's A2 reduce in the proven _bucketed shape — never one
+    Python call per key). The single implementation behind every
+    account-state parser family (P21-P26)."""
     from .relational import _bucketed
 
+    whitelist = pa.scalar(code_hash)
+
     def partial(t: pa.Table) -> pa.Table:
-        t = _whitelisted(t)
+        t = t.filter(pc.equal(t["code_hash"], whitelist))
         df = t.select(key_cols + ["lt", "data_boc"]).to_pandas()
         df = df.sort_values(key_cols + ["lt"], kind="mergesort")
         return pa.Table.from_pandas(
@@ -148,6 +148,14 @@ def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
             key_cols + ["lt", "data_boc"]
         ]
 
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed(partials, "account", per_bucket, out_schema,
+                     num_buckets=num_buckets)
+
+
+def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
+    """AMM-pool rank-1 (P21-P24): the shared reduce over the
+    orders-derived state table, optionally windowed on lt."""
     ds = state_dataset(sf_dir)
     if "window_id" in key_cols:
         def add_window(t: pa.Table) -> pa.Table:
@@ -155,9 +163,7 @@ def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
             return t.append_column("window_id", pa.array(w, pa.int64()))
 
         ds = ds.map_batches(add_window, batch_format="pyarrow")
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return _bucketed(partials, "account", per_bucket, out_schema,
-                     num_buckets=num_buckets)
+    return _rank1_states(ds, AMM_CODE_HASH, key_cols, num_buckets=num_buckets)
 
 
 def _decode_reserves(t: pa.Table, extra_cols: list[str]) -> pa.Table:
@@ -309,31 +315,10 @@ def staking_nominators(sf_dir: str, *, num_buckets: int = 64):
     stake."""
     ensure_portable()
     from ..boc import parse_hashmap_uint
-    from .relational import _bucketed
 
-    whitelist = pa.scalar(STAKING_CODE_HASH)
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["code_hash"], whitelist))
-        df = t.select(["account", "lt", "data_boc"]).to_pandas()
-        df = df.sort_values(["account", "lt"], kind="mergesort")
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["account"], keep="last"), preserve_index=False
-        ).replace_schema_metadata(None)
-
-    rank1_schema = pa.schema(
-        [("account", pa.string()), ("lt", pa.int64()), ("data_boc", pa.binary())]
-    )
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["account", "lt"], kind="mergesort")
-        return g.drop_duplicates(["account"], keep="last")[
-            ["account", "lt", "data_boc"]
-        ]
-
-    winners = _bucketed(
-        stake_dataset(sf_dir).map_batches(partial, batch_format="pyarrow"),
-        "account", per_bucket, rank1_schema, num_buckets=num_buckets,
+    winners = _rank1_states(
+        stake_dataset(sf_dir), STAKING_CODE_HASH, ["account"],
+        num_buckets=num_buckets,
     )
 
     def fan_out(t: pa.Table) -> pa.Table:
@@ -346,11 +331,13 @@ def staking_nominators(sf_dir: str, *, num_buckets: int = 64):
                 raise ValueError("not a staking-pool state cell")
             for idx, cell in sorted(parse_hashmap_uint(s.load_ref(), 32).items()):
                 v = cell.begin_parse()
-                wc, h = v.load_address()
+                nom = fmt_addr(v.load_address())
+                if nom is None:
+                    raise ValueError("addr_none nominator in staking state")
                 oa.append(acc)
                 ol.append(lt)
                 oi.append(idx)
-                on.append(f"{wc}:{h.hex().upper()}")
+                on.append(nom)
                 ost.append(v.load_coins())
         return pa.table(
             {
@@ -451,32 +438,10 @@ def nft_item_states(sf_dir: str, *, num_buckets: int = 64):
     name, description."""
     ensure_portable()
     from ..boc import decode_tep64
-    from .relational import _bucketed
 
-    good = pa.scalar(NFT_CODE_HASH)
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["code_hash"], good))
-        df = t.select(["account", "lt", "data_boc"]).to_pandas()
-        df = df.sort_values(["account", "lt"], kind="mergesort")
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["account"], keep="last"), preserve_index=False
-        ).replace_schema_metadata(None)
-
-    rank1_schema = pa.schema(
-        [("account", pa.string()), ("lt", pa.int64()), ("data_boc", pa.binary())]
-    )
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["account", "lt"], kind="mergesort")
-        return g.drop_duplicates(["account"], keep="last")[
-            ["account", "lt", "data_boc"]
-        ]
-
-    winners = _bucketed(
-        read_synth_dir(ensure_nft_state_table(sf_dir), _STATE_SCHEMA)
-        .map_batches(partial, batch_format="pyarrow"),
-        "account", per_bucket, rank1_schema, num_buckets=num_buckets,
+    winners = _rank1_states(
+        read_synth_dir(ensure_nft_state_table(sf_dir), _STATE_SCHEMA),
+        NFT_CODE_HASH, ["account"], num_buckets=num_buckets,
     )
 
     def decode(t: pa.Table) -> pa.Table:
@@ -485,8 +450,7 @@ def nft_item_states(sf_dir: str, *, num_buckets: int = 64):
             s = parse_boc(body).begin_parse()
             if s.load_uint(32) != NFT_MAGIC:
                 raise ValueError("not an nft item state cell")
-            wc, h = s.load_address()
-            owners.append(f"{wc}:{h.hex().upper()}")
+            owners.append(fmt_addr(s.load_address()))
             attrs = decode_tep64(s.load_ref(), keys=("name", "description"))
             names.append(attrs.get("name"))
             descs.append(attrs.get("description"))

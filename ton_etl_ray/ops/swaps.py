@@ -264,8 +264,7 @@ _REQ_SCHEMA = pa.schema(
 )
 
 
-def _fmt_addr(a) -> str | None:
-    return f"{a[0]}:{a[1].hex().upper()}" if a is not None else None
+from ._util import fmt_addr as _fmt_addr  # noqa: E402 — shared None-safe formatter
 
 
 def _op_scalar(op: int) -> pa.Scalar:

@@ -158,8 +158,7 @@ def trade_message_dataset(sf_dir: str):
     return read_synth_dir(ensure_trade_table(sf_dir), _MSG_SCHEMA)
 
 
-def _fmt_addr(a) -> str | None:
-    return f"{a[0]}:{a[1].hex().upper()}" if a is not None else None
+from ._util import fmt_addr as _fmt_addr  # noqa: E402 — shared None-safe formatter
 
 
 def _claim(t: pa.Table, ops: list[int]) -> pa.Table:

@@ -11,6 +11,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .ops._util import fmt_addr
 from .registry import Transform, register
 
 
@@ -209,9 +210,9 @@ class JettonTransferParse(Transform):
             # MsgAddress legitimately includes addr_none (common for
             # response_destination on-chain) — emit NULL, don't crash
             dest = s.load_address()
-            dests.append(f"{dest[0]}:{dest[1].hex().upper()}" if dest else None)
+            dests.append(fmt_addr(dest))
             resp = s.load_address()  # response_destination
-            resps.append(f"{resp[0]}:{resp[1].hex().upper()}" if resp else None)
+            resps.append(fmt_addr(resp))
             has_custom[i] = bool(s.load_bit())  # custom_payload:(Maybe ^Cell)
             if has_custom[i]:
                 s.load_ref()  # present but opaque to this parser
