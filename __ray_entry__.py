@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, messages, ml, multimodal, prices, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens, trades
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, multimodal, nft_history, prices, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens, trades, wallets
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -317,6 +317,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P26 nft-items shape: code-hash blacklist -> rank-1 -> decode
         # owner + TEP-64 name/description from winner states only
         "nft_item_states": prices.nft_item_states,
+        # P4 megaton shape: parser over a DERIVED typed table with
+        # in-trace chain reassembly (one hash join on trace_id)
+        "megaton_swaps": megaton.megaton_swaps,
+        # P20 nft-history shape: broadcast sale-contract dim probed on
+        # BOTH owner columns, vectorized 5-way classification
+        "nft_history": nft_history.nft_history,
+        # P28 wallets-recover shape: code whitelist -> storage decode ->
+        # authenticity by recomputing the StateInit account address
+        "wallets_recover": wallets.wallets_recover,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -823,6 +832,50 @@ def oracle_sql() -> dict[str, str]:
                    '0:' || upper(md5('own-' || k) || md5('own-' || k)) AS owner,
                    p_name AS name, p_brand AS description
             FROM r WHERE rn = 1
+        """,
+        "megaton_swaps": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 16 AS pool
+                FROM orders WHERE o_orderkey % 9 <> 0
+            )
+            SELECT md5('mo-' || k) AS tx_hash,
+                   md5('mtr-' || k) AS trace_id,
+                   '0:' || upper(md5('user-' || c) || md5('user-' || c)) AS swap_user,
+                   '0:' || upper(md5('mrouter-' || (k % 2)) || md5('mrouter-' || (k % 2))) AS router,
+                   '0:' || upper(md5('m0-' || pool) || md5('m0-' || pool)) AS swap_src_token,
+                   k * 21 + 5 AS swap_src_amount,
+                   '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool)) AS swap_dst_token,
+                   k * 13 + 2 AS swap_dst_amount
+            FROM w
+        """,
+        "nft_history": """
+            WITH w AS (
+                SELECT p_partkey AS k, p_partkey % 32 AS s, p_partkey % 5 AS m
+                FROM part
+            )
+            SELECT md5('nt-' || k) AS tx_hash,
+                   '0:' || upper(md5('nft-' || k) || md5('nft-' || k)) AS nft_address,
+                   CASE m WHEN 0 THEN 'init_sale' WHEN 1 THEN 'sale'
+                          WHEN 2 THEN 'cancel_sale' WHEN 3 THEN 'burn'
+                          ELSE 'transfer' END AS event_type,
+                   CASE WHEN m IN (1, 2)
+                        THEN '0:' || upper(md5('sale-' || s) || md5('sale-' || s))
+                        ELSE '0:' || upper(md5('u-' || k) || md5('u-' || k)) END AS old_owner,
+                   CASE m WHEN 0 THEN '0:' || upper(md5('sale-' || s) || md5('sale-' || s))
+                          WHEN 1 THEN '0:' || upper(md5('u-' || k) || md5('u-' || k))
+                          WHEN 2 THEN '0:' || upper(md5('seller-' || s) || md5('seller-' || s))
+                          WHEN 3 THEN NULL
+                          ELSE '0:' || upper(md5('v-' || k) || md5('v-' || k)) END AS new_owner,
+                   k * 10 AS lt
+            FROM w
+        """,
+        "wallets_recover": """
+            SELECT c_custkey AS account_id,
+                   c_custkey * 11 + 1 AS balance,
+                   '0:' || upper(md5('own-' || c_custkey) || md5('own-' || c_custkey)) AS owner,
+                   '0:' || upper(md5('jm-' || (c_custkey % 8)) || md5('jm-' || (c_custkey % 8))) AS master,
+                   c_custkey % 5 <> 0 AS authentic
+            FROM customer WHERE c_custkey % 7 <> 0
         """,
         "profile_events": """
             WITH s AS (

@@ -416,6 +416,52 @@ def parse_boc(data: bytes) -> Cell:
 
 
 # ---------------------------------------------------------------------------
+# Standard (representation) cell hash + StateInit — the math behind TON
+# account addresses: address hash part == cell_hash(StateInit(code, data)).
+# This is what the reference's wallet-authenticity check computes through
+# the emulator's get_wallet_address (jetton_wallets_recover.py:40-56); here
+# it is plain public-spec arithmetic, no VM needed.
+# ---------------------------------------------------------------------------
+
+
+def _cell_depth(c: Cell) -> int:
+    return 0 if not c.refs else 1 + max(_cell_depth(r) for r in c.refs)
+
+
+def cell_hash(c: Cell) -> bytes:
+    """sha256 standard hash of an ordinary level-0 cell: d1 d2 + padded
+    data (with completion tag) + per-ref 16-bit depth + per-ref child
+    hash, children hashed first."""
+    d1 = len(c.refs)
+    d2 = c.bit_len // 8 + (c.bit_len + 7) // 8
+    data = bytearray(c.data[: (c.bit_len + 7) // 8])
+    if c.bit_len % 8:
+        data[-1] |= 0x80 >> (c.bit_len % 8)
+    body = bytearray((d1, d2)) + data
+    for r in c.refs:
+        body += _cell_depth(r).to_bytes(2, "big")
+    for r in c.refs:
+        body += cell_hash(r)
+    return hashlib.sha256(bytes(body)).digest()
+
+
+def state_init_cell(code: Cell, data: Cell) -> Cell:
+    """``state_init$_ split_depth:(Maybe (## 5)) special:(Maybe TickTock)
+    code:(Maybe ^Cell) data:(Maybe ^Cell) library:(HashmapE 256 ..)`` with
+    no split_depth/special/library — the standard wallet StateInit."""
+    b = Builder().store_uint(0, 2)  # no split_depth, no special
+    b.store_bit(1).store_ref(code)
+    b.store_bit(1).store_ref(data)
+    b.store_bit(0)  # empty library dict
+    return b.end_cell()
+
+
+def state_init_address(code: Cell, data: Cell, *, workchain: int = 0) -> str:
+    """Raw canonical address of the account a StateInit deploys to."""
+    return f"{workchain}:{cell_hash(state_init_cell(code, data)).hex().upper()}"
+
+
+# ---------------------------------------------------------------------------
 # Addresses (TEP-2 user-friendly form ↔ raw canonical form)
 # ---------------------------------------------------------------------------
 
