@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, multimodal, nft_history, prices, profile, relational as R, sampling, scrub, sketch, swaps, text, tokens, trades, wallets
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P28 wallets-recover shape: code whitelist -> storage decode ->
         # authenticity by recomputing the StateInit account address
         "wallets_recover": wallets.wallets_recover,
+        # P29 nft-sales shape: whitelist -> rank-1 -> decode fixprice
+        # winners with the jetton-price hashmap fallback branch
+        "nft_sales": sales.nft_sales,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -876,6 +879,36 @@ def oracle_sql() -> dict[str, str]:
                    '0:' || upper(md5('jm-' || (c_custkey % 8)) || md5('jm-' || (c_custkey % 8))) AS master,
                    c_custkey % 5 <> 0 AS authentic
             FROM customer WHERE c_custkey % 7 <> 0
+        """,
+        "nft_sales": """
+            WITH w AS (
+                SELECT s_suppkey AS k, s_suppkey % 1024 AS pool
+                FROM supplier WHERE s_suppkey % 13 <> 0
+            ), r AS (
+                SELECT k, pool,
+                       row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM w
+            ), f AS (
+                SELECT k, pool,
+                       CASE WHEN k%5=0 THEN k*991+7 ELSE k*113+5 END AS full_price,
+                       k % 2500 AS feep, k % 1500 AS royp
+                FROM r WHERE rn = 1
+            )
+            SELECT '0:' || upper(md5('sale-'||pool)||md5('sale-'||pool)) AS account,
+                   k AS lt,
+                   k % 2 AS is_complete,
+                   (k*1009) % 2147483648 AS created_at,
+                   '0:' || upper(md5('mkt-'||(k%16))||md5('mkt-'||(k%16))) AS marketplace,
+                   '0:' || upper(md5('snft-'||(k%2048))||md5('snft-'||(k%2048))) AS nft,
+                   '0:' || upper(md5('sown-'||(k%1000))||md5('sown-'||(k%1000))) AS owner,
+                   full_price,
+                   CASE WHEN k%5=0 THEN '0:'||upper(md5('jet-'||(k%64))||md5('jet-'||(k%64)))
+                        ELSE 'TON' END AS asset,
+                   '0:' || upper(md5('fee-'||(k%8))||md5('fee-'||(k%8))) AS marketplace_fee_address,
+                   full_price * feep // 100000 AS marketplace_fee,
+                   '0:' || upper(md5('roy-'||(k%8))||md5('roy-'||(k%8))) AS royalty_address,
+                   full_price * royp // 100000 AS royalty_amount
+            FROM f
         """,
         "profile_events": """
             WITH s AS (

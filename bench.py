@@ -205,6 +205,8 @@ def run_bench() -> dict:
         "nft_history",
         # code whitelist → storage decode → StateInit-hash auth (P28)
         "wallets_recover",
+        # fixprice-sale decode with the jetton-price fallback (P29)
+        "nft_sales",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
@@ -220,6 +222,7 @@ def run_bench() -> dict:
     from ton_etl_ray.ops.nft_history import ensure_transfer_table as _ensure_nfthist_table
     from ton_etl_ray.ops.swaps import ensure_swap_table as _ensure_swap_table
     from ton_etl_ray.ops.trades import ensure_trade_table as _ensure_trade_table
+    from ton_etl_ray.ops.sales import ensure_sale_table as _ensure_sale_table
     from ton_etl_ray.ops.wallets import ensure_state_table as _ensure_wallet_table
     from ton_etl_ray.pipelines import (
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
@@ -246,6 +249,8 @@ def run_bench() -> dict:
         "megaton_table": _ensure_megaton_table,
         "nfthist_table": _ensure_nfthist_table,
         "wallet_table": _ensure_wallet_table,
+        # P29 input: sale-contract state table
+        "sale_table": _ensure_sale_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

@@ -1,0 +1,188 @@
+"""P29 NFTSalesParser shape (reference parsers/accounts/nft_sales.py:16-78):
+the getgems-v4 fixprice sale-contract decoder over latest account states.
+
+The reference filters states by a sale-contract code-hash whitelist
+(nft_sales.py:20-21), calls the contract's ``get_fix_price_data_v4``
+get-method, and serializes an ExtraNFTSale row: completion flag,
+marketplace / nft / owner addresses, price, fee and royalty addresses
+plus DERIVED integer fee amounts (``full_price * fee_percent /
+100000``, nft_sales.py:65-68), and — the distinguishing branch — a
+JETTON-PRICE FALLBACK: when ``full_price`` is zero and the state
+carries a jetton-price dict, the FIRST value of that Hashmap(256)
+supplies the price and the asset address (nft_sales.py:44-48);
+otherwise the asset is the literal 'TON'.
+
+Cluster shape (same decode-after-reduce order as the rest of the
+account-state family, ops/prices.py):
+
+1. vectorized code-hash whitelist,
+2. rank-1 LWW per sale contract on lt (map-side partial argmax + ONE
+   coarse-bucket shuffle — the engine's A2 reduce via
+   ``prices._rank1_states``),
+3. decode the WINNER state cells only: fixed fields, then the
+   maybe-ref jetton-price hashmap branch,
+4. integer fee arithmetic (no floats — keeps the DuckDB oracle
+   bit-exact).
+
+The state table is DETERMINISTIC, derived from supplier: per
+``s_suppkey k``, contract = addr(sale, k % 1024), lt = k; every 13th
+row carries a non-whitelisted code hash (dropped, like non-getgems
+contracts); every 5th surviving row has full_price=0 plus the
+jetton-price dict (exercising the fallback), the rest a plain TON
+price. A DuckDB oracle recomputes rank-1 with a window function and
+every field arithmetically (see __ray_entry__.oracle_sql()['nft_sales']).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from .._pickle import ensure_portable
+from ..boc import Builder, build_hashmap_uint, parse_boc, parse_hashmap_uint, serialize_boc
+from ._util import addr_bytes, addr_str, cached_synth_table, fmt_addr, read_synth_dir, read_table
+from .prices import _STATE_SCHEMA, _rank1_states
+
+N_SALES = 1024
+SALE_MAGIC = 0x53414C45  # "SALE"
+SALES_CODE_HASH = hashlib.md5(b"getgems-sale-v4").hexdigest()
+
+
+def encode_sale_state(k: int) -> bytes:
+    """Fixprice-v4 sale data cell in ``get_fix_price_data_v4`` field
+    order (nft_sales.py:27-42): flags, created_at, marketplace / nft /
+    owner addresses, full_price coins, fee + royalty address/percent
+    pairs, then the maybe-ref jetton-price Hashmap(256) the fallback
+    branch reads."""
+    jetton_priced = k % 5 == 0
+    b = Builder().store_uint(SALE_MAGIC, 32)
+    b.store_bit(k % 2)  # is_complete
+    b.store_uint((k * 1009) % 2**31, 32)  # created_at
+    b.store_address((0, addr_bytes("mkt", k % 16)))
+    b.store_address((0, addr_bytes("snft", k % 2048)))
+    b.store_address((0, addr_bytes("sown", k % 1000)))
+    b.store_coins(0 if jetton_priced else k * 113 + 5)
+    # fee/royalty pair lives in its own ref (a root cell caps at 1023
+    # bits — five 267-bit addresses cannot share one cell)
+    fees = Builder()
+    fees.store_address((0, addr_bytes("fee", k % 8)))
+    fees.store_uint(k % 2500, 24)  # fee_percent (1e5 = 100%)
+    fees.store_address((0, addr_bytes("roy", k % 8)))
+    fees.store_uint(k % 1500, 24)  # royalty_percent
+    b.store_ref(fees.end_cell())
+    if jetton_priced:
+        jet = addr_bytes("jet", k % 64)
+        v = Builder()
+        v.store_coins(k * 991 + 7)
+        v.store_address((0, jet))
+        b.store_bit(1)
+        b.store_ref(build_hashmap_uint({int.from_bytes(jet, "big"): v.end_cell()}, 256))
+    else:
+        b.store_bit(0)
+    return serialize_boc(b.end_cell())
+
+
+def synth_sale_states(sf_dir: str):
+    """SF-scaled synthetic sale-contract state feed (module doc),
+    generated as a distributed ``map_batches`` stage over supplier."""
+    ensure_portable()
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    other_hash = hashlib.md5(b"other-sale-code").hexdigest()
+
+    def gen(t: pa.Table) -> pa.Table:
+        ks = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        accounts, hashes, bodies = [], [], []
+        for k in ks.tolist():
+            accounts.append(addr_str("sale", k % N_SALES))
+            hashes.append(other_hash if k % 13 == 0 else SALES_CODE_HASH)
+            bodies.append(encode_sale_state(k))
+        return pa.table(
+            {
+                "account": pa.array(accounts, pa.string()),
+                "lt": pa.array(ks, pa.int64()),
+                "code_hash": pa.array(hashes, pa.string()),
+                "data_boc": pa.array(bodies, pa.binary()),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_sale_table(sf_dir: str) -> str:
+    return cached_synth_table(sf_dir, "salestates", "supplier", synth_sale_states)
+
+
+_SALE_SCHEMA = pa.schema(
+    [
+        ("account", pa.string()),
+        ("lt", pa.int64()),
+        ("is_complete", pa.int64()),
+        ("created_at", pa.int64()),
+        ("marketplace", pa.string()),
+        ("nft", pa.string()),
+        ("owner", pa.string()),
+        ("full_price", pa.int64()),
+        ("asset", pa.string()),
+        ("marketplace_fee_address", pa.string()),
+        ("marketplace_fee", pa.int64()),
+        ("royalty_address", pa.string()),
+        ("royalty_amount", pa.int64()),
+    ]
+)
+
+
+def nft_sales(sf_dir: str, *, num_buckets: int = 64):
+    """Latest sale row per contract (P29): whitelist → rank-1 LWW per
+    account on lt → decode WINNER fixprice cells, taking the first
+    jetton-price hashmap value when full_price is zero
+    (nft_sales.py:44-48) → integer fee/royalty amounts
+    (nft_sales.py:65-68). ``is_complete`` is emitted as int64 0/1 so
+    the DuckDB oracle hash stays type-stable."""
+    ensure_portable()
+
+    winners = _rank1_states(
+        read_synth_dir(ensure_sale_table(sf_dir), _STATE_SCHEMA),
+        SALES_CODE_HASH,
+        ["account"],
+        num_buckets=num_buckets,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            c: [] for c in _SALE_SCHEMA.names if c not in ("account", "lt")
+        }
+        for body in t["data_boc"].to_pylist():
+            s = parse_boc(body).begin_parse()
+            if s.load_uint(32) != SALE_MAGIC:
+                raise ValueError("not a fixprice sale state cell")
+            cols["is_complete"].append(s.load_bit())
+            cols["created_at"].append(s.load_uint(32))
+            cols["marketplace"].append(fmt_addr(s.load_address()))
+            cols["nft"].append(fmt_addr(s.load_address()))
+            cols["owner"].append(fmt_addr(s.load_address()))
+            full_price = s.load_coins()
+            fees = s.load_ref().begin_parse()
+            cols["marketplace_fee_address"].append(fmt_addr(fees.load_address()))
+            fee_percent = fees.load_uint(24)
+            cols["royalty_address"].append(fmt_addr(fees.load_address()))
+            royalty_percent = fees.load_uint(24)
+            asset = "TON"
+            if s.load_bit():  # maybe-ref jetton price dict
+                items = parse_hashmap_uint(s.load_ref(), 256)
+                if not full_price and items:
+                    v = items[min(items)].begin_parse()
+                    full_price = v.load_coins()
+                    asset = fmt_addr(v.load_address())
+            cols["full_price"].append(full_price)
+            cols["asset"].append(asset)
+            cols["marketplace_fee"].append(full_price * fee_percent // 100000)
+            cols["royalty_amount"].append(full_price * royalty_percent // 100000)
+        out = {"account": t["account"], "lt": t["lt"]}
+        for name in _SALE_SCHEMA.names:
+            if name not in out:
+                out[name] = pa.array(cols[name], _SALE_SCHEMA.field(name).type)
+        return pa.table(out, schema=_SALE_SCHEMA)
+
+    return winners.map_batches(decode, batch_format="pyarrow")
