@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P29 nft-sales shape: whitelist -> rank-1 -> decode fixprice
         # winners with the jetton-price hashmap fallback branch
         "nft_sales": sales.nft_sales,
+        # J4/C10 get_nft_sale shape: fixprice ∪ auction contract
+        # families normalized into one typed table (lazy union)
+        "nft_sale_union": sales.nft_sale_union,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -909,6 +912,45 @@ def oracle_sql() -> dict[str, str]:
                    '0:' || upper(md5('roy-'||(k%8))||md5('roy-'||(k%8))) AS royalty_address,
                    full_price * royp // 100000 AS royalty_amount
             FROM f
+        """,
+        "nft_sale_union": """
+            WITH wf AS (
+                SELECT s_suppkey AS k, s_suppkey % 1024 AS pool
+                FROM supplier WHERE s_suppkey % 13 <> 0
+            ), rf AS (
+                SELECT k, pool,
+                       row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM wf
+            ), wa AS (
+                SELECT s_suppkey AS k, s_suppkey % 512 AS pool
+                FROM supplier WHERE s_suppkey % 11 <> 0
+            ), ra AS (
+                SELECT k, pool,
+                       row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+                FROM wa
+            )
+            SELECT '0:' || upper(md5('sale-'||pool)||md5('sale-'||pool)) AS account,
+                   k AS lt,
+                   'fixprice' AS sale_type,
+                   '0:' || upper(md5('snft-'||(k%2048))||md5('snft-'||(k%2048))) AS nft,
+                   '0:' || upper(md5('sown-'||(k%1000))||md5('sown-'||(k%1000))) AS owner,
+                   '0:' || upper(md5('mkt-'||(k%16))||md5('mkt-'||(k%16))) AS marketplace,
+                   CASE WHEN k%5=0 THEN k*991+7 ELSE k*113+5 END AS price,
+                   CASE WHEN k%5=0 THEN '0:'||upper(md5('jet-'||(k%64))||md5('jet-'||(k%64)))
+                        ELSE 'TON' END AS asset,
+                   k % 2 AS is_complete
+            FROM rf WHERE rn = 1
+            UNION ALL
+            SELECT '0:' || upper(md5('auc-'||pool)||md5('auc-'||pool)) AS account,
+                   k AS lt,
+                   'auction' AS sale_type,
+                   '0:' || upper(md5('snft-'||((k*3)%2048))||md5('snft-'||((k*3)%2048))) AS nft,
+                   '0:' || upper(md5('sown-'||((k*7)%1000))||md5('sown-'||((k*7)%1000))) AS owner,
+                   '0:' || upper(md5('mkt-'||(k%16))||md5('mkt-'||(k%16))) AS marketplace,
+                   CASE WHEN k%4=0 THEN k*57+3 ELSE k*209+11 END AS price,
+                   'TON' AS asset,
+                   CASE WHEN k%3=0 THEN 1 ELSE 0 END AS is_complete
+            FROM ra WHERE rn = 1
         """,
         "profile_events": """
             WITH s AS (

@@ -207,6 +207,8 @@ def run_bench() -> dict:
         "wallets_recover",
         # fixprice-sale decode with the jetton-price fallback (P29)
         "nft_sales",
+        # sales ∪ auctions normalized union (J4/C10 get_nft_sale)
+        "nft_sale_union",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
@@ -222,7 +224,10 @@ def run_bench() -> dict:
     from ton_etl_ray.ops.nft_history import ensure_transfer_table as _ensure_nfthist_table
     from ton_etl_ray.ops.swaps import ensure_swap_table as _ensure_swap_table
     from ton_etl_ray.ops.trades import ensure_trade_table as _ensure_trade_table
-    from ton_etl_ray.ops.sales import ensure_sale_table as _ensure_sale_table
+    from ton_etl_ray.ops.sales import (
+        ensure_auction_table as _ensure_auction_table,
+        ensure_sale_table as _ensure_sale_table,
+    )
     from ton_etl_ray.ops.wallets import ensure_state_table as _ensure_wallet_table
     from ton_etl_ray.pipelines import (
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
@@ -251,6 +256,8 @@ def run_bench() -> dict:
         "wallet_table": _ensure_wallet_table,
         # P29 input: sale-contract state table
         "sale_table": _ensure_sale_table,
+        # J4 union input: auction-contract state table
+        "auction_table": _ensure_auction_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

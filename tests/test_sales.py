@@ -101,3 +101,65 @@ def test_nft_sales_matches_duckdb(ray_session):
     jet = got["asset"] != "TON"
     assert (got.loc[jet, "lt"] % 5 == 0).all()
     assert (got.loc[~jet, "full_price"] == got.loc[~jet, "lt"] * 113 + 5).all()
+
+
+def test_nft_sale_union_matches_duckdb(ray_session):
+    got = (
+        sales.nft_sale_union(SF)
+        .to_pandas()
+        .sort_values(["sale_type", "account"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{SF}/supplier.parquet')"
+    )
+    exp = con.execute(
+        """
+        WITH wf AS (
+            SELECT s_suppkey AS k, s_suppkey % 1024 AS pool
+            FROM supplier WHERE s_suppkey % 13 <> 0
+        ), rf AS (
+            SELECT k, pool,
+                   row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+            FROM wf
+        ), wa AS (
+            SELECT s_suppkey AS k, s_suppkey % 512 AS pool
+            FROM supplier WHERE s_suppkey % 11 <> 0
+        ), ra AS (
+            SELECT k, pool,
+                   row_number() OVER (PARTITION BY pool ORDER BY k DESC) AS rn
+            FROM wa
+        )
+        SELECT '0:' || upper(md5('sale-'||pool)||md5('sale-'||pool)) AS account,
+               k AS lt, 'fixprice' AS sale_type,
+               '0:' || upper(md5('snft-'||(k%2048))||md5('snft-'||(k%2048))) AS nft,
+               '0:' || upper(md5('sown-'||(k%1000))||md5('sown-'||(k%1000))) AS owner,
+               '0:' || upper(md5('mkt-'||(k%16))||md5('mkt-'||(k%16))) AS marketplace,
+               CASE WHEN k%5=0 THEN k*991+7 ELSE k*113+5 END AS price,
+               CASE WHEN k%5=0 THEN '0:'||upper(md5('jet-'||(k%64))||md5('jet-'||(k%64)))
+                    ELSE 'TON' END AS asset,
+               k % 2 AS is_complete
+        FROM rf WHERE rn = 1
+        UNION ALL
+        SELECT '0:' || upper(md5('auc-'||pool)||md5('auc-'||pool)) AS account,
+               k AS lt, 'auction' AS sale_type,
+               '0:' || upper(md5('snft-'||((k*3)%2048))||md5('snft-'||((k*3)%2048))) AS nft,
+               '0:' || upper(md5('sown-'||((k*7)%1000))||md5('sown-'||((k*7)%1000))) AS owner,
+               '0:' || upper(md5('mkt-'||(k%16))||md5('mkt-'||(k%16))) AS marketplace,
+               CASE WHEN k%4=0 THEN k*57+3 ELSE k*209+11 END AS price,
+               'TON' AS asset,
+               CASE WHEN k%3=0 THEN 1 ELSE 0 END AS is_complete
+        FROM ra WHERE rn = 1
+        ORDER BY sale_type, account
+        """
+    ).df()
+    for c in exp.columns:
+        if exp[c].dtype.kind in "iu":
+            exp[c] = exp[c].astype("int64")
+    assert set(got["sale_type"]) == {"fixprice", "auction"}
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=True)
+    # unbid auctions fall back to min_bid (the auction price branch)
+    auc = got[got["sale_type"] == "auction"]
+    unbid = auc["lt"] % 4 == 0
+    assert (auc.loc[unbid, "price"] == auc.loc[unbid, "lt"] * 57 + 3).all()

@@ -48,6 +48,10 @@ N_SALES = 1024
 SALE_MAGIC = 0x53414C45  # "SALE"
 SALES_CODE_HASH = hashlib.md5(b"getgems-sale-v4").hexdigest()
 
+N_AUCTIONS = 512
+AUCTION_MAGIC = 0x41554354  # "AUCT"
+AUCTION_CODE_HASH = hashlib.md5(b"getgems-auction-v1").hexdigest()
+
 
 def encode_sale_state(k: int) -> bytes:
     """Fixprice-v4 sale data cell in ``get_fix_price_data_v4`` field
@@ -133,6 +137,54 @@ _SALE_SCHEMA = pa.schema(
 )
 
 
+def encode_auction_state(k: int) -> bytes:
+    """Auction-contract data cell: end flag, end_at, marketplace / nft /
+    owner addresses, then last_bid + min_bid coins (every 4th auction
+    has no bids yet — last_bid 0, so the union normalizer must fall
+    back to min_bid, the auction twin of the fixprice jetton branch)."""
+    b = Builder().store_uint(AUCTION_MAGIC, 32)
+    b.store_bit(1 if k % 3 == 0 else 0)  # is_end
+    b.store_uint((k * 577) % 2**31, 32)  # end_at
+    b.store_address((0, addr_bytes("mkt", k % 16)))
+    b.store_address((0, addr_bytes("snft", (k * 3) % 2048)))
+    b.store_address((0, addr_bytes("sown", (k * 7) % 1000)))
+    b.store_coins(0 if k % 4 == 0 else k * 209 + 11)  # last_bid
+    b.store_coins(k * 57 + 3)  # min_bid
+    return serialize_boc(b.end_cell())
+
+
+def synth_auction_states(sf_dir: str):
+    """SF-scaled synthetic auction-contract state feed, also derived
+    from supplier: contract = addr(auc, k % 512), lt = k; every 11th
+    row carries a non-whitelisted code hash (dropped)."""
+    ensure_portable()
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    other_hash = hashlib.md5(b"other-auction-code").hexdigest()
+
+    def gen(t: pa.Table) -> pa.Table:
+        ks = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        accounts, hashes, bodies = [], [], []
+        for k in ks.tolist():
+            accounts.append(addr_str("auc", k % N_AUCTIONS))
+            hashes.append(other_hash if k % 11 == 0 else AUCTION_CODE_HASH)
+            bodies.append(encode_auction_state(k))
+        return pa.table(
+            {
+                "account": pa.array(accounts, pa.string()),
+                "lt": pa.array(ks, pa.int64()),
+                "code_hash": pa.array(hashes, pa.string()),
+                "data_boc": pa.array(bodies, pa.binary()),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def ensure_auction_table(sf_dir: str) -> str:
+    return cached_synth_table(sf_dir, "aucstates", "supplier", synth_auction_states)
+
+
 def nft_sales(sf_dir: str, *, num_buckets: int = 64):
     """Latest sale row per contract (P29): whitelist → rank-1 LWW per
     account on lt → decode WINNER fixprice cells, taking the first
@@ -186,3 +238,91 @@ def nft_sales(sf_dir: str, *, num_buckets: int = 64):
         return pa.table(out, schema=_SALE_SCHEMA)
 
     return winners.map_batches(decode, batch_format="pyarrow")
+
+
+_UNION_SCHEMA = pa.schema(
+    [
+        ("account", pa.string()),
+        ("lt", pa.int64()),
+        ("sale_type", pa.string()),
+        ("nft", pa.string()),
+        ("owner", pa.string()),
+        ("marketplace", pa.string()),
+        ("price", pa.int64()),
+        ("asset", pa.string()),
+        ("is_complete", pa.int64()),
+    ]
+)
+
+
+def nft_sale_union(sf_dir: str, *, num_buckets: int = 64):
+    """The reference's ``get_nft_sale`` set-union (J4, parser/db.py:
+    211-229: getgems_nft_sales ∪ getgems_nft_auctions) and the
+    NFTSalesConverter sales+auctions union (C10, datalake converters):
+    both contract families decoded by their own rank-1 pipeline, then
+    normalized into ONE typed table — sale_type, nft, owner,
+    marketplace, price (an auction's current price is its last bid,
+    falling back to min_bid while unbid), asset, is_complete. A lazy
+    ``Dataset.union`` — no shuffle; each side stays streaming."""
+    ensure_portable()
+
+    def norm_fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "account": t["account"],
+                "lt": t["lt"],
+                "sale_type": pa.array(["fixprice"] * len(t), pa.string()),
+                "nft": t["nft"],
+                "owner": t["owner"],
+                "marketplace": t["marketplace"],
+                "price": t["full_price"],
+                "asset": t["asset"],
+                "is_complete": t["is_complete"],
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    fix = nft_sales(sf_dir, num_buckets=num_buckets).map_batches(
+        norm_fix, batch_format="pyarrow"
+    )
+
+    winners = _rank1_states(
+        read_synth_dir(ensure_auction_table(sf_dir), _STATE_SCHEMA),
+        AUCTION_CODE_HASH,
+        ["account"],
+        num_buckets=num_buckets,
+    )
+
+    def decode_auction(t: pa.Table) -> pa.Table:
+        types, nfts, owners, mkts, prices, assets, ends = [], [], [], [], [], [], []
+        for body in t["data_boc"].to_pylist():
+            s = parse_boc(body).begin_parse()
+            if s.load_uint(32) != AUCTION_MAGIC:
+                raise ValueError("not an auction state cell")
+            ends.append(s.load_bit())
+            s.load_uint(32)  # end_at (not part of the union projection)
+            mkts.append(fmt_addr(s.load_address()))
+            nfts.append(fmt_addr(s.load_address()))
+            owners.append(fmt_addr(s.load_address()))
+            last_bid = s.load_coins()
+            min_bid = s.load_coins()
+            prices.append(last_bid if last_bid else min_bid)
+            types.append("auction")
+            assets.append("TON")
+        return pa.table(
+            {
+                "account": t["account"],
+                "lt": t["lt"],
+                "sale_type": pa.array(types, pa.string()),
+                "nft": pa.array(nfts, pa.string()),
+                "owner": pa.array(owners, pa.string()),
+                "marketplace": pa.array(mkts, pa.string()),
+                "price": pa.array(prices, pa.int64()),
+                "asset": pa.array(assets, pa.string()),
+                "is_complete": pa.array(ends, pa.int64()),
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    auc = winners.map_batches(decode_auction, batch_format="pyarrow")
+    return fix.union(auc)
