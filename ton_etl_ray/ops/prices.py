@@ -80,20 +80,35 @@ def encode_pool_state(k: int) -> bytes:
     return serialize_boc(b.end_cell())
 
 
-def synth_account_states(sf_dir: str):
-    """SF-scaled synthetic latest_account_states feed (module doc),
-    generated as a distributed ``map_batches`` stage over orders."""
+def synth_state_feed(
+    sf_dir: str,
+    *,
+    source: str,
+    key_col: str,
+    tag: str,
+    n_pools: int,
+    code_hash: str,
+    other_code: bytes,
+    skip_mod: int,
+    encode,
+):
+    """Shared SF-scaled synthetic latest_account_states generator
+    behind every account-state parser family: per source key ``k`` one
+    state row (account=addr(tag, k % n_pools), lt=k,
+    data_boc=encode(k)), with every ``skip_mod``-th row carrying the
+    NON-whitelisted md5(other_code) hash the predicate must drop.
+    Runs as a distributed ``map_batches`` stage over the source table."""
     ensure_portable()
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
-    wallet_hash = hashlib.md5(b"wallet-code").hexdigest()
+    ds = read_table(sf_dir, source, columns=[key_col])
+    other_hash = hashlib.md5(other_code).hexdigest()
 
     def gen(t: pa.Table) -> pa.Table:
-        ks = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        ks = t[key_col].to_numpy(zero_copy_only=False)
         accounts, hashes, bodies = [], [], []
         for k in ks.tolist():
-            accounts.append(_addr_str("pool", k % N_POOLS))
-            hashes.append(wallet_hash if k % 17 == 0 else AMM_CODE_HASH)
-            bodies.append(encode_pool_state(k))
+            accounts.append(_addr_str(tag, k % n_pools))
+            hashes.append(other_hash if k % skip_mod == 0 else code_hash)
+            bodies.append(encode(k))
         return pa.table(
             {
                 "account": pa.array(accounts, pa.string()),
@@ -105,6 +120,15 @@ def synth_account_states(sf_dir: str):
         )
 
     return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def synth_account_states(sf_dir: str):
+    """SF-scaled synthetic latest_account_states feed (module doc)."""
+    return synth_state_feed(
+        sf_dir, source="orders", key_col="o_orderkey", tag="pool",
+        n_pools=N_POOLS, code_hash=AMM_CODE_HASH, other_code=b"wallet-code",
+        skip_mod=17, encode=encode_pool_state,
+    )
 
 
 def ensure_state_table(sf_dir: str) -> str:
@@ -263,28 +287,11 @@ def synth_stake_states(sf_dir: str):
     customer: per c_custkey ``k``, pool = addr(stake, k % 512), lt = k;
     every 23rd row carries a non-whitelisted code hash and must be
     dropped by the predicate (staking_pools.py:16-27)."""
-    ensure_portable()
-    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
-    other_hash = hashlib.md5(b"other-code").hexdigest()
-
-    def gen(t: pa.Table) -> pa.Table:
-        ks = t["c_custkey"].to_numpy(zero_copy_only=False)
-        accounts, hashes, bodies = [], [], []
-        for k in ks.tolist():
-            accounts.append(_addr_str("stake", k % N_STAKE_POOLS))
-            hashes.append(other_hash if k % 23 == 0 else STAKING_CODE_HASH)
-            bodies.append(encode_stake_state(k))
-        return pa.table(
-            {
-                "account": pa.array(accounts, pa.string()),
-                "lt": pa.array(ks, pa.int64()),
-                "code_hash": pa.array(hashes, pa.string()),
-                "data_boc": pa.array(bodies, pa.binary()),
-            },
-            schema=_STATE_SCHEMA,
-        )
-
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return synth_state_feed(
+        sf_dir, source="customer", key_col="c_custkey", tag="stake",
+        n_pools=N_STAKE_POOLS, code_hash=STAKING_CODE_HASH,
+        other_code=b"other-code", skip_mod=23, encode=encode_stake_state,
+    )
 
 
 def ensure_stake_table(sf_dir: str) -> str:

@@ -41,8 +41,8 @@ import pyarrow as pa
 
 from .._pickle import ensure_portable
 from ..boc import Builder, build_hashmap_uint, parse_boc, parse_hashmap_uint, serialize_boc
-from ._util import addr_bytes, addr_str, cached_synth_table, fmt_addr, read_synth_dir, read_table
-from .prices import _STATE_SCHEMA, _rank1_states
+from ._util import addr_bytes, cached_synth_table, fmt_addr, read_synth_dir
+from .prices import _STATE_SCHEMA, _rank1_states, synth_state_feed
 
 N_SALES = 1024
 SALE_MAGIC = 0x53414C45  # "SALE"
@@ -89,29 +89,12 @@ def encode_sale_state(k: int) -> bytes:
 
 def synth_sale_states(sf_dir: str):
     """SF-scaled synthetic sale-contract state feed (module doc),
-    generated as a distributed ``map_batches`` stage over supplier."""
-    ensure_portable()
-    ds = read_table(sf_dir, "supplier", columns=["s_suppkey"])
-    other_hash = hashlib.md5(b"other-sale-code").hexdigest()
-
-    def gen(t: pa.Table) -> pa.Table:
-        ks = t["s_suppkey"].to_numpy(zero_copy_only=False)
-        accounts, hashes, bodies = [], [], []
-        for k in ks.tolist():
-            accounts.append(addr_str("sale", k % N_SALES))
-            hashes.append(other_hash if k % 13 == 0 else SALES_CODE_HASH)
-            bodies.append(encode_sale_state(k))
-        return pa.table(
-            {
-                "account": pa.array(accounts, pa.string()),
-                "lt": pa.array(ks, pa.int64()),
-                "code_hash": pa.array(hashes, pa.string()),
-                "data_boc": pa.array(bodies, pa.binary()),
-            },
-            schema=_STATE_SCHEMA,
-        )
-
-    return ds.map_batches(gen, batch_format="pyarrow")
+    generated over supplier via the family's shared generator."""
+    return synth_state_feed(
+        sf_dir, source="supplier", key_col="s_suppkey", tag="sale",
+        n_pools=N_SALES, code_hash=SALES_CODE_HASH,
+        other_code=b"other-sale-code", skip_mod=13, encode=encode_sale_state,
+    )
 
 
 def ensure_sale_table(sf_dir: str) -> str:
@@ -157,28 +140,12 @@ def synth_auction_states(sf_dir: str):
     """SF-scaled synthetic auction-contract state feed, also derived
     from supplier: contract = addr(auc, k % 512), lt = k; every 11th
     row carries a non-whitelisted code hash (dropped)."""
-    ensure_portable()
-    ds = read_table(sf_dir, "supplier", columns=["s_suppkey"])
-    other_hash = hashlib.md5(b"other-auction-code").hexdigest()
-
-    def gen(t: pa.Table) -> pa.Table:
-        ks = t["s_suppkey"].to_numpy(zero_copy_only=False)
-        accounts, hashes, bodies = [], [], []
-        for k in ks.tolist():
-            accounts.append(addr_str("auc", k % N_AUCTIONS))
-            hashes.append(other_hash if k % 11 == 0 else AUCTION_CODE_HASH)
-            bodies.append(encode_auction_state(k))
-        return pa.table(
-            {
-                "account": pa.array(accounts, pa.string()),
-                "lt": pa.array(ks, pa.int64()),
-                "code_hash": pa.array(hashes, pa.string()),
-                "data_boc": pa.array(bodies, pa.binary()),
-            },
-            schema=_STATE_SCHEMA,
-        )
-
-    return ds.map_batches(gen, batch_format="pyarrow")
+    return synth_state_feed(
+        sf_dir, source="supplier", key_col="s_suppkey", tag="auc",
+        n_pools=N_AUCTIONS, code_hash=AUCTION_CODE_HASH,
+        other_code=b"other-auction-code", skip_mod=11,
+        encode=encode_auction_state,
+    )
 
 
 def ensure_auction_table(sf_dir: str) -> str:
