@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
+    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, moon, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -332,6 +332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # J4/C10 get_nft_sale shape: fixprice ∪ auction contract
         # families normalized into one typed table (lazy union)
         "nft_sale_union": sales.nft_sale_union,
+        # P9/P10 moonswap shape: column claim -> payload-opcode peek ->
+        # request-payload decode on claimed legs -> trace_id join
+        "moon_swaps": moon.moon_swaps,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -951,6 +954,25 @@ def oracle_sql() -> dict[str, str]:
                    'TON' AS asset,
                    CASE WHEN k%3=0 THEN 1 ELSE 0 END AS is_complete
             FROM ra WHERE rn = 1
+        """,
+        "moon_swaps": """
+            WITH w AS (
+                SELECT o_orderkey AS k
+                FROM orders WHERE o_orderkey % 7 <> 0
+            )
+            SELECT md5('wo-' || k) AS tx_hash,
+                   md5('wtr-' || k) AS trace_id,
+                   '0:' || upper(md5('muser-'||(k%5000))||md5('muser-'||(k%5000))) AS swap_user,
+                   '0:' || upper(md5('mpool-'||(k%32))||md5('mpool-'||(k%32))) AS pool,
+                   '0:' || upper(md5('w0-'||(k%32))||md5('w0-'||(k%32))) AS swap_src_token,
+                   k*19 + 3 AS swap_src_amount,
+                   '0:' || upper(md5('w1-'||(k%32))||md5('w1-'||(k%32))) AS swap_dst_token,
+                   k*7 + 2 AS swap_dst_amount,
+                   k*11 + 1 AS min_out,
+                   k*100 + 60 AS deadline,
+                   CASE WHEN k%3=0 THEN NULL
+                        ELSE '0:' || upper(md5('ref-'||(k%10))||md5('ref-'||(k%10))) END AS referral
+            FROM w
         """,
         "profile_events": """
             WITH s AS (

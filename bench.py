@@ -209,6 +209,8 @@ def run_bench() -> dict:
         "nft_sales",
         # sales ∪ auctions normalized union (J4/C10 get_nft_sale)
         "nft_sale_union",
+        # payload-opcode claim + request decode + trace join (P9/P10)
+        "moon_swaps",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
@@ -221,6 +223,7 @@ def run_bench() -> dict:
         ensure_state_table as _ensure_state_table,
     )
     from ton_etl_ray.ops.megaton import ensure_transfer_table as _ensure_megaton_table
+    from ton_etl_ray.ops.moon import ensure_transfer_table as _ensure_moon_table
     from ton_etl_ray.ops.nft_history import ensure_transfer_table as _ensure_nfthist_table
     from ton_etl_ray.ops.swaps import ensure_swap_table as _ensure_swap_table
     from ton_etl_ray.ops.trades import ensure_trade_table as _ensure_trade_table
@@ -258,6 +261,8 @@ def run_bench() -> dict:
         "sale_table": _ensure_sale_table,
         # J4 union input: auction-contract state table
         "auction_table": _ensure_auction_table,
+        # P9/P10 input: payload-bearing derived transfer table
+        "moon_table": _ensure_moon_table,
     }
     setup_sec = {}
     if not SKIP_QUERIES:
