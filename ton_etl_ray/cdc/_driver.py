@@ -17,14 +17,27 @@ def init_driver(num_cpus: int) -> None:
     )
     import ray
 
+    # Under `ray job submit` (the north-rule deployment) the job server
+    # exports RAY_ADDRESS and the entry point must JOIN that cluster —
+    # hardcoding address="local" would silently boot a private
+    # single-node Ray inside the job container. num_cpus is a
+    # local-mode knob only: an existing cluster defines its own pool.
+    addr = os.environ.get("RAY_ADDRESS", "local")
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
