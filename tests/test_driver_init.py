@@ -37,6 +37,13 @@ def test_unset_address_defaults_to_local(monkeypatch):
     assert calls["address"] == "local"
 
 
+def test_empty_address_is_treated_as_unset(monkeypatch):
+    # Ray's own convention: RAY_ADDRESS="" means unset, not a cluster
+    calls = _run(monkeypatch, "")
+    assert calls["address"] == "local"
+    assert calls["num_cpus"] == 8
+
+
 def test_cluster_address_joins_without_num_cpus(monkeypatch):
     calls = _run(monkeypatch, "127.0.0.1:6400")
     assert calls["address"] == "127.0.0.1:6400"

@@ -22,7 +22,8 @@ def init_driver(num_cpus: int) -> None:
     # hardcoding address="local" would silently boot a private
     # single-node Ray inside the job container. num_cpus is a
     # local-mode knob only: an existing cluster defines its own pool.
-    addr = os.environ.get("RAY_ADDRESS", "local")
+    # empty string == unset (Ray's own convention for RAY_ADDRESS)
+    addr = os.environ.get("RAY_ADDRESS", "local") or "local"
     if not ray.is_initialized():
         if addr == "local":
             ray.init(

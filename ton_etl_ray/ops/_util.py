@@ -88,6 +88,15 @@ def worker_cache() -> dict:
     return c
 
 
+def md5_tag(tag: str, n) -> str:
+    """32-hex synthetic id (tx/trace hashes): md5 of 'tag-n' — the one
+    definition behind every parser family's synthetic hash columns, so
+    the DuckDB oracles' ``md5('tag-' || k)`` never diverges per family."""
+    import hashlib
+
+    return hashlib.md5(f"{tag}-{n}".encode()).hexdigest()
+
+
 def hex2(tag: str, n: int) -> str:
     """64-hex-char synthetic account hash: md5 of 'tag-n' repeated —
     chosen so DuckDB recomputes it as ``upper(md5(x) || md5(x))``

@@ -33,13 +33,11 @@ Every output field is arithmetically recomputable in DuckDB, so the
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
-from ._util import addr_str, cached_synth_table, read_synth_dir, read_table
+from ._util import addr_str, cached_synth_table, md5_tag, read_synth_dir, read_table
 
 N_POOLS = 16
 ROUTERS = [addr_str("mrouter", 0), addr_str("mrouter", 1)]
@@ -66,22 +64,21 @@ def synth_megaton_transfers(sf_dir: str):
 
     def gen(t: pa.Table) -> pa.Table:
         rows: list[tuple] = []
-        h = lambda p, k: hashlib.md5(f"{p}-{k}".encode()).hexdigest()  # noqa: E731
         for k, c in zip(t["o_orderkey"].to_pylist(), t["o_custkey"].to_pylist()):
             pool, rt = k % N_POOLS, ROUTERS[k % 2]
-            trace, aborted = h("mtr", k), k % 9 == 0
+            trace, aborted = md5_tag("mtr", k), k % 9 == 0
             user = addr_str("user", c)
             rows.append(
-                (h("mi", k), trace, aborted, user, rt,
+                (md5_tag("mi", k), trace, aborted, user, rt,
                  addr_str("m0", pool), k * 21 + 5, 2 * k)
             )
             rows.append(
-                (h("mo", k), trace, aborted, rt, user,
+                (md5_tag("mo", k), trace, aborted, rt, user,
                  addr_str("m1", pool), k * 13 + 2, 2 * k + 1)
             )
             if k % 4 == 0:
                 rows.append(
-                    (h("mn", k), trace, False, user, addr_str("other", c),
+                    (md5_tag("mn", k), trace, False, user, addr_str("other", c),
                      addr_str("m0", pool), k * 5, 2 * k)
                 )
         cols = list(zip(*rows)) if rows else [[] for _ in _TRANSFER_SCHEMA]

@@ -48,14 +48,12 @@ Every output field is arithmetically recomputable in DuckDB, so the
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, opcode_of, parse_boc, serialize_boc
-from ._util import addr_bytes, addr_str, cached_synth_table, fmt_addr, read_synth_dir, read_table
+from ._util import addr_bytes, addr_str, cached_synth_table, fmt_addr, md5_tag, read_synth_dir, read_table
 
 N_MOON_POOLS = 32
 MOON_POOLS = [addr_str("mpool", i) for i in range(N_MOON_POOLS)]
@@ -106,31 +104,30 @@ def synth_moon_transfers(sf_dir: str):
 
     def gen(t: pa.Table) -> pa.Table:
         rows: list[tuple] = []
-        h = lambda p, k: hashlib.md5(f"{p}-{k}".encode()).hexdigest()  # noqa: E731
         for k in t["o_orderkey"].to_pylist():
             pool = addr_str("mpool", k % N_MOON_POOLS)
             user = addr_str("muser", k % 5000)
-            trace, aborted = h("wtr", k), k % 7 == 0
+            trace, aborted = md5_tag("wtr", k), k % 7 == 0
             rows.append(
-                (h("wi", k), trace, aborted, user, pool,
+                (md5_tag("wi", k), trace, aborted, user, pool,
                  addr_str("w0", k % N_MOON_POOLS), k * 19 + 3, 2 * k,
                  encode_swap_request(k))
             )
             rows.append(
-                (h("wo", k), trace, aborted, pool, user,
+                (md5_tag("wo", k), trace, aborted, pool, user,
                  addr_str("w1", k % N_MOON_POOLS), k * 7 + 2, 2 * k + 1,
                  succeed)
             )
             if k % 5 == 0:
                 # pool-side noise: source ∈ pools but NON_SWAP payload
                 rows.append(
-                    (h("wn", k), trace, False, pool, user,
+                    (md5_tag("wn", k), trace, False, pool, user,
                      addr_str("w0", k % N_MOON_POOLS), k * 3, 2 * k,
                      nonswap)
                 )
                 # user-side noise: destination ∈ pools but NON_SWAP payload
                 rows.append(
-                    (h("wm", k), trace, False, user, pool,
+                    (md5_tag("wm", k), trace, False, user, pool,
                      addr_str("w0", k % N_MOON_POOLS), k * 2, 2 * k,
                      nonswap)
                 )

@@ -60,15 +60,13 @@ price(m{s}(p)) = (p+1) * (s+1).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import addr_bytes as _addr_bytes_u, addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, read_synth_dir, read_table
+from ._util import addr_bytes as _addr_bytes_u, addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, md5_tag, read_synth_dir, read_table
 
 OP_SWAP_REQUEST = 0x25938561
 OP_SWAP_PAYOUT = 0xF93BB43F
@@ -178,25 +176,24 @@ def synth_swap_messages(sf_dir: str):
         sgn = lambda op: int(opcode_signed(np.array([op], np.uint32))[0])  # noqa: E731
         for k, c in zip(keys, custs):
             pool = k % N_POOLS
-            h = lambda p: hashlib.md5(f"{p}-{k}".encode()).hexdigest()  # noqa: E731
             rows.append(
-                (h("req"), None, sgn(OP_SWAP_REQUEST), "in",
+                (md5_tag("req", k), None, sgn(OP_SWAP_REQUEST), "in",
                  _addr_str("user", c), ROUTER, encode_swap_request(k, c))
             )
             rows.append(
-                (h("pay"), h("req"), sgn(OP_SWAP_PAYOUT), "in",
+                (md5_tag("pay", k), md5_tag("req", k), sgn(OP_SWAP_PAYOUT), "in",
                  _addr_str("pool", pool), ROUTER, encode_swap_payout(k, c))
             )
             if k % 5 == 0:
                 rows.append(
-                    (h("it"), h("tr") if k % 10 == 0 else None,
+                    (md5_tag("it", k), md5_tag("tr", k) if k % 10 == 0 else None,
                      sgn(OP_INTERNAL_TRANSFER), "in",
                      _addr_str("jw", c), _addr_str("jw2", c),
                      encode_internal_transfer(k, c))
                 )
             if k % 10 == 0:
                 rows.append(
-                    (h("tr"), None, sgn(OP_JETTON_TRANSFER), "in",
+                    (md5_tag("tr", k), None, sgn(OP_JETTON_TRANSFER), "in",
                      _addr_str("user", c), _addr_str("jw", c),
                      encode_transfer_parent(k, c))
                 )
