@@ -66,3 +66,15 @@ def test_message_parsers_example_runs():
     assert "transfers:" in out.stdout
     assert "forward comments" in out.stdout
     assert "1-to-many" in out.stdout
+
+
+def test_account_state_parsers_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "account_state_parsers.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "core_prices:" in out.stdout
+    assert "staking_nominators:" in out.stdout
+    assert "jetton-priced listings" in out.stdout
