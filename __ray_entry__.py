@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (iterative/greedy → rows-only; pytest pins the hand-computed
         # merge sequence)
         "bpe_train": lambda sf: corpus.bpe_train(sf, num_merges=30),
+        # BPE apply: tokenize the corpus with the trained merges into
+        # the lake's own (doc_id, tokens, n_tok, source) payload shape —
+        # broadcast vocab-bounded model, zero-shuffle encode pass
+        # (iterative → rows-only; pytest pins hand-computed ids,
+        # round-trip decode, and determinism)
+        "bpe_encode_corpus": lambda sf: corpus.bpe_encode(sf, num_merges=30),
         # token-payload analytics over the replayed lake — token values
         # are PRNG-derived in the change log, so these are rows-only for
         # the driver; tests/test_tokens.py oracle-checks them with

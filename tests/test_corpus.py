@@ -256,3 +256,77 @@ def test_dup_span_flags_planted_boilerplate(tmp_path):
     assert out.loc[2, "dup_grams"] == 2
     assert out.loc[3, "dup_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
     assert round(out.loc[1, "dup_frac"], 6) == round(2 / 6, 6)
+
+
+def test_bpe_encode_hand_computed(tmp_path):
+    """Token ids over the classic Sennrich corpus, hand-derived: the
+    alphabet {e,l,o,r,w} takes ids 0-4, </w> id 5, then one id per
+    merge in rank order (lo=6, low=7, low</w>=8, er=9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.corpus import bpe_encode
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["low low low low low", "lower lower"], pa.string()),
+            "source": pa.array(["web", "web"], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = bpe_encode(str(d), num_merges=4).to_pandas().sort_values("doc_id")
+    # "low" → low</w> = [8]; "lower" → low, er, </w> = [7, 9, 5]
+    assert list(out["tokens"].iloc[0]) == [8] * 5
+    assert list(out["tokens"].iloc[1]) == [7, 9, 5, 7, 9, 5]
+    assert list(out["n_tok"]) == [5, 6]
+    assert list(out["source"]) == ["web", "web"]
+
+
+def test_bpe_encode_roundtrip_and_invariants(tmp_path):
+    """decode(encode(text)) reconstructs the space-normalized text, and
+    n_tok == len(tokens) holds for every row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.ops.corpus import bpe_decode_ids, bpe_encode, bpe_train
+
+    texts = ["the quick brown fox jumps", "the lazy dog sleeps",
+             "quick quick brown dog", "fox and dog and fox"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    merges = bpe_train(str(d), num_merges=10)
+    out = bpe_encode(str(d), merges=merges).to_pandas().sort_values("doc_id")
+    assert (out["n_tok"] == out["tokens"].map(len)).all()
+
+    # rebuild the deterministic vocab exactly as bpe_encode defines it
+    alphabet = sorted({c for s in texts for c in s if c != " "})
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    vocab["</w>"] = len(vocab)
+    md = merges.to_pandas()
+    for k, (l, r) in enumerate(zip(md["left"], md["right"])):
+        vocab[l + r] = len(alphabet) + 1 + k
+    for txt, ids in zip(texts, out["tokens"]):
+        assert bpe_decode_ids(ids, vocab) == " ".join(txt.split())
+
+
+def test_bpe_encode_deterministic_at_sf():
+    """Two full runs over the real documents table agree exactly."""
+    from ton_etl_ray.ops.corpus import bpe_encode, bpe_train
+
+    merges = bpe_train(SF, num_merges=20)
+    a = bpe_encode(SF, merges=merges).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = bpe_encode(SF, merges=merges).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["tokens"].map(list).equals(b["tokens"].map(list))
+    assert (a["n_tok"] > 0).all()

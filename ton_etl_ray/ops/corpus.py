@@ -610,6 +610,162 @@ def bpe_train(sf_dir: str, num_merges: int = 50, max_vocab: int = 65536):
     )
 
 
+def _bpe_apply(word: str, ranks: dict) -> tuple:
+    """Encode ONE word with a trained merge table: repeatedly merge the
+    adjacent symbol pair with the LOWEST rank until no trained pair
+    remains (the standard BPE apply order — it replays the training
+    merges in training order, so encode(train corpus) reproduces the
+    symbols the trainer ended with). Pure function of (word, ranks)."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank = None
+        for a, b in zip(sym, sym[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (a, b)
+        if best_rank is None:
+            break
+        a, b = best
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)
+
+
+_BPE_ENC_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("tokens", pa.list_(pa.int32())),
+     ("n_tok", pa.int32()), ("source", pa.string())]
+)
+
+
+def bpe_encode(sf_dir: str, num_merges: int = 50, max_vocab: int = 65536,
+               merges: pa.Table | None = None):
+    """Distributed BPE tokenization — apply trained merges to the whole
+    corpus, producing the engine's OWN lake payload shape
+    ``(doc_id, tokens: list<int32>, n_tok, source)`` (BASELINE.json
+    input_hint). This closes the training-data loop: ``bpe_train``
+    learns the merge table, ``bpe_encode`` materializes the
+    pre-tokenized sequence table the CDC engine ingests.
+
+    Scale shape:
+    - the model (merge ranks + vocabulary) is vocab-bounded driver
+      state, shipped ONCE via ``ray.put`` and cached per worker
+      process — never rebuilt per batch;
+    - token ids are deterministic at ANY parallelism: base symbols are
+      the corpus's sorted distinct characters (a bounded alphabet,
+      reduced from per-block partial sets), then ``</w>``, then one id
+      per merge in rank order — no dependence on block order;
+    - the encode pass is a zero-shuffle ``map_batches`` over Arrow
+      batches; per-worker word→ids memo exploits the zipf word
+      distribution (a web corpus's unique-word count grows ~Heaps'
+      law while token count grows linearly, so the cache hit rate
+      approaches 1 at scale).
+
+    Iterative/greedy (no SQL form) → rows-only for the driver; pytest
+    pins equivalence with a single-machine reference encoder,
+    the ``n_tok == len(tokens)`` invariant, parallelism-independence,
+    and round-trip decode.
+    """
+    ensure_portable()
+    import ray
+
+    if merges is None:
+        merges = bpe_train(sf_dir, num_merges=num_merges, max_vocab=max_vocab)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"].to_pylist(),
+                           merges["left"].to_pylist(),
+                           merges["right"].to_pylist())
+    }
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    # bounded-alphabet pass: per-block distinct chars (tiny), driver union
+    def block_chars(t: pa.Table) -> pa.Table:
+        chars = set()
+        for txt in t["text"].to_pylist():
+            chars.update(txt)
+        chars.discard(" ")
+        return pa.table({"ch": pa.array(sorted(chars), pa.string())})
+
+    alphabet = sorted(
+        set(ds.map_batches(block_chars, batch_format="pyarrow")
+              .to_pandas()["ch"])
+    )
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    vocab["</w>"] = len(vocab)
+    for (l, r), k in sorted(ranks.items(), key=lambda kv: kv[1]):
+        vocab[l + r] = len(alphabet) + 1 + k
+    model_ref = ray.put((ranks, vocab))
+
+    def encode(t: pa.Table) -> pa.Table:
+        from ._util import worker_cache
+
+        cache = worker_cache()
+        entry = cache.get("bpe_encode")
+        # ObjectRef object identity does not survive task pickling —
+        # compare the ref id so the model is fetched once per worker
+        # per model, and the word memo resets when the model changes
+        if entry is None or entry[0] != model_ref.hex():
+            rk, vc = ray.get(model_ref)
+            entry = (model_ref.hex(), rk, vc, {})
+            cache["bpe_encode"] = entry
+        _, rk, vc, memo = entry
+        toks_col, ntok_col = [], []
+        for txt in t["text"].to_pylist():
+            ids: list[int] = []
+            for w in txt.split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    # unseen symbols (possible when encoding a corpus the
+                    # vocab wasn't trained on) are dropped per-symbol
+                    got = [vc[s] for s in _bpe_apply(w, rk) if s in vc]
+                    if len(memo) < 1 << 20:  # bound per-worker heap
+                        memo[w] = got
+                ids.extend(got)
+            toks_col.append(ids)
+            ntok_col.append(len(ids))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": pa.array(toks_col, pa.list_(pa.int32())),
+                "n_tok": pa.array(ntok_col, pa.int32()),
+                "source": t["source"],
+            },
+            schema=_BPE_ENC_SCHEMA,
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_decode_ids(ids, vocab: dict) -> str:
+    """Inverse of one document's encode (test helper): ids → symbols →
+    words. Only exact under a vocabulary covering every symbol."""
+    inv = {v: k for k, v in vocab.items()}
+    words, cur = [], []
+    for i in ids:
+        s = inv[int(i)]
+        if s.endswith("</w>"):
+            cur.append(s[: -len("</w>")])
+            words.append("".join(cur))
+            cur = []
+        else:
+            cur.append(s)
+    if cur:
+        words.append("".join(cur))
+    return " ".join(words)
+
+
 _DUPSPAN_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("n_grams", pa.int64()),
      ("dup_grams", pa.int64()), ("dup_frac", pa.float64())]
