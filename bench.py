@@ -44,7 +44,7 @@ SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
 # single-node wall time is noisy (+/-40% on this VM); take the min of
 # TRIALS replays so the scaling comparison measures the engine, not the
 # scheduler lottery
-TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 
 
 def _sf_tag() -> str:
