@@ -78,3 +78,13 @@ def test_account_state_parsers_example_runs():
     assert "core_prices:" in out.stdout
     assert "staking_nominators:" in out.stdout
     assert "jetton-priced listings" in out.stdout
+
+
+def test_tokenize_ingest_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "tokenize_ingest.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "lake tokens == encoder tokens" in out.stdout
