@@ -51,6 +51,25 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the hypervisor steal
+    counter is the one DIRECT co-tenancy signal on this host (loadavg
+    is dominated by the bench's own 32-cpu work). Sampled start→end of
+    the timed region; the delta ratio is reported as cpu_steal_pct."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float:
+    dt = t1[1] - t0[1]
+    return round(100.0 * (t1[0] - t0[0]) / dt, 2) if dt > 0 else 0.0
+
+
 def _ensure_change_log() -> tuple[str, int]:
     import pyarrow.parquet as pq
 
@@ -110,6 +129,7 @@ def run_bench() -> dict:
     # levels run the identical job — the N vs 4N cluster analogue varies
     # only compute resources, not the plan
     lake = f"/tmp/tonray_bench_lake_{_sf_tag()}_{NUM_CPUS}"
+    ticks0 = _cpu_ticks()
     headline = float("inf")
     for _ in range(TRIALS):
         shutil.rmtree(lake, ignore_errors=True)
@@ -295,6 +315,9 @@ def run_bench() -> dict:
         "events_per_sec": round(num_events / headline, 1),
         "lake_rows": res.rows_total,
         "loadavg_1m": os.getloadavg()[0],  # external host contention marker
+        # hypervisor steal over the whole timed region: >5-10% means the
+        # host was co-tenant-loaded and wall times are not the engine's
+        "cpu_steal_pct": _steal_pct(ticks0, _cpu_ticks()),
     }
 
 
@@ -324,6 +347,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3),
         "loadavg_1m": os.getloadavg()[0],
+        # per-leg hypervisor steal: the co-tenancy marker that actually
+        # attributes a bad sweep (loadavg is self-load during the legs)
+        "cpu_steal_pct_8": outs[lo].get("cpu_steal_pct"),
+        "cpu_steal_pct_32": outs[hi].get("cpu_steal_pct"),
     }
 
 
