@@ -81,6 +81,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_epoch_diff(sf)
 
+    def incremental_budget_q(sf: str):
+        from ton_etl_ray.ops.tokens import (
+            incremental_source_budget, source_budget_at,
+        )
+        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+
+        lake = ensure_epoch_diff_lake(sf)
+        base = source_budget_at(lake, 0)
+        return incremental_source_budget(lake, base, 0, 1)
+
     def jetton_transfers(sf: str):
         import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY
         from ton_etl_ray.ops.messages import message_dataset
@@ -133,6 +143,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deleted per key, narrow full-outer join on doc_id) over a
         # deterministic two-epoch split of the flagship change log
         "epoch_diff": epoch_diff_q,
+        # incremental view maintenance: the per-source budget view at
+        # epoch 0 updated from the epoch diff must equal a full
+        # recompute over epoch 1's state (= the flagship final state,
+        # whose n_tok is md5-derived → full SQL oracle)
+        "incremental_budget": incremental_budget_q,
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
@@ -427,6 +442,25 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS n_tok,
                    source
             FROM d WHERE rn % 10 <> 0
+        """,
+        "incremental_budget": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            f AS (
+                SELECT source,
+                       CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                            AS INT) AS n_tok
+                FROM d WHERE rn % 10 <> 0
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(avg(n_tok), 4) AS mean_tokens
+            FROM f GROUP BY source
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

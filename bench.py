@@ -202,6 +202,9 @@ def run_bench() -> dict:
         "funnel_counts", "retention_cohorts",
         # two-epoch lake build + committed-state diff (narrow full-outer)
         "epoch_diff",
+        # incremental view maintenance from the epoch diff (shares the
+        # cached two-epoch lake; times diff + delta passes + merge)
+        "incremental_budget",
         # referential-integrity gate (anti-join on key partials)
         "fk_orphans",
         # BOC payload decode (pure-Python codec in actor-pool batches)

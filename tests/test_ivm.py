@@ -1,0 +1,106 @@
+"""Incremental view maintenance: the per-source budget view maintained
+from an epoch diff must equal a full recompute over the target epoch —
+exactly, on both the broadcast and the semi-join delta paths."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def two_epoch_lake(tmp_path_factory, ray_session):
+    """Generic two-epoch lake: one log split by lsn, both halves
+    replayed (the same construction test_time_travel uses)."""
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+
+    base = tmp_path_factory.mktemp("ivm")
+    chg, lake = str(base / "chg"), str(base / "lake")
+    write_change_log(chg, num_events=60_000, num_keys=5_000, seed=31,
+                     num_shards=8, max_tok=24)
+    e0, e1 = str(base / "e0"), str(base / "e1")
+    os.makedirs(e0), os.makedirs(e1)
+    cut = 30_000
+    for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
+        t = pq.read_table(p)
+        lsn = t["lsn"].to_numpy()
+        lo, hi = t.filter(pa.array(lsn < cut)), t.filter(pa.array(lsn >= cut))
+        if lo.num_rows:
+            pq.write_table(lo, os.path.join(e0, os.path.basename(p)))
+        if hi.num_rows:
+            pq.write_table(hi, os.path.join(e1, os.path.basename(p)))
+    replay(e0, lake, num_partitions=16, hot_share_threshold=1.0)
+    replay(e1, lake)
+    return lake
+
+
+def _as_map(t: pa.Table):
+    return {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["mean_tokens"])
+        for r in t.to_pylist()
+    }
+
+
+def test_incremental_matches_full_recompute(two_epoch_lake):
+    from ton_etl_ray.ops.tokens import incremental_source_budget, source_budget_at
+
+    base = source_budget_at(two_epoch_lake, 0)
+    got = incremental_source_budget(two_epoch_lake, base, 0, 1)
+    want = source_budget_at(two_epoch_lake, 1)
+    assert _as_map(got) == _as_map(want)
+    # the maintained view is not a no-op: epoch 1 changed the mixture
+    assert _as_map(base) != _as_map(want)
+
+
+def test_incremental_semijoin_path_matches(two_epoch_lake):
+    """broadcast_threshold=0 forces the hash semi-join delta path."""
+    from ton_etl_ray.ops.tokens import incremental_source_budget, source_budget_at
+
+    base = source_budget_at(two_epoch_lake, 0)
+    got = incremental_source_budget(two_epoch_lake, base, 0, 1,
+                                    broadcast_threshold=0)
+    want = source_budget_at(two_epoch_lake, 1)
+    assert _as_map(got) == _as_map(want)
+
+
+def test_incremental_source_disappears(tmp_path, ray_session):
+    """Deleting every doc of one source drops it from the view."""
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.ops.tokens import incremental_source_budget, source_budget_at
+
+    e0, e1, lake = str(tmp_path / "e0"), str(tmp_path / "e1"), str(tmp_path / "lake")
+    os.makedirs(e0), os.makedirs(e1)
+
+    def shard(path, rows):
+        pq.write_table(
+            pa.table(
+                {"lsn": pa.array([r[0] for r in rows], pa.int64()),
+                 "op": pa.array([r[1] for r in rows], pa.string()),
+                 "doc_id": pa.array([r[2] for r in rows], pa.string()),
+                 "tokens": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+                 "n_tok": pa.array([len(r[3]) for r in rows], pa.int32()),
+                 "source": pa.array([r[4] for r in rows], pa.string())}
+            ),
+            path,
+        )
+
+    shard(os.path.join(e0, "s0.parquet"), [
+        (1, "c", "a1", [1, 2], "web"),
+        (2, "c", "a2", [3], "web"),
+        (3, "c", "b1", [4, 5, 6], "books"),
+    ])
+    shard(os.path.join(e1, "s1.parquet"), [
+        (10, "d", "b1", [], "books"),        # books vanishes
+        (11, "u", "a1", [7, 8, 9], "web"),   # web re-weighted
+    ])
+    replay(e0, lake, num_partitions=4, hot_share_threshold=1.0)
+    replay(e1, lake)
+
+    base = source_budget_at(lake, 0)
+    got = incremental_source_budget(lake, base, 0, 1)
+    m = _as_map(got)
+    assert "books" not in m
+    assert m["web"] == (2, 4, 2.0)  # a1 now 3 toks, a2 1 tok
