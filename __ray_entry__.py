@@ -81,6 +81,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_epoch_diff(sf)
 
+    def _incremental_histogram_q(sf: str):
+        from ton_etl_ray.ops.tokens import (
+            incremental_token_histogram, token_histogram_at,
+        )
+        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+
+        lake = ensure_epoch_diff_lake(sf)
+        base = token_histogram_at(lake, 0)
+        return incremental_token_histogram(lake, base, 0, 1)
+
     def incremental_budget_q(sf: str):
         from ton_etl_ray.ops.tokens import (
             incremental_source_budget, source_budget_at,
@@ -252,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver; tests/test_tokens.py oracle-checks them with
         # DuckDB unnest(tokens) over the committed lake parquet
         "lake_token_histogram": tokens.lake_token_histogram,
+        # incremental view maintenance of the FULL vocabulary histogram
+        # across the two-epoch lake (rows-only: token values are
+        # PRNG-derived; incremental == full recompute and the DuckDB
+        # unnest cross-check are pinned in tests/test_ivm.py)
+        "incremental_histogram": _incremental_histogram_q,
         "source_token_budget": tokens.source_token_budget,
         # iterative spherical k-means over embeddings (rows-only:
         # iterative/approximate; pytest pins coverage + monotone inertia)

@@ -104,3 +104,45 @@ def test_incremental_source_disappears(tmp_path, ray_session):
     m = _as_map(got)
     assert "books" not in m
     assert m["web"] == (2, 4, 2.0)  # a1 now 3 toks, a2 1 tok
+
+
+def test_incremental_histogram_matches_full(two_epoch_lake):
+    from ton_etl_ray.ops.tokens import (
+        incremental_token_histogram, token_histogram_at,
+    )
+
+    base = token_histogram_at(two_epoch_lake, 0)
+    got = incremental_token_histogram(two_epoch_lake, base, 0, 1)
+    want = token_histogram_at(two_epoch_lake, 1)
+    assert got.to_pydict() == want.to_pydict()
+    assert base.to_pydict() != want.to_pydict()
+
+
+def test_incremental_histogram_semijoin_path(two_epoch_lake):
+    from ton_etl_ray.ops.tokens import (
+        incremental_token_histogram, token_histogram_at,
+    )
+
+    base = token_histogram_at(two_epoch_lake, 0)
+    got = incremental_token_histogram(two_epoch_lake, base, 0, 1,
+                                      broadcast_threshold=0)
+    want = token_histogram_at(two_epoch_lake, 1)
+    assert got.to_pydict() == want.to_pydict()
+
+
+def test_histogram_at_matches_duckdb(two_epoch_lake):
+    """The full-recompute base itself cross-checked against DuckDB
+    unnest(tokens) over the epoch-pinned lake parquet."""
+    import duckdb
+
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.ops.tokens import token_histogram_at
+
+    files = sink.lake_files(two_epoch_lake, 1)
+    want = duckdb.sql(
+        f"""SELECT CAST(t AS INT) AS token, count(*) AS n_occurrences
+            FROM (SELECT unnest(tokens) AS t FROM read_parquet({files}))
+            GROUP BY t ORDER BY token"""
+    ).fetchall()
+    got = list(zip(*token_histogram_at(two_epoch_lake, 1).to_pydict().values()))
+    assert got == want

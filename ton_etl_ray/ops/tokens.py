@@ -213,41 +213,27 @@ def _finish_budget(delta: pa.Table) -> pa.Table:
     )
 
 
-def incremental_source_budget(
+def _ivm_delta_stream(
     lake_dir: str,
-    base: pa.Table,
     epoch_a: int,
-    epoch_b: int | None = None,
-    *,
-    broadcast_threshold: int = 2_000_000,
-) -> pa.Table:
-    """Maintain the per-source budget view across a lake commit —
-    incremental view maintenance, the materialized-view half of the CDC
-    contract (the reference recomputes its datalake_daily_sync
-    aggregates from scratch each day; with epoch diffs the engine can
-    keep them current in work proportional to the CHANGE SET).
+    epoch_b: int | None,
+    columns: list[str],
+    partial_fn,
+    empty_schema: pa.Schema,
+    broadcast_threshold: int,
+):
+    """The shared IVM core: epoch-diff the lake, then run signed
+    key-filtered delta passes over both epochs' states.
 
-    ``base`` is the view at ``epoch_a`` (from ``source_budget_at`` or a
-    previous maintenance step). The update is exact, not approximate:
-
-    1. ``epoch_diff(a, b)`` yields the changed keys (output ∝ change set);
-    2. the OLD rows of updated/deleted keys (epoch a) contribute −1 doc /
-       −n_tok, the NEW rows of added/updated keys (epoch b) +1 / +n_tok;
-    3. both passes are column-pruned lake scans filtered by the key set:
-       small diffs broadcast a sorted key array via ``ray.put`` and
-       filter map-side (zero shuffle); diffs above
-       ``broadcast_threshold`` route through one hash-partitioned inner
-       semi-join (the dedup_filter_corpus shape) instead of an
-       unbounded driver/broadcast set;
-    4. the signed per-source delta (O(sources)) merges into ``base`` on
-       the driver.
-
-    Equivalence ``incremental == full recompute at epoch b`` is pinned
-    in pytest and by the ``incremental_budget`` DuckDB value-hash
-    oracle. Citation: reference airflow/dags/datalake_daily_sync.py
-    recomputes daily CTAS aggregates; this is the streaming-native
-    replacement.
-    """
+    ``partial_fn(table, sign) -> pa.Table`` turns the changed rows of
+    one batch into signed per-group partials (conforming to
+    ``empty_schema``). The OLD rows of updated/deleted keys (epoch a)
+    run with sign −1, the NEW rows of added/updated keys (epoch b) with
+    +1. Small diffs broadcast a sorted key array via ``ray.put`` and
+    filter map-side (zero shuffle); diffs above ``broadcast_threshold``
+    route through one hash-partitioned inner semi-join instead of an
+    unbounded broadcast set. Returns the unioned partial Dataset, or
+    None when nothing changed."""
     ensure_portable()
     import ray
     import ray.data as rd
@@ -273,14 +259,15 @@ def incremental_source_budget(
             return schema.empty_table()
         return pa.concat_tables([p.cast(schema) for p in parts])
 
+    read_cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
+
     def signed_pass(files: list[str], keys: pa.Table, sign: int):
         if not files or keys.num_rows == 0:
             return None
-        lake = rd.read_parquet(files, columns=["doc_id", "source", "n_tok"])
+        lake = rd.read_parquet(files, columns=read_cols)
         if n_changed <= broadcast_threshold:
-            sorted_keys = pc.array_sort_indices(keys["doc_id"].combine_chunks())
-            arr = keys["doc_id"].combine_chunks().take(sorted_keys)
-            key_ref = ray.put(arr)
+            order = pc.array_sort_indices(keys["doc_id"].combine_chunks())
+            key_ref = ray.put(keys["doc_id"].combine_chunks().take(order))
 
             def pick(t: pa.Table, _ref=key_ref, _sign=sign) -> pa.Table:
                 from ._util import worker_cache
@@ -293,17 +280,17 @@ def incremental_source_budget(
                     cache["ivm_keys"] = entry
                 sk = entry[1]
                 if not t.num_rows or not len(sk):
-                    return _DELTA_SCHEMA.empty_table()
+                    return empty_schema.empty_table()
                 ids = t["doc_id"].to_numpy(zero_copy_only=False)
                 pos = np.minimum(np.searchsorted(sk, ids), len(sk) - 1)
-                return _budget_partials(t.filter(pa.array(sk[pos] == ids)), _sign)
+                return partial_fn(t.filter(pa.array(sk[pos] == ids)), _sign)
 
             return lake.map_batches(pick, batch_format="pyarrow")
         from .relational import shuffle_join
 
         hits = shuffle_join(lake, rd.from_arrow(keys), on="doc_id", how="inner")
         return hits.map_batches(
-            lambda t, _sign=sign: _budget_partials(t, _sign),
+            lambda t, _sign=sign: partial_fn(t, _sign),
             batch_format="pyarrow",
         )
 
@@ -316,18 +303,47 @@ def incremental_source_budget(
         ) if p is not None
     ]
     if not passes:
+        return None
+    stream = passes[0]
+    for p in passes[1:]:
+        stream = stream.union(p)
+    return stream
+
+
+def incremental_source_budget(
+    lake_dir: str,
+    base: pa.Table,
+    epoch_a: int,
+    epoch_b: int | None = None,
+    *,
+    broadcast_threshold: int = 2_000_000,
+) -> pa.Table:
+    """Maintain the per-source budget view across a lake commit —
+    incremental view maintenance, the materialized-view half of the CDC
+    contract (the reference recomputes its datalake_daily_sync
+    aggregates from scratch each day; with epoch diffs the engine keeps
+    them current in work proportional to the CHANGE SET — reference
+    airflow/dags/datalake_daily_sync.py, daily CTAS re-aggregation).
+
+    ``base`` is the view at ``epoch_a`` (from ``source_budget_at`` or a
+    previous maintenance step). Exact, not approximate: the signed
+    column-pruned delta passes (see ``_ivm_delta_stream``) reduce to an
+    O(sources) per-source delta that merges into ``base`` on the
+    driver. ``incremental == full recompute at epoch b`` is pinned in
+    pytest on both delta paths and by the ``incremental_budget`` DuckDB
+    value-hash oracle."""
+    stream = _ivm_delta_stream(
+        lake_dir, epoch_a, epoch_b, ["source", "n_tok"],
+        _budget_partials, _DELTA_SCHEMA, broadcast_threshold,
+    )
+    if stream is None:
         return _finish_budget(pa.table(
             {"source": base["source"],
              "docs": base["n_docs"], "toks": base["total_tokens"]},
             schema=_DELTA_SCHEMA))
-    stream = passes[0]
-    for p in passes[1:]:
-        stream = stream.union(p)
     delta = _grouped_delta(stream)
 
     # driver merge: both tables are O(sources)
-    import pandas as pd
-
     b = base.select(["source", "n_docs", "total_tokens"]).to_pandas()
     d = delta.to_pandas()
     m = b.merge(d, on="source", how="outer").fillna(0)
@@ -338,3 +354,98 @@ def incremental_source_budget(
         schema=_DELTA_SCHEMA,
     )
     return _finish_budget(merged)
+
+
+_HIST_FULL_SCHEMA = pa.schema([("token", pa.int32()), ("n_occurrences", pa.int64())])
+
+
+def _hist_partials(t: pa.Table, sign: int = 1) -> pa.Table:
+    """Signed token-count partial for one batch: flatten the token
+    arrays and value-count — O(distinct-tokens-per-block) output rows
+    (≤ vocabulary) regardless of batch size."""
+    if not t.num_rows:
+        return _HIST_FULL_SCHEMA.empty_table()
+    flat = pc.list_flatten(t["tokens"])
+    if not len(flat):
+        return _HIST_FULL_SCHEMA.empty_table()
+    vc = flat.value_counts()
+    return pa.table(
+        {"token": vc.field("values").cast(pa.int32()),
+         "n_occurrences": pc.multiply(
+             vc.field("counts").cast(pa.int64()), pa.scalar(sign, pa.int64()))},
+        schema=_HIST_FULL_SCHEMA,
+    )
+
+
+def token_histogram_at(lake_dir: str, epoch: int | None = None) -> pa.Table:
+    """The FULL token histogram over one committed epoch's state — the
+    maintained-view base (O(vocabulary) rows: bounded model state, the
+    same shape kmeans centroids / BPE vocab take on the driver)."""
+    ensure_portable()
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..cdc import sink
+
+    files = sink.lake_files(lake_dir, epoch)
+    if not files:
+        return _HIST_FULL_SCHEMA.empty_table()
+    out = (
+        rd.read_parquet(files, columns=["tokens"])
+        .map_batches(_hist_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    if "n_occurrences" not in out.columns:
+        return _HIST_FULL_SCHEMA.empty_table()
+    out = out.sort_values("token")
+    return pa.table(
+        {"token": pa.array(out["token"].astype("int32")),
+         "n_occurrences": pa.array(out["n_occurrences"].astype("int64"))},
+        schema=_HIST_FULL_SCHEMA,
+    )
+
+
+def incremental_token_histogram(
+    lake_dir: str,
+    base: pa.Table,
+    epoch_a: int,
+    epoch_b: int | None = None,
+    *,
+    broadcast_threshold: int = 2_000_000,
+) -> pa.Table:
+    """Maintain the corpus token histogram (vocabulary counts) across a
+    lake commit in O(changed keys × tokens-per-doc) — the heavier IVM
+    instance: at 10^10 documents a from-scratch histogram is a full
+    corpus flatten, while the day's change set is orders of magnitude
+    smaller. Same signed delta passes as the budget view; the per-token
+    delta rides one grouped sum bounded by the vocabulary, and the
+    driver merge is O(vocab). Exactness vs ``token_histogram_at`` is
+    pinned in pytest on both delta paths."""
+    from ray.data.aggregate import Sum
+
+    stream = _ivm_delta_stream(
+        lake_dir, epoch_a, epoch_b, ["tokens"],
+        _hist_partials, _HIST_FULL_SCHEMA, broadcast_threshold,
+    )
+    if stream is None:
+        return base
+    delta = (
+        stream.groupby("token")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    b = base.to_pandas()
+    if "n_occurrences" not in delta.columns:
+        return base
+    m = b.merge(delta, on="token", how="outer", suffixes=("_b", "_d")).fillna(0)
+    total = (m["n_occurrences_b"] + m["n_occurrences_d"]).astype("int64")
+    keep = total > 0
+    m = m[keep]
+    m = m.assign(total=total[keep]).sort_values("token")
+    return pa.table(
+        {"token": pa.array(m["token"].astype("int32")),
+         "n_occurrences": pa.array(m["total"].astype("int64"))},
+        schema=_HIST_FULL_SCHEMA,
+    )
