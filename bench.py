@@ -204,7 +204,7 @@ def run_bench() -> dict:
         "epoch_diff",
         # incremental view maintenance from the epoch diff (shares the
         # cached two-epoch lake; times diff + delta passes + merge)
-        "incremental_budget",
+        "incremental_budget", "incremental_histogram",
         # referential-integrity gate (anti-join on key partials)
         "fk_orphans",
         # BOC payload decode (pure-Python codec in actor-pool batches)

@@ -146,3 +146,20 @@ def test_histogram_at_matches_duckdb(two_epoch_lake):
     ).fetchall()
     got = list(zip(*token_histogram_at(two_epoch_lake, 1).to_pydict().values()))
     assert got == want
+
+
+def test_ivm_across_compaction_is_noop(two_epoch_lake):
+    """Compaction re-materializes identical state as a fresh epoch, so
+    maintaining a view across it must change nothing (diff is empty)."""
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.cdc.sink import latest_epoch
+    from ton_etl_ray.ops.tokens import incremental_source_budget, source_budget_at
+
+    before = latest_epoch(two_epoch_lake)
+    compact_lake(two_epoch_lake)
+    after = latest_epoch(two_epoch_lake)
+    assert after == before + 1
+
+    view = source_budget_at(two_epoch_lake, before)
+    got = incremental_source_budget(two_epoch_lake, view, before, after)
+    assert got.to_pydict() == view.to_pydict()
