@@ -266,24 +266,31 @@ def _ivm_delta_stream(
             return None
         lake = rd.read_parquet(files, columns=read_cols)
         if n_changed <= broadcast_threshold:
-            order = pc.array_sort_indices(keys["doc_id"].combine_chunks())
-            key_ref = ray.put(keys["doc_id"].combine_chunks().take(order))
+            key_ref = ray.put(keys["doc_id"].combine_chunks())
 
             def pick(t: pa.Table, _ref=key_ref, _sign=sign) -> pa.Table:
+                import polars as pl
+
                 from ._util import worker_cache
 
                 cache = worker_cache()
-                entry = cache.get("ivm_keys")
-                if entry is None or entry[0] != _ref.hex():
-                    entry = (_ref.hex(),
-                             ray.get(_ref).to_numpy(zero_copy_only=False))
-                    cache["ivm_keys"] = entry
-                sk = entry[1]
-                if not t.num_rows or not len(sk):
+                # per-ref cache slot: the −1 and +1 passes interleave on
+                # the same workers, so one shared slot would thrash and
+                # refetch per task; two bounded slots (evicted by run)
+                ck = ("ivm_keys", _ref.hex())
+                keys_s = cache.get(ck)
+                if keys_s is None:
+                    for k in [k for k in cache if isinstance(k, tuple)
+                              and k[0] == "ivm_keys"][:-6]:
+                        cache.pop(k, None)
+                    keys_s = pl.from_arrow(ray.get(_ref))
+                    cache[ck] = keys_s
+                if not t.num_rows or not len(keys_s):
                     return empty_schema.empty_table()
-                ids = t["doc_id"].to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(sk, ids), len(sk) - 1)
-                return partial_fn(t.filter(pa.array(sk[pos] == ids)), _sign)
+                # hashed membership in polars — vectorized; object-dtype
+                # searchsorted would do Python string compares per row
+                mask = pl.from_arrow(t["doc_id"].combine_chunks()).is_in(keys_s)
+                return partial_fn(t.filter(mask.to_arrow()), _sign)
 
             return lake.map_batches(pick, batch_format="pyarrow")
         from .relational import shuffle_join
