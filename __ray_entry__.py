@@ -82,24 +82,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return flagship_epoch_diff(sf)
 
     def _incremental_histogram_q(sf: str):
-        from ton_etl_ray.ops.tokens import (
-            incremental_token_histogram, token_histogram_at,
-        )
-        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+        import pyarrow.parquet as _pq
 
-        lake = ensure_epoch_diff_lake(sf)
-        base = token_histogram_at(lake, 0)
-        return incremental_token_histogram(lake, base, 0, 1)
+        from ton_etl_ray.ops.tokens import incremental_token_histogram
+        from ton_etl_ray.pipelines import ensure_ivm_views
+
+        lake, _, hist_p = ensure_ivm_views(sf)
+        return incremental_token_histogram(lake, _pq.read_table(hist_p), 0, 1)
 
     def incremental_budget_q(sf: str):
-        from ton_etl_ray.ops.tokens import (
-            incremental_source_budget, source_budget_at,
-        )
-        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+        import pyarrow.parquet as _pq
 
-        lake = ensure_epoch_diff_lake(sf)
-        base = source_budget_at(lake, 0)
-        return incremental_source_budget(lake, base, 0, 1)
+        from ton_etl_ray.ops.tokens import incremental_source_budget
+        from ton_etl_ray.pipelines import ensure_ivm_views
+
+        lake, budget_p, _ = ensure_ivm_views(sf)
+        return incremental_source_budget(lake, _pq.read_table(budget_p), 0, 1)
 
     def jetton_transfers(sf: str):
         import ton_etl_ray.transforms  # noqa: F401 — populates REGISTRY

@@ -257,6 +257,7 @@ def run_bench() -> dict:
     from ton_etl_ray.ops.wallets import ensure_state_table as _ensure_wallet_table
     from ton_etl_ray.pipelines import (
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
+        ensure_ivm_views as _ensure_ivm_views,
     )
 
     setup_hooks = {
@@ -267,6 +268,10 @@ def run_bench() -> dict:
         "flagship_lake": ensure_flagship_lake,
         # epoch_diff times the committed-state diff, not the two replays
         "epoch_diff_lake": ensure_epoch_diff_lake,
+        # IVM base views are the state a deployment already holds when a
+        # commit lands: built untimed so incremental_budget/_histogram
+        # time the maintenance step (diff + delta passes + merge)
+        "ivm_views": _ensure_ivm_views,
         # decode queries time the BOC decode, not the body synthesis
         "message_table": ensure_message_table,
         # swap queries time the two-message parse, not the body synthesis

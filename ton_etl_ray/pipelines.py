@@ -359,3 +359,27 @@ def flagship_epoch_diff(sf_dir: str, *, num_partitions: int = 16):
     from .cdc.replay import epoch_diff
 
     return epoch_diff(ensure_epoch_diff_lake(sf_dir, num_partitions=num_partitions), 0)
+
+
+def ensure_ivm_views(sf_dir: str, *, num_partitions: int = 16) -> tuple[str, str, str]:
+    """Persisted epoch-0 base views for the IVM queries — the view a
+    deployment would already HOLD when the next epoch commits (bench
+    builds these untimed so the timed region is the maintenance step:
+    diff + signed delta passes + merge). Returns
+    (lake, budget_view.parquet, histogram_view.parquet)."""
+    import pyarrow.parquet as _pq
+
+    from .ops.tokens import source_budget_at, token_histogram_at
+
+    lake = ensure_epoch_diff_lake(sf_dir, num_partitions=num_partitions)
+    vdir = os.path.join(os.path.dirname(lake), "views")
+    budget_p = os.path.join(vdir, "budget_e0.parquet")
+    hist_p = os.path.join(vdir, "hist_e0.parquet")
+    if not (os.path.exists(budget_p) and os.path.exists(hist_p)):
+        os.makedirs(vdir, exist_ok=True)
+        tmpb, tmph = budget_p + f".tmp{os.getpid()}", hist_p + f".tmp{os.getpid()}"
+        _pq.write_table(source_budget_at(lake, 0), tmpb)
+        _pq.write_table(token_histogram_at(lake, 0), tmph)
+        os.replace(tmpb, budget_p)
+        os.replace(tmph, hist_p)
+    return lake, budget_p, hist_p
