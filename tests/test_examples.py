@@ -88,3 +88,12 @@ def test_tokenize_ingest_example_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "lake tokens == encoder tokens" in out.stdout
+
+
+def test_incremental_views_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "incremental_views.py")],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "equal their full recomputes" in out.stdout
