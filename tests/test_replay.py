@@ -202,3 +202,33 @@ def test_resume_with_salting_recomputes_hotspills(tmp_path):
     gm = _as_map(final_state_table(lake).select(["doc_id", "tokens", "n_tok", "source"]))
     wm = _as_map(_oracle(chg))
     assert gm == wm
+
+
+def test_coalesced_shuffle_matches_oracle(tmp_path, ray_session):
+    """replay(coalesce_shuffle_blocks=…) must produce the identical
+    final state — the repartition only changes block boundaries, never
+    rows (the single-node escape hatch for high-block-count logs)."""
+    import duckdb
+    import glob as _glob
+
+    from ton_etl_ray.cdc.replay import final_state_table, replay
+    from ton_etl_ray.gen import write_change_log
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=40_000, num_keys=3_000, seed=23,
+                     num_shards=16, max_tok=16)
+    lake = str(tmp_path / "lake")
+    replay(chg, lake, num_partitions=32, override_num_blocks=16,
+           coalesce_shuffle_blocks=4, hot_share_threshold=0.01)
+    got = final_state_table(lake).to_pandas()
+    shards = sorted(_glob.glob(chg + "/*.parquet"))
+    ora = duckdb.sql(
+        f"""WITH ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY lsn DESC) rk
+            FROM read_parquet({shards}, union_by_name=true))
+            SELECT doc_id, tokens, n_tok, source
+            FROM ranked WHERE rk = 1 AND op <> 'd'"""
+    ).df()
+    g = {r.doc_id: (list(r.tokens), r.n_tok, r.source) for r in got.itertuples()}
+    o = {r.doc_id: (list(r.tokens), r.n_tok, r.source) for r in ora.itertuples()}
+    assert g == o
