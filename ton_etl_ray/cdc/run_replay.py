@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                     help=">0: GC superseded epochs after publish, keeping N")
     ap.add_argument("--stats", action="store_true", help="print lake_stats after run")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    ap.add_argument("--coalesce-shuffle-blocks", type=int, default=None,
+                    help="streaming repartition before the partition exchange "
+                         "(single-node escape hatch for high-block-count logs)")
     args = ap.parse_args(argv)
 
     from ._driver import init_driver
@@ -53,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         hot_share_threshold=args.hot_share_threshold,
         resume=args.resume,
         excluded_doc_ids=excluded,
+        coalesce_shuffle_blocks=args.coalesce_shuffle_blocks,
     )
     dt = time.perf_counter() - t0
     if args.gc_keep_epochs > 0:
