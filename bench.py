@@ -332,7 +332,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     lo, hi = 8, 32
     outs = {}
-    for n in (lo, hi):
+    # hi leg FIRST: it is the burst-fragile one (three ~8 s trials vs the
+    # lo leg's ~25 s trials), so it runs closest to the launch moment the
+    # operator verified quiet; order does not change what is measured
+    for n in (hi, lo):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_EVENTS_MULT=os.environ.get("GRAFT_BENCH_EVENTS_MULT", "2"),
                    GRAFT_BENCH_SKIP_QUERIES="1",
