@@ -163,3 +163,37 @@ def test_ivm_across_compaction_is_noop(two_epoch_lake):
     view = source_budget_at(two_epoch_lake, before)
     got = incremental_source_budget(two_epoch_lake, view, before, after)
     assert got.to_pydict() == view.to_pydict()
+
+
+def test_ivm_property_random_logs(tmp_path, ray_session):
+    """Randomized two-epoch logs (different seeds, sizes, cut points):
+    maintained view == full recompute, every time."""
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+    from ton_etl_ray.ops.tokens import incremental_source_budget, source_budget_at
+
+    for i, (seed, events, keys, cut_frac) in enumerate(
+        [(101, 12_000, 900, 0.3), (202, 20_000, 2_500, 0.7),
+         (303, 8_000, 300, 0.5)]
+    ):
+        base = tmp_path / f"case{i}"
+        chg, lake = str(base / "chg"), str(base / "lake")
+        write_change_log(chg, num_events=events, num_keys=keys, seed=seed,
+                         num_shards=4, max_tok=12)
+        e0, e1 = str(base / "e0"), str(base / "e1")
+        os.makedirs(e0), os.makedirs(e1)
+        cut = int(events * cut_frac)
+        for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
+            t = pq.read_table(p)
+            lsn = t["lsn"].to_numpy()
+            lo, hi = t.filter(pa.array(lsn < cut)), t.filter(pa.array(lsn >= cut))
+            if lo.num_rows:
+                pq.write_table(lo, os.path.join(e0, os.path.basename(p)))
+            if hi.num_rows:
+                pq.write_table(hi, os.path.join(e1, os.path.basename(p)))
+        replay(e0, lake, num_partitions=8, hot_share_threshold=1.0)
+        replay(e1, lake)
+        got = incremental_source_budget(
+            lake, source_budget_at(lake, 0), 0, 1)
+        want = source_budget_at(lake, 1)
+        assert got.to_pydict() == want.to_pydict(), f"case {i} diverged"
