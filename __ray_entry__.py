@@ -81,6 +81,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flagship_epoch_diff(sf)
 
+    def changefeed_q(sf: str):
+        import tempfile
+
+        import ray.data as _rd
+
+        from ton_etl_ray.cdc.changefeed import emit_changefeed
+        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+
+        lake = ensure_epoch_diff_lake(sf)
+        feed = tempfile.mkdtemp(prefix="tonray_feed_", dir="/tmp")
+        emit_changefeed(lake, feed, 0, 1)
+        ds = _rd.read_parquet(feed)
+        return ds.map_batches(
+            lambda t: t.select(["doc_id", "op", "lsn", "n_tok", "source"]),
+            batch_format="pyarrow",
+        )
+
     def _incremental_histogram_q(sf: str):
         import pyarrow.parquet as _pq
 
@@ -156,6 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recompute over epoch 1's state (= the flagship final state,
         # whose n_tok is md5-derived → full SQL oracle)
         "incremental_budget": incremental_budget_q,
+        # changefeed export (the engine as CDC producer): the 0→1 diff
+        # emitted as a replayable change log — updated keys carry the
+        # version-2 payload at its stored lsn, deletes a tombstone at
+        # max_lsn+1; the whole feed is SQL-derivable from the
+        # deterministic flagship split
+        "changefeed_export": changefeed_q,
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
@@ -455,6 +478,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS n_tok,
                    source
             FROM d WHERE rn % 10 <> 0
+        """,
+        "changefeed_export": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            c AS (SELECT count(*) AS n, (count(*) + 9) // 10 AS ndead
+                  FROM documents)
+            SELECT did AS doc_id, 'u' AS op,
+                   CAST(2 * n + rn AS BIGINT) AS lsn,
+                   CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                        AS INT) AS n_tok,
+                   source
+            FROM d CROSS JOIN c WHERE rn % 10 <> 0
+            UNION ALL
+            SELECT did, 'd', CAST(3 * n + ndead AS BIGINT),
+                   CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+            FROM d CROSS JOIN c WHERE rn % 10 = 0
         """,
         "incremental_budget": """
             WITH d AS (

@@ -205,6 +205,8 @@ def run_bench() -> dict:
         # incremental view maintenance from the epoch diff (shares the
         # cached two-epoch lake; times diff + delta passes + merge)
         "incremental_budget", "incremental_histogram",
+        # changefeed export (diff → replayable change log, one hash join)
+        "changefeed_export",
         # referential-integrity gate (anti-join on key partials)
         "fk_orphans",
         # BOC payload decode (pure-Python codec in actor-pool batches)

@@ -1,0 +1,142 @@
+"""Changefeed export: the engine as a CDC *producer*.
+
+The reference's exporter loop is consume→convert→re-produce
+(datalake/streaming.py — Kafka in, converted Kafka out). The
+committed-state form of that loop: export what changed between two
+lake epochs as an ordered change log that the SAME engine (or any
+downstream consumer of the change schema) can replay — lake→lake
+replication without shipping the full table.
+
+- ``emit_snapshot(lake, out, epoch=…)``: every live row of one epoch
+  as a create, carrying its stored winning lsn. Seeds a replica.
+- ``emit_changefeed(lake, out, epoch_a, epoch_b=…)``: the epoch diff
+  as change rows — added keys as creates and updated keys as updates
+  (payload = the epoch-b winner, stored lsn preserved), deleted keys
+  as tombstones at ``commit(b).max_lsn + 1`` (greater than any
+  replicated lsn, so the delete wins LWW on the replica exactly as it
+  won on the primary).
+
+Scale shape: the diff is O(change set); payloads are picked up by ONE
+hash-partitioned inner join of the epoch-b state against the diff keys
+(epoch-pinned, column-complete read — the payload ships once, to the
+feed). Output is sharded Parquet in the engine's own change schema, so
+``replay(feed_dir, replica)`` applies it with full exactly-once /
+crash-resume semantics.
+
+Equivalence contract (pinned in tests/test_changefeed.py): replaying
+``snapshot(a)`` then ``changefeed(a→b)`` into a fresh replica yields a
+final state identical to the primary's epoch-b state, row for row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .._pickle import ensure_portable
+from . import sink
+from .replay import epoch_diff
+
+
+def _live_rows(lake_dir: str, epoch: int | None):
+    files = sink.lake_files(lake_dir, epoch)
+    if not files:
+        return None
+    return rd.read_parquet(files)
+
+
+def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> str:
+    """Export one committed epoch's live rows as an insert-only change
+    log (op='c', stored winning lsn) — the replica seed."""
+    ensure_portable()
+    ds = _live_rows(lake_dir, epoch)
+    os.makedirs(out_dir, exist_ok=True)
+    if ds is None:
+        return out_dir
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        cols = {"lsn": t["lsn"].cast(pa.int64()),
+                "op": pa.array(["c"] * t.num_rows, pa.string())}
+        for name in t.column_names:
+            if name not in ("lsn",):
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    ds.map_batches(to_changes, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
+def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
+                    epoch_b: int | None = None,
+                    num_partitions: int | None = None) -> str:
+    """Export the epoch_a→epoch_b diff as a replayable change log."""
+    ensure_portable()
+    from ..ops.relational import shuffle_join
+
+    e_b = sink.latest_epoch(lake_dir) if epoch_b is None else epoch_b
+    commit_b = sink.read_commit(lake_dir, e_b)
+    delete_lsn = int(commit_b["max_lsn"]) + 1
+    os.makedirs(out_dir, exist_ok=True)
+
+    diff = epoch_diff(lake_dir, epoch_a, e_b,
+                      num_partitions=num_partitions).materialize()
+
+    # upserts: epoch-b winners for added/updated keys, one hash join
+    def upsert_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["change"],
+                              pa.array(["added", "updated"], pa.string())))
+        return pa.table({"doc_id": t["doc_id"],
+                         "op": pc.if_else(pc.equal(t["change"], pa.scalar("added")),
+                                          pa.scalar("c"), pa.scalar("u"))})
+
+    keys = diff.map_batches(upsert_keys, batch_format="pyarrow")
+    state_b = _live_rows(lake_dir, e_b)
+    wrote_upserts = False
+    if state_b is not None and keys.count() > 0:
+        joined = shuffle_join(state_b, keys, on="doc_id", how="inner")
+
+        def to_changes(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            cols = {"lsn": t["lsn"].cast(pa.int64()), "op": t["op"]}
+            for name in t.column_names:
+                if name not in ("lsn", "op"):
+                    cols[name] = t[name]
+            return pa.table(cols)
+
+        joined.map_batches(to_changes, batch_format="pyarrow").write_parquet(out_dir)
+        wrote_upserts = True
+
+    # tombstones: deleted keys at a feed lsn above every replicated lsn
+    def delete_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["change"], pa.scalar("deleted")))
+        n = t.num_rows
+        payload = sink.lake_schema(lake_dir, e_b)
+        cols = {"lsn": pa.array([delete_lsn] * n, pa.int64()),
+                "op": pa.array(["d"] * n, pa.string()),
+                "doc_id": t["doc_id"]}
+        for f in payload:
+            if f.name not in cols:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols)
+
+    deletes = diff.map_batches(delete_rows, batch_format="pyarrow")
+    if deletes.count() > 0:
+        # a second write_parquet into the same dir could collide shard
+        # names with the upsert files; stage in a subdir, then promote
+        # the shards with a distinct prefix (rename only — no data moves,
+        # and replay's shard discovery is non-recursive by design)
+        ddir = os.path.join(out_dir, "_deletes_staging")
+        os.makedirs(ddir, exist_ok=True)
+        deletes.write_parquet(ddir)
+        import glob as _glob
+        import shutil as _shutil
+
+        for f in _glob.glob(os.path.join(ddir, "*.parquet")):
+            os.replace(f, os.path.join(out_dir, "deletes-" + os.path.basename(f)))
+        _shutil.rmtree(ddir, ignore_errors=True)
+    return out_dir
