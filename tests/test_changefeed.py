@@ -99,3 +99,32 @@ def test_feed_carries_classified_ops(primary, tmp_path):
     )
     max_lsn = read_commit(primary, 1)["max_lsn"]
     assert rows.loc["d", "mx"] == max_lsn + 1
+
+
+def test_maintain_cli_exports_feed(primary, tmp_path):
+    """run_maintain --snapshot / --changefeed produce replayable logs
+    from a fresh process; the replica replays them to the primary's
+    state."""
+    import json
+    import subprocess
+    import sys
+
+    from ton_etl_ray.cdc.replay import replay
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snap, feed = str(tmp_path / "snap"), str(tmp_path / "feed")
+    out = subprocess.run(
+        [sys.executable, "-m", "ton_etl_ray.cdc.run_maintain",
+         "--lake", primary, "--diff", "0", "--snapshot", snap,
+         "--changefeed", feed, "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    by = {json.loads(l)["action"]: json.loads(l)
+          for l in out.stdout.strip().splitlines() if l.startswith("{")}
+    assert by["snapshot"]["epoch"] == 0 and by["changefeed"]["to_epoch"] == 1
+
+    replica = str(tmp_path / "replica")
+    replay(snap, replica, num_partitions=8)
+    replay(feed, replica)
+    assert _state_map(replica) == _state_map(primary, 1)

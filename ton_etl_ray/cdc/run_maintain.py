@@ -6,7 +6,8 @@ Usage::
 
     python -m ton_etl_ray.cdc.run_maintain --lake DIR \
         [--compact] [--partitions P] [--gc-keep K] [--verify] \
-        [--stats] [--diff A [B]] [--num-cpus N]
+        [--stats] [--diff A [B]] [--snapshot OUT] [--changefeed OUT] \
+        [--num-cpus N]
 
 Actions run in the order: diff → compact → gc → verify → stats —
 the diff first (it reads the PRE-maintenance epochs, which compaction
@@ -38,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--diff", nargs="+", type=int, default=None,
                     metavar="EPOCH", help="diff epoch A against B (default: latest)")
+    ap.add_argument("--snapshot", default=None, metavar="OUT_DIR",
+                    help="export the latest (or --diff A's) epoch as an "
+                         "insert-only change log (replica seed)")
+    ap.add_argument("--changefeed", default=None, metavar="OUT_DIR",
+                    help="export the --diff A [B] epoch diff as a replayable "
+                         "change log (requires --diff)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
@@ -45,8 +52,11 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--partitions only applies together with --compact")
     if args.diff is not None and len(args.diff) > 2:
         ap.error("--diff takes at most two epochs (FROM [TO])")
+    if args.changefeed is not None and args.diff is None:
+        ap.error("--changefeed requires --diff A [B] for the epoch range")
 
-    needs_ray = args.compact or args.diff is not None
+    needs_ray = (args.compact or args.diff is not None
+                 or args.snapshot is not None or args.changefeed is not None)
     if needs_ray:
         # gc/verify/stats are pure commit-manifest filesystem code — no
         # Ray session for metadata-only invocations
@@ -67,6 +77,30 @@ def main(argv: list[str] | None = None) -> int:
             "action": "diff", "from_epoch": a,
             "to_epoch": b if b is not None else sink.latest_epoch(args.lake),
             "counts": dict(zip(counts["change"], counts["count()"].astype(int))),
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+    if args.snapshot is not None:
+        from .changefeed import emit_snapshot
+
+        t0 = time.perf_counter()
+        epoch = args.diff[0] if args.diff else None
+        emit_snapshot(args.lake, args.snapshot, epoch=epoch)
+        print(json.dumps({
+            "action": "snapshot", "out": args.snapshot,
+            "epoch": epoch if epoch is not None else sink.latest_epoch(args.lake),
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+    if args.changefeed is not None:
+        from .changefeed import emit_changefeed
+
+        t0 = time.perf_counter()
+        a = args.diff[0]
+        b = args.diff[1] if len(args.diff) > 1 else None
+        emit_changefeed(args.lake, args.changefeed, a, b)
+        print(json.dumps({
+            "action": "changefeed", "out": args.changefeed,
+            "from_epoch": a,
+            "to_epoch": b if b is not None else sink.latest_epoch(args.lake),
             "sec": round(time.perf_counter() - t0, 3),
         }))
     if args.compact:
