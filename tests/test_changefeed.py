@@ -128,3 +128,14 @@ def test_maintain_cli_exports_feed(primary, tmp_path):
     replay(snap, replica, num_partitions=8)
     replay(feed, replica)
     assert _state_map(replica) == _state_map(primary, 1)
+
+
+def test_export_refuses_nonempty_dir(primary, tmp_path):
+    from ton_etl_ray.cdc.changefeed import emit_changefeed, emit_snapshot
+
+    out = str(tmp_path / "out")
+    emit_snapshot(primary, out, epoch=0)
+    with pytest.raises(ValueError, match="fresh directory"):
+        emit_snapshot(primary, out, epoch=0)
+    with pytest.raises(ValueError, match="fresh directory"):
+        emit_changefeed(primary, out, 0, 1)

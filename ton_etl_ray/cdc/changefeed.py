@@ -49,12 +49,28 @@ def _live_rows(lake_dir: str, epoch: int | None):
     return rd.read_parquet(files)
 
 
+def _fresh_out_dir(out_dir: str) -> None:
+    """Refuse a dir that already holds change shards: a second export
+    into it would leave BOTH shard sets, and a replay of the directory
+    would apply duplicated rows (LWW makes upsert dupes harmless but a
+    stale feed's deletes could resurrect ordering surprises — fail
+    loudly instead)."""
+    import glob as _glob
+
+    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+        raise ValueError(
+            f"changefeed out_dir {out_dir!r} already contains parquet "
+            "shards; export into a fresh directory"
+        )
+
+
 def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> str:
     """Export one committed epoch's live rows as an insert-only change
     log (op='c', stored winning lsn) — the replica seed."""
     ensure_portable()
     ds = _live_rows(lake_dir, epoch)
     os.makedirs(out_dir, exist_ok=True)
+    _fresh_out_dir(out_dir)
     if ds is None:
         return out_dir
 
@@ -81,6 +97,7 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
     commit_b = sink.read_commit(lake_dir, e_b)
     delete_lsn = int(commit_b["max_lsn"]) + 1
     os.makedirs(out_dir, exist_ok=True)
+    _fresh_out_dir(out_dir)
 
     diff = epoch_diff(lake_dir, epoch_a, e_b,
                       num_partitions=num_partitions).materialize()
