@@ -114,7 +114,13 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
     state_b = _live_rows(lake_dir, e_b)
     wrote_upserts = False
     if state_b is not None and keys.count() > 0:
-        joined = shuffle_join(state_b, keys, on="doc_id", how="inner")
+        # force_portable: the payload carries tokens (list<int32>) —
+        # the native join's acero backend rejects list non-key fields
+        joined = shuffle_join(
+            state_b, keys, on="doc_id", how="inner", force_portable=True,
+            left_schema=sink.lake_schema(lake_dir, e_b),
+            right_schema=pa.schema([("doc_id", pa.string()), ("op", pa.string())]),
+        )
 
         def to_changes(t: pa.Table) -> pa.Table:
             if not t.num_rows:

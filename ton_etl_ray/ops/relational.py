@@ -633,6 +633,7 @@ def shuffle_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    force_portable: bool = False,
 ):
     """Both-sides-large hash join (the shuffle join the broadcast pattern
     can't cover). Uses Ray's native hash-partitioned ``Dataset.join``
@@ -655,12 +656,24 @@ def shuffle_join(
     "left_outer", "full_outer") or polars' ("inner", "left", "full") —
     and is translated for whichever engine runs the join. Optional
     ``left_schema``/``right_schema`` are forwarded to the portable path
-    (needed for lazy inputs or list-typed payload columns)."""
+    (needed for lazy inputs or list-typed payload columns).
+
+    ``force_portable``: the native join's Arrow acero backend rejects
+    list-typed NON-KEY columns ("Data type list<int32> is not supported
+    in join non-key field") — callers whose payload carries token
+    arrays must set this so routing never depends on the session's CPU
+    count (a 4-cpu test session routes portable by partition count and
+    would hide the failure a 32-cpu run hits)."""
     ensure_portable()
     native_how = {"left": "left_outer", "full": "full_outer"}.get(how, how)
     polars_how = {"left_outer": "left", "full_outer": "full"}.get(how, how)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     native_cap = max(4, 2 * cpus)
+    if force_portable:
+        return _portable_shuffle_join(
+            left, right, on, num_partitions=num_partitions, how=polars_how,
+            left_schema=left_schema, right_schema=right_schema,
+        )
     if hasattr(left, "join") and num_partitions <= native_cap:
         return left.join(right, join_type=native_how, num_partitions=num_partitions, on=(on,))
     if num_partitions > native_cap:
