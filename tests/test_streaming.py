@@ -595,3 +595,64 @@ def test_render_metrics_tolerates_torn_trailing_line(tmp_path):
     text = render_metrics(lake)
     assert "tonray_epochs_committed_total 1" in text
     assert "tonray_events_routed_total 5" in text
+
+
+def test_continuous_feed_publication(tmp_path, ray_session):
+    """feed_dir: every committed epoch is exported (epoch 0 snapshot,
+    later epochs as diffs); replaying the feeds in order reproduces the
+    watcher lake; a deleted feed is regenerated identically by
+    catch_up_feeds (feeds are pure functions of the epoch-pinned lake)."""
+    import duckdb
+
+    from ton_etl_ray.cdc.replay import final_state_table, replay
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=8000, num_keys=500, seed=61,
+                     num_shards=8, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    watch, lake, feed = (str(tmp_path / d) for d in ("incoming", "lake", "feed"))
+    os.makedirs(watch)
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=3, idle_flush_sec=5.0,
+                         stable_polls=0, feed_dir=feed, time_fn=clock)
+    try:
+        for f in files:
+            shutil.copy(f, watch)
+            w.step()
+            clock.t += 1.0
+        clock.t += 10.0
+        w.step()  # idle drain
+        assert len(w.epochs) >= 2
+    finally:
+        w.close()
+
+    feed_dirs = sorted(glob.glob(os.path.join(feed, "epoch-*")))
+    assert len(feed_dirs) == len(w.epochs)
+
+    # replay the published feeds, in order, into a fresh replica
+    replica = str(tmp_path / "replica")
+    for fd in feed_dirs:
+        replay(fd, replica, num_partitions=8)
+    want = final_state_table(lake).to_pandas()
+    got = final_state_table(replica).to_pandas()
+    wm = {r.doc_id: (list(r.tokens), r.n_tok) for r in want.itertuples()}
+    gm = {r.doc_id: (list(r.tokens), r.n_tok) for r in got.itertuples()}
+    assert gm == wm
+
+    # catch-up regenerates a lost feed with identical rows
+    lost = feed_dirs[-1]
+    before = duckdb.sql(
+        f"SELECT * FROM read_parquet('{lost}/*.parquet', union_by_name=true) ORDER BY doc_id, lsn, op"
+    ).df().to_csv(index=False)
+    shutil.rmtree(lost)
+    w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=1,
+                          feed_dir=feed, time_fn=clock)
+    try:
+        assert os.path.isdir(lost)
+        after = duckdb.sql(
+            f"SELECT * FROM read_parquet('{lost}/*.parquet', union_by_name=true) ORDER BY doc_id, lsn, op"
+        ).df().to_csv(index=False)
+        assert after == before
+    finally:
+        w2.close()

@@ -81,11 +81,20 @@ class DirectoryWatcher:
         stable_polls: int = 1,
         derive=None,
         derive_source: str = "changes",
+        feed_dir: str | None = None,
         metrics_window_sec: float = 60.0,
         time_fn: Callable[[], float] = time.monotonic,
     ):
         self.watch_dir = watch_dir
         self.lake_dir = lake_dir
+        # continuous changefeed publication (the reference's streaming
+        # re-produce loop, datalake/streaming.py): every committed epoch
+        # is also exported under feed_dir/epoch-N — epoch 0 as a
+        # snapshot, later epochs as the (N-1)→N diff — atomically
+        # (build dir + rename). The feed is DERIVABLE state: a missed
+        # publication (crash between commit and export) is regenerated
+        # identically by catch_up_feeds(), called here on start.
+        self.feed_dir = feed_dir
         self.max_batch = max_batch_shards
         self.idle_flush = idle_flush_sec
         self.pattern = pattern
@@ -132,6 +141,8 @@ class DirectoryWatcher:
         self.pending: list[str] = []
         self.first_pending_at: float | None = None
         self.epochs: list[dict] = []
+        if self.feed_dir is not None:
+            self.catch_up_feeds()
 
     def _is_done(self, base: str) -> bool:
         # commits record the INGESTED (possibly preprocessed) name
@@ -207,6 +218,49 @@ class DirectoryWatcher:
                 rel[table] = os.path.relpath(out_dir, self.lake_dir)
         return rel
 
+    def _publish_feed(self, epoch: int) -> str:
+        """Export one committed epoch's feed atomically: emit into a
+        build dir, then rename — feed_dir/epoch-N exists iff complete."""
+        import shutil
+
+        from .changefeed import emit_changefeed, emit_snapshot
+
+        final = os.path.join(self.feed_dir, f"epoch-{epoch:06d}")
+        build = final + f".build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        if epoch == 0:
+            emit_snapshot(self.lake_dir, build, epoch=0)
+        else:
+            emit_changefeed(self.lake_dir, build, epoch - 1, epoch)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(build, final)
+        return final
+
+    def catch_up_feeds(self) -> list[int]:
+        """Publish the feed of every committed epoch that has none —
+        feeds are pure functions of the epoch-pinned lake, so a crash
+        between commit and export never loses one, and a fresh watcher
+        pointed at an existing lake backfills the full feed history.
+        Epochs whose pre-image files were garbage-collected are skipped
+        (their diff is no longer derivable; GC'd history is by contract
+        outside the replayable window)."""
+        published = []
+        os.makedirs(self.feed_dir, exist_ok=True)
+        latest = sink.latest_epoch(self.lake_dir)
+        if latest is None:
+            return published
+        for e in range(latest + 1):
+            if not sink.is_committed(self.lake_dir, e):
+                continue
+            if os.path.isdir(os.path.join(self.feed_dir, f"epoch-{e:06d}")):
+                continue
+            try:
+                self._publish_feed(e)
+                published.append(e)
+            except ValueError:
+                continue  # pre-image collected by GC
+        return published
+
     def _emit_metrics(self, res: dict, wall_sec: float) -> dict:
         """One gauge row per committed epoch + a rolling-window rate with
         window cleanup. Appended to ``metrics.jsonl`` AFTER the commit
@@ -257,6 +311,8 @@ class DirectoryWatcher:
         self.done.update(os.path.basename(f) for f in batch)
         self.first_pending_at = self.now() if self.pending else None
         self.epochs.append(res)
+        if self.feed_dir is not None:
+            self._publish_feed(res["epoch"])
         self._emit_metrics(res, self.now() - t0)
         if self.gc_every and len(self.epochs) % self.gc_every == 0:
             sink.gc_epochs(self.lake_dir, keep_epochs=self.gc_keep)
