@@ -241,23 +241,25 @@ def _ivm_delta_stream(
     from ..cdc import sink
     from ..cdc.replay import epoch_diff
 
-    diff = epoch_diff(lake_dir, epoch_a, epoch_b).materialize()
-    n_changed = diff.count()
+    # ONE pass pulls the (doc_id, change) pairs to the driver — both key
+    # sets and the later broadcast need them there anyway, and separate
+    # filter jobs per side cost a fixed Dataset-job latency each
+    # (measured ~1 s/job; the diff is O(change set) by construction and
+    # bounded by broadcast_threshold before any broadcast use)
+    parts = list(
+        epoch_diff(lake_dir, epoch_a, epoch_b)
+        .select_columns(["doc_id", "change"])
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    key_schema = pa.schema([("doc_id", pa.string()), ("change", pa.string())])
+    diff_keys = (pa.concat_tables([p.cast(key_schema) for p in parts])
+                 if parts else key_schema.empty_table())
+    n_changed = diff_keys.num_rows
 
     def side_keys(changes: tuple[str, ...]) -> pa.Table:
-        def keep(t: pa.Table, _c=changes) -> pa.Table:
-            return t.filter(
-                pc.is_in(t["change"], pa.array(list(_c), pa.string()))
-            ).select(["doc_id"])
-
-        parts = list(
-            diff.map_batches(keep, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        )
-        schema = pa.schema([("doc_id", pa.string())])
-        if not parts:
-            return schema.empty_table()
-        return pa.concat_tables([p.cast(schema) for p in parts])
+        return diff_keys.filter(
+            pc.is_in(diff_keys["change"], pa.array(list(changes), pa.string()))
+        ).select(["doc_id"])
 
     read_cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
 
