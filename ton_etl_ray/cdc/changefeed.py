@@ -44,6 +44,18 @@ from .replay import epoch_diff
 
 def _live_rows(lake_dir: str, epoch: int | None):
     files = sink.lake_files(lake_dir, epoch)
+    # same GC contract as epoch_diff: a commit JSON outlives its data
+    # files, so a collected epoch must raise the ValueError callers
+    # (Watcher.catch_up_feeds) treat as "outside the replayable window"
+    # — not a mid-pipeline read failure in emit_snapshot
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"changefeed: epoch {epoch}'s data files have been "
+            f"garbage-collected ({len(missing)} missing, e.g. "
+            f"{os.path.basename(missing[0])}); export an epoch inside "
+            "the GC keep window"
+        )
     if not files:
         return None
     return rd.read_parquet(files)
@@ -72,6 +84,17 @@ def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> s
     os.makedirs(out_dir, exist_ok=True)
     _fresh_out_dir(out_dir)
     if ds is None:
+        # fully-tombstoned epoch: seed with ONE empty shard in the change
+        # schema so replay() of the feed is a valid no-op epoch instead
+        # of FileNotFoundError('no change shards') — an empty-but-valid
+        # epoch must still be able to seed a replica
+        import pyarrow.parquet as pq
+
+        payload = sink.lake_schema(lake_dir, epoch)
+        fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        fields += [f for f in payload if f.name not in ("lsn",)]
+        pq.write_table(pa.schema(fields).empty_table(),
+                       os.path.join(out_dir, "snapshot-empty.parquet"))
         return out_dir
 
     def to_changes(t: pa.Table) -> pa.Table:

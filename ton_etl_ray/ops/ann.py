@@ -257,11 +257,11 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
 
     import pandas as pd
 
+    from .dedup import _grouped_bucket_pairs
+
     def pairs(g: pd.DataFrame) -> pa.Table:
         # hot-bucket cap: identical embeddings share every plane sign →
         # one bucket per band; star edges bound the emission to O(n)
-        from .dedup import _grouped_bucket_pairs
-
         return _grouped_bucket_pairs(g, ["band", "bucket"], "vec_id",
                                      hot_bucket_cap, "lsh_embedding_pairs")
 

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..core.partition import assert_polars_hash_stable
-from ._util import _t, read_table
+from ._util import _t, read_table, worker_cache
 
 # term/doc shard keys ride polars' seeded hash — fail loudly on a polars
 # build whose hash diverges from the pinned vectors (see core.partition)
@@ -707,8 +707,6 @@ def bpe_encode(sf_dir: str, num_merges: int = 50, max_vocab: int = 65536,
     model_ref = ray.put((ranks, vocab))
 
     def encode(t: pa.Table) -> pa.Table:
-        from ._util import worker_cache
-
         cache = worker_cache()
         entry = cache.get("bpe_encode")
         # ObjectRef object identity does not survive task pickling —

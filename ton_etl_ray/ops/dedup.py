@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ..core.partition import assert_polars_hash_stable
+from ..core.partition import assert_polars_hash_stable, hash64
 from ._util import _t, pool as _util_pool, read_table
 
 # shingle/band/bucket keys all ride polars' seeded hash — fail loudly on
@@ -490,8 +490,6 @@ def exact_dedup_hash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
-        from ..core.partition import hash64
-
         hh = np.ascontiguousarray(hash64(t["text"])).view(np.int64)
         # per-batch PARTIAL dedup (min doc_id per hash) before the
         # shuffle: a million-duplicate document otherwise ships a million

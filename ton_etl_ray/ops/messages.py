@@ -46,7 +46,10 @@ import pyarrow as pa
 from .._pickle import ensure_portable
 from ..boc import (
     Builder,
+    build_hashmap_uint,
     decode_comment,
+    decode_tep64,
+    encode_tep64_onchain,
     parse_boc,
     raw2uf,
     serialize_boc,
@@ -100,8 +103,6 @@ def encode_event_body(event_id: int, user_id: int, event_type: str) -> bytes:
             # event_id % 3 + 1 items — the reference's 1→many parser
             # shape (one message → N typed rows); each item's amount is
             # arithmetic so the fan-out is SQL-recomputable
-            from ..boc import build_hashmap_uint
-
             n_items = event_id % 3 + 1
             items = {
                 i: Builder().store_coins(event_id * 10 + i).end_cell()
@@ -301,8 +302,6 @@ def tep64_part_metadata(sf_dir: str):
     themselves, so any hashmap/label/snake/chunk bug hash-mismatches
     (reference nfts_parser.py:45-100)."""
     ensure_portable()
-    from ..boc import decode_tep64, encode_tep64_onchain
-
     ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
 
     def roundtrip(t: pa.Table) -> pa.Table:

@@ -34,6 +34,7 @@ import ray
 
 from .._pickle import ensure_portable
 from ._util import read_table
+from .sampling import _doc_hash
 from .ann import _emb_matrix, fold_shard_partials
 
 _PART_SCHEMA = pa.schema(
@@ -58,8 +59,6 @@ def _is_train(ids: np.ndarray, holdout_mod: int) -> np.ndarray:
     ANSI-SQL-reproducibility property documented there keeps describing
     this split too) — every task decides membership locally,
     reproducible at any cluster size."""
-    from .sampling import _doc_hash
-
     return (_doc_hash(ids) % np.uint64(holdout_mod)) != 0
 
 

@@ -46,7 +46,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
-from ..boc import Builder, parse_boc, serialize_boc
+from ..boc import (
+    Builder,
+    build_hashmap_uint,
+    decode_tep64,
+    encode_tep64_onchain,
+    parse_boc,
+    parse_hashmap_uint,
+    serialize_boc,
+)
 from ._util import addr_str as _addr_str_u, cached_synth_table, fmt_addr, hex2 as _hex2_u, read_synth_dir, read_table
 
 N_POOLS = 4096
@@ -269,8 +277,6 @@ def encode_stake_state(k: int) -> bytes:
     nominator i = addr(nom, (k*7+i) % 100000), stake = k*31 + i*13 —
     all arithmetic, so DuckDB recomputes the fan-out with
     unnest(range(...))."""
-    from ..boc import build_hashmap_uint
-
     items = {}
     for i in range(k % 5 + 1):
         v = Builder()
@@ -321,8 +327,6 @@ def staking_nominators(sf_dir: str, *, num_buckets: int = 64):
     account states). Output: account, lt, nominator_idx, nominator,
     stake."""
     ensure_portable()
-    from ..boc import parse_hashmap_uint
-
     winners = _rank1_states(
         stake_dataset(sf_dir), STAKING_CODE_HASH, ["account"],
         num_buckets=num_buckets,
@@ -378,8 +382,6 @@ def encode_nft_state(k: int, name: str, description: str) -> bytes:
     """NFT item state cell: magic + owner address + ^TEP-64 on-chain
     content (name/description) — the decode surface of
     nfts_parser.py:45-100; every 7th item uses the CHUNKED value form."""
-    from ..boc import encode_tep64_onchain
-
     b = Builder().store_uint(NFT_MAGIC, 32)
     b.store_address((0, bytes.fromhex(_hex2("own", k))))
     b.store_ref(
@@ -444,8 +446,6 @@ def nft_item_states(sf_dir: str, *, num_buckets: int = 64):
     states only (decode-after-reduce). Output: account, lt, owner,
     name, description."""
     ensure_portable()
-    from ..boc import decode_tep64
-
     winners = _rank1_states(
         read_synth_dir(ensure_nft_state_table(sf_dir), _STATE_SCHEMA),
         NFT_CODE_HASH, ["account"], num_buckets=num_buckets,

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .._pickle import ensure_portable
-from ..core.partition import assert_polars_hash_stable
+from ..core.partition import assert_polars_hash_stable, hash64
 from ._util import read_table
 
 # distinct counts key on polars' row hash — fail loudly on a polars
@@ -214,8 +214,6 @@ def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custke
         # hash64, not raw low bits: stride-aligned id schemes (ids that
         # are multiples of 64) would otherwise collapse into one bucket;
         # nulls route to bucket 0 (their key stays null in the data)
-        from ..core.partition import hash64
-
         filled = pc.fill_null(t["k"], 0)
         b = (hash64(filled) % np.uint64(64)).astype(np.int64)
         return t.append_column("__b", pa.array(b, pa.int64()))

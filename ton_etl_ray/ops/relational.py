@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .._pickle import ensure_portable
+from ..core.partition import hash64
 from ._util import _t, pool as _pool, read_table, worker_cache
 
 
@@ -103,7 +104,6 @@ def _bucketed(ds: "rd.Dataset", key: str, per_bucket, out_schema: pa.Schema,
     ``minhash_lsh_pairs.shard_key``. Empty shuffle partitions pass
     through with the upstream block schema, so results are conformed to
     ``out_schema`` right after the group stage."""
-    from ..core.partition import hash64
 
     def bucket(t: pa.Table) -> pa.Table:
         b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int64)
@@ -437,8 +437,6 @@ def anti_join_customers(sf_dir: str, num_buckets: int = 64):
     def bucket(t: pa.Table) -> pa.Table:
         # hash bucket, not raw low bits: stride-aligned key schemes would
         # collapse into one bucket otherwise
-        from ..core.partition import hash64
-
         b = (hash64(t["c_custkey"]) % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("__b", pa.array(b, pa.int64()))
 
@@ -757,8 +755,6 @@ def _portable_shuffle_join(
     )
 
     def bucket(t: pa.Table) -> pa.Table:
-        from ..core.partition import hash64
-
         b = (hash64(t[on]) % np.uint64(num_partitions)).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 

@@ -18,15 +18,14 @@ import pyarrow as pa
 import ray.data as rd
 
 from .._pickle import ensure_portable
+from ..core.partition import hash64 as _hash64_impl
 
 P_BITS = 12  # 4096 registers → ~1.6% standard error
 M = 1 << P_BITS
 
 
 def _hash64(values: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    from ..core.partition import hash64
-
-    return hash64(values)
+    return _hash64_impl(values)
 
 
 def hll_add(registers: np.ndarray, values: pa.Array | pa.ChunkedArray) -> np.ndarray:

@@ -66,6 +66,8 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
+from ._util import worker_cache
+from .relational import _evict_dims
 from ._util import addr_bytes as _addr_bytes_u, addr_str as _addr_str_u, cached_synth_table, hex2 as _hex2_u, md5_tag, read_synth_dir, read_table
 
 OP_SWAP_REQUEST = 0x25938561
@@ -382,8 +384,6 @@ def _dim_arrays(dim_ref, key_col: str, val_col: str):
     several times faster than Arrow's object-dtype conversion)."""
     import ray
 
-    from ._util import worker_cache
-
     cache = worker_cache()
     key = ("dim", dim_ref.hex(), key_col, val_col)
     ent = cache.get(key)
@@ -397,8 +397,6 @@ def _dim_arrays(dim_ref, key_col: str, val_col: str):
         )
         order = np.argsort(keys)
         ent = (keys[order], vals[order])
-        from .relational import _evict_dims
-
         _evict_dims(cache)
         cache[key] = ent
     return ent

@@ -11,7 +11,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .boc import decode_comment, parse_boc, parse_hashmap_uint
+from .functions import opcode_signed
 from .ops._util import fmt_addr
+from .ops.enrich import FetchEnrichStage
 from .registry import Transform, register
 
 
@@ -149,8 +152,6 @@ class MetadataEnrich(Transform):
         self.stage = None
 
     def prepare(self) -> None:
-        from .ops.enrich import FetchEnrichStage
-
         self.stage = FetchEnrichStage(self.fetcher_factory, key_col="event_type")
 
     def predicate(self, batch: pa.Table) -> pa.Array:
@@ -181,14 +182,10 @@ class JettonTransferParse(Transform):
     OPCODE = 0x0F8A7EA5  # TEP-74 transfer
 
     def prepare(self) -> None:
-        from .boc import decode_comment, parse_boc  # import once per actor
-
         self._parse_boc = parse_boc
         self._decode_comment = decode_comment
 
     def predicate(self, batch: pa.Table) -> pa.Array:
-        from .functions import opcode_signed
-
         return pc.equal(batch["opcode"], pa.scalar(opcode_signed(self.OPCODE), pa.int32()))
 
     def apply(self, batch: pa.Table) -> pa.Table:
@@ -251,14 +248,10 @@ class BatchMintParse(Transform):
     OPCODE = 0x178D4519
 
     def prepare(self) -> None:
-        from .boc import parse_boc, parse_hashmap_uint
-
         self._parse_boc = parse_boc
         self._parse_hashmap = parse_hashmap_uint
 
     def predicate(self, batch: pa.Table) -> pa.Array:
-        from .functions import opcode_signed
-
         return pc.equal(batch["opcode"], pa.scalar(opcode_signed(self.OPCODE), pa.int32()))
 
     def apply(self, batch: pa.Table) -> pa.Table:
@@ -298,8 +291,6 @@ class SnakeCommentDecode(Transform):
     emits = "comments"
 
     def prepare(self) -> None:
-        from .boc import decode_comment, parse_boc
-
         self._parse_boc = parse_boc
         self._decode_comment = decode_comment
 
