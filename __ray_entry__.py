@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, enrich, megaton, messages, ml, moon, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
+    from ton_etl_ray.ops import ann, corpus, dedup, dedust, enrich, megaton, messages, ml, moon, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the parent hash, wallet→master broadcast dim, mint anti-join
         "dex_swaps": swaps.dex_swaps,
         "swap_volume": swaps.swap_volume,
+        # estimate_volume as an as-of composition (swap_volume.py:71-118
+        # × get_core_price, parser/db.py:392-405): base/quote classify,
+        # then strict-backward merge_asof against the price series
+        "swap_volume_priced": swaps.swap_volume_priced,
         "jetton_mints": swaps.jetton_mints,
         # TonFun-shaped launchpad ext-out trade family (P12-P16):
         # multi-opcode + sender-whitelist predicate, branch-by-opcode
@@ -392,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P9/P10 moonswap shape: column claim -> payload-opcode peek ->
         # request-payload decode on claimed legs -> trace_id join
         "moon_swaps": moon.moon_swaps,
+        # P1 dedust claim+codec half: ext-out event claim with source
+        # BLACKLIST (dedust_swap.py:35-40) + tagged-union Asset decode
+        "dedust_swaps": dedust.dedust_swaps,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -850,6 +857,39 @@ def oracle_sql() -> dict[str, str]:
                             (CASE WHEN src0 THEN 2 ELSE 1 END)) AS BIGINT) AS volume_quote
             FROM w GROUP BY pool
         """,
+        "swap_volume_priced": """
+            WITH sw AS (
+                SELECT o_orderkey AS k, o_orderkey % 16 AS pool,
+                       o_orderkey % 2 = 0 AS src0
+                FROM orders WHERE o_orderkey % 11 <> 0
+            ), cls AS (
+                SELECT k, pool,
+                       CASE WHEN pool % 8 = 7 THEN NULL
+                            WHEN src0 THEN k * 3 + 1
+                            ELSE (k * 100 + 13) - (k % 97) END AS amount,
+                       CASE WHEN pool % 8 = 7 THEN NULL
+                            ELSE '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool))
+                       END AS volume_asset
+                FROM sw
+            ), ph AS (
+                SELECT o_orderkey % 4096 AS pidx, o_orderkey AS lt,
+                       CAST(CAST(o_orderkey*377+29 AS HUGEINT) * 1000000000
+                            // (o_orderkey*1000+17) AS BIGINT) AS price_nano
+                FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 4096 < 16
+            )
+            SELECT c.k AS query_id,
+                   '0:' || upper(md5('pool-' || c.pool) || md5('pool-' || c.pool)) AS swap_pool,
+                   c.volume_asset, c.amount,
+                   pr.lt AS price_lt, pr.price_nano,
+                   CAST(CAST(c.amount AS HUGEINT) * pr.price_nano
+                        // 1000000000 AS BIGINT) AS volume_priced
+            FROM cls c LEFT JOIN LATERAL (
+                SELECT lt, price_nano FROM ph
+                WHERE c.volume_asset IS NOT NULL
+                  AND ph.pidx = c.pool AND ph.lt < c.k
+                ORDER BY lt DESC LIMIT 1
+            ) pr ON TRUE
+        """,
         "jetton_mints": """
             SELECT o_orderkey AS query_id, o_orderkey * 7 + 3 AS amount_nano,
                    '0:' || upper(md5('user-' || o_custkey) || md5('user-' || o_custkey)) AS from_addr
@@ -951,6 +991,25 @@ def oracle_sql() -> dict[str, str]:
                    k * 21 + 5 AS swap_src_amount,
                    '0:' || upper(md5('m1-' || pool) || md5('m1-' || pool)) AS swap_dst_token,
                    k * 13 + 2 AS swap_dst_amount
+            FROM w
+        """,
+        "dedust_swaps": """
+            WITH w AS (
+                SELECT p_partkey AS k FROM part WHERE p_partkey % 9 <> 0
+            )
+            SELECT '0:' || upper(md5('dpool-'||(k%24))||md5('dpool-'||(k%24))) AS pool,
+                   '0:' || upper(md5('du-'||(k%2000))||md5('du-'||(k%2000))) AS sender,
+                   CASE WHEN k%4=0 THEN 'TON'
+                        ELSE '0:'||upper(md5('dj-'||(k%8))||md5('dj-'||(k%8))) END AS asset_in,
+                   CASE WHEN k%4=1 THEN 'TON'
+                        ELSE '0:'||upper(md5('dj-'||((k+3)%8))||md5('dj-'||((k+3)%8))) END AS asset_out,
+                   k*40 + 11 AS amount_in,
+                   k*17 + 5 AS amount_out,
+                   k*1000 + 3 AS reserve0,
+                   k*700 + 9 AS reserve1,
+                   CASE WHEN k%5=0
+                        THEN '0:'||upper(md5('dref-'||(k%6))||md5('dref-'||(k%6)))
+                        ELSE NULL END AS referral
             FROM w
         """,
         "nft_history": """

@@ -238,6 +238,43 @@ def core_prices(sf_dir: str, *, num_buckets: int = 64):
     )
 
 
+def price_history(sf_dir: str, *, accounts: list[str] | None = None):
+    """Full price OBSERVATION series per pool account — every
+    whitelisted state decoded, NOT just the rank-1 winner (the rows the
+    reference stores into its ``prices`` table over time,
+    parsers/accounts/core_prices.py → db.insert_core_price; the as-of
+    consumer is ``get_core_price``, parser/db.py:392-405). Output:
+    account, lt, price_nano.
+
+    ``accounts``: optional small account subset (the handful of core
+    price pools — USDT/TON-class assets). Pruned map-side right after
+    the read via a compiled ``pc.is_in`` set, so only the tracked
+    pools' states ever leave the scan — at 100 TB the state feed is
+    huge but the surviving series is tiny per asset."""
+    ensure_portable()
+    ds = state_dataset(sf_dir)
+    whitelist = pa.scalar(AMM_CODE_HASH)
+    acct_set = pa.array(sorted(accounts), pa.string()) if accounts is not None else None
+
+    def decode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["code_hash"], whitelist))
+        if acct_set is not None:
+            t = t.filter(pc.is_in(t["account"], acct_set))
+        t = _decode_reserves(t.select(["account", "lt", "data_boc"]), [])
+        # Python-int arithmetic: r1 * 1e9 overflows int64 at large sf
+        price = [b * 10**9 // a
+                 for a, b in zip(t["reserve0"].to_pylist(), t["reserve1"].to_pylist())]
+        return pa.table(
+            {
+                "account": t["account"],
+                "lt": t["lt"],
+                "price_nano": pa.array(price, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 def pool_tvl_history(sf_dir: str, *, num_buckets: int = 64):
     """TVL history series (P24 TVLPoolStateParser shape: current state
     + history rows, tvl.py:222-233): rank-1 per (account, lt-window)
