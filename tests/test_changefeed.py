@@ -139,3 +139,45 @@ def test_export_refuses_nonempty_dir(primary, tmp_path):
         emit_snapshot(primary, out, epoch=0)
     with pytest.raises(ValueError, match="fresh directory"):
         emit_changefeed(primary, out, 0, 1)
+
+
+def test_apply_feeds_chain(primary, tmp_path):
+    """apply_feeds replays a watcher-layout feed chain one feed per
+    replay invocation (the tombstone-lsn safety contract), verifies the
+    _feed.json stamps, and refuses gapped chains."""
+    from ton_etl_ray.cdc.changefeed import (
+        apply_feeds, emit_changefeed, emit_snapshot, read_feed_meta)
+    from ton_etl_ray.cdc.sink import read_commit
+
+    root = str(tmp_path / "feeds")
+    emit_snapshot(primary, os.path.join(root, "epoch-000000"), epoch=0)
+    emit_changefeed(primary, os.path.join(root, "epoch-000001"), 0, 1)
+
+    meta0 = read_feed_meta(os.path.join(root, "epoch-000000"))
+    meta1 = read_feed_meta(os.path.join(root, "epoch-000001"))
+    assert meta0 == {"kind": "snapshot", "epoch_a": None, "epoch_b": 0,
+                     "delete_lsn": None}
+    assert meta1["kind"] == "changefeed" and meta1["epoch_b"] == 1
+    assert meta1["delete_lsn"] == read_commit(primary, 1)["max_lsn"] + 1
+
+    replica = str(tmp_path / "replica")
+    applied = apply_feeds(root, replica, num_partitions=8)
+    assert applied == [0, 1]
+    assert _state_map(replica) == _state_map(primary, 1)
+
+    # gap: a chain missing epoch 1 must fail loudly, not skip
+    gapped = str(tmp_path / "gapped")
+    os.makedirs(gapped)
+    os.symlink(os.path.join(root, "epoch-000000"),
+               os.path.join(gapped, "epoch-000000"))
+    os.makedirs(os.path.join(gapped, "epoch-000002"))
+    with pytest.raises(ValueError, match="gap"):
+        apply_feeds(gapped, str(tmp_path / "r2"))
+
+    # renamed dir: stamp/dirname mismatch must fail
+    renamed = str(tmp_path / "renamed")
+    os.makedirs(renamed)
+    os.symlink(os.path.join(root, "epoch-000001"),
+               os.path.join(renamed, "epoch-000000"))
+    with pytest.raises(ValueError, match="stamped"):
+        apply_feeds(renamed, str(tmp_path / "r3"))

@@ -26,6 +26,17 @@ crash-resume semantics.
 Equivalence contract (pinned in tests/test_changefeed.py): replaying
 ``snapshot(a)`` then ``changefeed(a→b)`` into a fresh replica yields a
 final state identical to the primary's epoch-b state, row for row.
+
+ONE FEED PER REPLAY INVOCATION. Tombstones ride at ``commit(b).max_lsn
++ 1``, which the NEXT epoch's real lsns may legitimately reuse — so two
+consecutive feeds merged into a single replay directory can tie a
+delete against a re-create of the same key at the same lsn, and the
+``(lsn DESC, op DESC)`` tiebreak would let the delete win a row the
+primary has live. Applied one feed per ``replay()`` call the tie never
+forms: the tombstone is folded (and dropped) into the replica's state
+before the later feed's create is ever compared against it.
+``apply_feeds`` enforces this mechanically — use it rather than
+globbing feed shards together.
 """
 
 from __future__ import annotations
@@ -76,6 +87,76 @@ def _fresh_out_dir(out_dir: str) -> None:
         )
 
 
+FEED_META = "_feed.json"
+
+
+def _write_feed_meta(out_dir: str, meta: dict) -> None:
+    import json
+
+    with open(os.path.join(out_dir, FEED_META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_feed_meta(feed_dir: str) -> dict | None:
+    """The feed's provenance stamp: kind (snapshot/changefeed), epoch
+    bounds, and the tombstone lsn (changefeeds only). ``None`` for
+    pre-stamp feed dirs."""
+    import json
+
+    p = os.path.join(feed_dir, FEED_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def apply_feeds(feed_root: str, replica_dir: str, **replay_kw) -> list[int]:
+    """Replay a published feed chain (the watcher's ``epoch-NNNNNN``
+    layout) into a replica — ONE ``replay()`` invocation per feed, in
+    epoch order. This is the safe consumption path for the module-doc
+    tombstone-lsn contract: a delete at ``max_lsn(b)+1`` is folded into
+    replica state before epoch b+1's feed (whose real lsns may reuse
+    that value) is applied, so the cross-feed lsn tie can never form.
+
+    Verifies the chain is contiguous from each feed's ``_feed.json``
+    stamp (a gap means a GC'd epoch whose diff is unreplayable — fail
+    loudly rather than silently skipping changes). Extra ``replay_kw``
+    (e.g. ``num_partitions``) apply to the FIRST feed only; later
+    epochs adopt the replica's layout, matching ``replay``'s own
+    contract. Returns the list of applied epochs."""
+    import glob as _glob
+    import re as _re
+
+    from .replay import replay
+
+    dirs = sorted(
+        d for d in _glob.glob(os.path.join(feed_root, "epoch-*"))
+        if os.path.isdir(d) and _re.fullmatch(r"epoch-\d+", os.path.basename(d))
+    )
+    if not dirs:
+        raise ValueError(f"apply_feeds: no epoch-* feed dirs under {feed_root!r}")
+    applied: list[int] = []
+    prev: int | None = None
+    for i, d in enumerate(dirs):
+        e = int(os.path.basename(d).split("-")[1])
+        meta = read_feed_meta(d)
+        if meta is not None and meta.get("epoch_b") != e:
+            raise ValueError(
+                f"apply_feeds: feed dir {d!r} is stamped for epoch "
+                f"{meta.get('epoch_b')} — directory was renamed or mixed"
+            )
+        if prev is not None and e != prev + 1:
+            raise ValueError(
+                f"apply_feeds: feed chain has a gap ({prev} -> {e}); the "
+                "missing epoch's diff is unreplayable — re-seed from a "
+                "snapshot inside the GC keep window"
+            )
+        replay(d, replica_dir, **(replay_kw if i == 0 else {}))
+        applied.append(e)
+        prev = e
+    return applied
+
+
 def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> str:
     """Export one committed epoch's live rows as an insert-only change
     log (op='c', stored winning lsn) — the replica seed."""
@@ -83,6 +164,9 @@ def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> s
     ds = _live_rows(lake_dir, epoch)
     os.makedirs(out_dir, exist_ok=True)
     _fresh_out_dir(out_dir)
+    e = sink.latest_epoch(lake_dir) if epoch is None else epoch
+    _write_feed_meta(out_dir, {"kind": "snapshot", "epoch_a": None,
+                               "epoch_b": e, "delete_lsn": None})
     if ds is None:
         # fully-tombstoned epoch: seed with ONE empty shard in the change
         # schema so replay() of the feed is a valid no-op epoch instead
@@ -121,6 +205,8 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
     delete_lsn = int(commit_b["max_lsn"]) + 1
     os.makedirs(out_dir, exist_ok=True)
     _fresh_out_dir(out_dir)
+    _write_feed_meta(out_dir, {"kind": "changefeed", "epoch_a": epoch_a,
+                               "epoch_b": e_b, "delete_lsn": delete_lsn})
 
     diff = epoch_diff(lake_dir, epoch_a, e_b,
                       num_partitions=num_partitions).materialize()
