@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
 
-    from ton_etl_ray.ops import ann, corpus, dedup, dedust, enrich, megaton, messages, ml, moon, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
+    from ton_etl_ray.ops import ann, corpus, dedup, dedust, emulated, enrich, megaton, messages, ml, moon, multimodal, nft_history, prices, profile, relational as R, sampling, sales, scrub, sketch, swaps, text, tokens, trades, wallets
     from ton_etl_ray.pipelines import flagship
 
     def _schema_safe(fn, schema: "pa.Schema"):
@@ -399,6 +399,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # P1 dedust claim+codec half: ext-out event claim with source
         # BLACKLIST (dedust_swap.py:35-40) + tagged-union Asset decode
         "dedust_swaps": dedust.dedust_swaps,
+        # TVM-emulator families (tvm.py executes real assembled
+        # bytecode): P6-P8/P11 pool get-methods, P23 vault prices,
+        # P1 factory get_pool_address validation
+        "emu_pool_states": emulated.emu_pool_states,
+        "emu_core_prices": emulated.emu_core_prices,
+        "dedust_swaps_verified": emulated.dedust_swaps_verified,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -1010,6 +1016,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN k%5=0
                         THEN '0:'||upper(md5('dref-'||(k%6))||md5('dref-'||(k%6)))
                         ELSE NULL END AS referral
+            FROM w
+        """,
+        "emu_pool_states": """
+            WITH w AS (
+                SELECT c_custkey AS k FROM customer WHERE c_custkey % 11 <> 0
+            ), r AS (
+                SELECT k, k % 512 AS p,
+                       row_number() OVER (PARTITION BY k % 512 ORDER BY k DESC) rn
+                FROM w
+            )
+            SELECT '0:' || upper(md5('epool-'||p)||md5('epool-'||p)) AS account,
+                   k AS lt,
+                   k*1000 + 17 AS reserve0, k*377 + 29 AS reserve1,
+                   k % 97 + 3 AS fee_num, 10000 AS fee_den,
+                   CAST(CAST(k*1000 + 17 AS HUGEINT) * (k*377 + 29)
+                        // 1000000000 AS BIGINT) AS liquidity
+            FROM r WHERE rn = 1
+        """,
+        "emu_core_prices": """
+            WITH w AS (
+                SELECT s_suppkey AS k,
+                       CASE WHEN s_suppkey % 2 = 1 THEN 'vault' ELSE 'treasury' END AS kind
+                FROM supplier WHERE s_suppkey % 9 <> 0
+            ), r AS (
+                SELECT k, kind, k % 256 AS p,
+                       row_number() OVER (PARTITION BY kind, k % 256 ORDER BY k DESC) rn
+                FROM w
+            )
+            SELECT CASE WHEN kind = 'vault'
+                        THEN '0:' || upper(md5('evault-'||p)||md5('evault-'||p))
+                        ELSE '0:' || upper(md5('etreas-'||p)||md5('etreas-'||p)) END AS account,
+                   k AS lt, kind,
+                   CASE WHEN kind = 'vault'
+                        THEN CAST(CAST(k*991 + 7 AS HUGEINT) * 1000000000
+                                  // (k*500 + 3) AS BIGINT)
+                        ELSE CAST(CAST(k*777 + 11 AS HUGEINT) * 1000000000
+                                  // (k*333 + 5) AS BIGINT) END AS price_nano
+            FROM r WHERE rn = 1
+        """,
+        "dedust_swaps_verified": """
+            WITH w AS (
+                SELECT p_partkey AS k, p_partkey % 8 AS j0, (p_partkey+3) % 8 AS j1
+                FROM part WHERE p_partkey % 7 <> 0 AND p_partkey % 13 <> 0
+            )
+            SELECT md5('dv-'||k) AS tx_hash,
+                   '0:' || upper(printf('%064x', 3*j0 + 7*j1 + 11*(k%2) + 5)) AS pool,
+                   '0:' || upper(md5('du2-'||(k%2000))||md5('du2-'||(k%2000))) AS sender,
+                   '0:' || upper(printf('%064x', j0)) AS asset_in,
+                   '0:' || upper(printf('%064x', j1)) AS asset_out,
+                   k*40 + 11 AS amount_in, k*17 + 5 AS amount_out
             FROM w
         """,
         "nft_history": """

@@ -1,0 +1,127 @@
+"""Emulator-backed parser families (ops/emulated.py): each pipeline's
+output must match a DuckDB recomputation of the same arithmetic — a VM
+dispatch/decode/arith bug value-hash-mismatches."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ton_etl_ray.ops import emulated
+from ton_etl_ray.tvm import TvmEmulator
+from ton_etl_ray.boc import Builder
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_contract_methods_direct():
+    """The assembled contracts compute in the VM what the synth data
+    encodes — checked without Ray."""
+    emu = TvmEmulator(emulated.amm_code(),
+                      emulated.encode_amm_data(42))
+    assert emulated._run(emu, "get_reserves") == [42 * 1000 + 17, 42 * 377 + 29]
+    assert emulated._run(emu, "get_trade_fee") == [42 % 97 + 3, 10_000]
+    assert emulated._run(emu, "get_lp_liquidity") == [
+        (42 * 1000 + 17) * (42 * 377 + 29) // emulated.NANO]
+    vau = TvmEmulator(emulated.vault_code(), emulated.encode_vault_data(7))
+    assert emulated._run(vau, "getTotalAssets") == [7 * 991 + 7]
+    assert emulated._run(vau, "getTotalShares") == [7 * 500 + 3]
+    tre = TvmEmulator(emulated.treasury_code(), emulated.encode_treasury_data(9))
+    assert emulated._run(tre, "get_treasury_state") == [9 * 777 + 11, 9 * 333 + 5]
+
+
+def test_factory_address_derivation():
+    fac = TvmEmulator(emulated.factory_code(), Builder().end_cell())
+    for (j0, j1, t) in [(0, 3, 0), (5, 0, 1), (7, 2, 1)]:
+        (s,) = emulated._run(fac, "get_pool_address",
+                             [t, emulated._asset_slice(j0), emulated._asset_slice(j1)])
+        wc, h = s.load_address()
+        assert f"{wc}:{h.hex().upper()}" == emulated.pool_addr_of(j0, j1, t)
+
+
+def test_emu_pool_states_vs_duckdb(ray_session):
+    got = (emulated.emu_pool_states(SF).to_pandas()
+           .sort_values("account").reset_index(drop=True))
+    exp = _con().execute("""
+        WITH w AS (
+            SELECT c_custkey AS k FROM customer WHERE c_custkey % 11 <> 0
+        ), r AS (
+            SELECT k, k % 512 AS p,
+                   row_number() OVER (PARTITION BY k % 512 ORDER BY k DESC) rn
+            FROM w
+        )
+        SELECT '0:' || upper(md5('epool-'||p)||md5('epool-'||p)) AS account,
+               k AS lt,
+               k*1000 + 17 AS reserve0, k*377 + 29 AS reserve1,
+               k % 97 + 3 AS fee_num, 10000 AS fee_den,
+               CAST(CAST(k*1000 + 17 AS HUGEINT) * (k*377 + 29)
+                    // 1000000000 AS BIGINT) AS liquidity
+        FROM r WHERE rn = 1 ORDER BY account
+    """).df()
+    assert len(got) == len(exp) > 0
+    assert got["account"].tolist() == exp["account"].tolist()
+    for c in ("lt", "reserve0", "reserve1", "fee_num", "fee_den", "liquidity"):
+        assert got[c].tolist() == exp[c].astype("int64").tolist(), c
+
+
+def test_emu_core_prices_vs_duckdb(ray_session):
+    got = (emulated.emu_core_prices(SF).to_pandas()
+           .sort_values("account").reset_index(drop=True))
+    exp = _con().execute("""
+        WITH w AS (
+            SELECT s_suppkey AS k,
+                   CASE WHEN s_suppkey % 2 = 1 THEN 'vault' ELSE 'treasury' END AS kind
+            FROM supplier WHERE s_suppkey % 9 <> 0
+        ), r AS (
+            SELECT k, kind, k % 256 AS p,
+                   row_number() OVER (PARTITION BY kind, k % 256 ORDER BY k DESC) rn
+            FROM w
+        )
+        SELECT CASE WHEN kind = 'vault'
+                    THEN '0:' || upper(md5('evault-'||p)||md5('evault-'||p))
+                    ELSE '0:' || upper(md5('etreas-'||p)||md5('etreas-'||p)) END AS account,
+               k AS lt, kind,
+               CASE WHEN kind = 'vault'
+                    THEN CAST(CAST(k*991 + 7 AS HUGEINT) * 1000000000
+                              // (k*500 + 3) AS BIGINT)
+                    ELSE CAST(CAST(k*777 + 11 AS HUGEINT) * 1000000000
+                              // (k*333 + 5) AS BIGINT) END AS price_nano
+        FROM r WHERE rn = 1 ORDER BY account
+    """).df()
+    assert len(got) == len(exp) > 0
+    assert got["account"].tolist() == exp["account"].tolist()
+    assert got["kind"].tolist() == exp["kind"].tolist()
+    for c in ("lt", "price_nano"):
+        assert got[c].tolist() == exp[c].astype("int64").tolist(), c
+
+
+def test_dedust_swaps_verified_vs_duckdb(ray_session):
+    got = (emulated.dedust_swaps_verified(SF).to_pandas()
+           .sort_values("amount_in").reset_index(drop=True))
+    exp = _con().execute("""
+        WITH w AS (
+            SELECT p_partkey AS k, p_partkey % 8 AS j0, (p_partkey+3) % 8 AS j1
+            FROM part WHERE p_partkey % 7 <> 0 AND p_partkey % 13 <> 0
+        )
+        SELECT md5('dv-'||k) AS tx_hash,
+               '0:' || upper(printf('%064x', 3*j0 + 7*j1 + 11*(k%2) + 5)) AS pool,
+               '0:' || upper(md5('du2-'||(k%2000))||md5('du2-'||(k%2000))) AS sender,
+               '0:' || upper(printf('%064x', j0)) AS asset_in,
+               '0:' || upper(printf('%064x', j1)) AS asset_out,
+               k*40 + 11 AS amount_in, k*17 + 5 AS amount_out
+        FROM w ORDER BY amount_in
+    """).df()
+    assert len(got) == len(exp) > 0
+    for c in ("tx_hash", "pool", "sender", "asset_in", "asset_out"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    for c in ("amount_in", "amount_out"):
+        assert got[c].tolist() == exp[c].astype("int64").tolist(), c
+    # the invalid-pool and zero-amount drop rules actually fired
+    n_all = _con().execute("SELECT count(*) FROM part").fetchone()[0]
+    assert len(got) < n_all
