@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emu_pool_states": emulated.emu_pool_states,
         "emu_core_prices": emulated.emu_core_prices,
         "dedust_swaps_verified": emulated.dedust_swaps_verified,
+        # P6-P8/P11 composed: claim -> decode -> parent join -> rank-1
+        # pool state -> get_pool_data emulation + factory validation
+        "coffee_swaps": emulated.coffee_swaps,
     }
     # Oracle-backed entries FIRST: a harness that checks a prefix of this
     # dict covers every query with a DuckDB value-hash oracle before the
@@ -1054,6 +1057,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(CAST(k*777 + 11 AS HUGEINT) * 1000000000
                                   // (k*333 + 5) AS BIGINT) END AS price_nano
             FROM r WHERE rn = 1
+        """,
+        "coffee_swaps": """
+            WITH ev AS (
+                SELECT o_orderkey AS k, o_orderkey % 6 AS a1,
+                       6 + o_orderkey % 5 AS a2, o_orderkey % 3 AS amm,
+                       (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                         + 30*(o_orderkey % 3) + 5 AS v
+                FROM orders WHERE o_orderkey % 19 <> 0 AND o_orderkey % 23 <> 0
+            ), st AS (
+                SELECT o_orderkey AS k,
+                       (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                         + 30*(o_orderkey % 3) + 5 AS v,
+                       row_number() OVER (
+                           PARTITION BY (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                             + 30*(o_orderkey % 3) + 5
+                           ORDER BY o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderkey % 15 <> 0
+            ), w AS (
+                SELECT v, k*211 + 19 AS r1, k*97 + 31 AS r2, k % 100 + 1 AS fee
+                FROM st WHERE rn = 1
+            )
+            SELECT ev.k AS query_id,
+                   '0:' || upper(printf('%064x', ev.v)) AS pool,
+                   ev.amm,
+                   '0:' || upper(printf('%064x',
+                       CASE WHEN ev.k % 2 = 0 THEN ev.a1 ELSE ev.a2 END)) AS swap_src_token,
+                   '0:' || upper(printf('%064x',
+                       CASE WHEN ev.k % 2 = 0 THEN ev.a2 ELSE ev.a1 END)) AS swap_dst_token,
+                   ev.k*31 + 7 AS swap_src_amount,
+                   ev.k*11 + 3 AS swap_dst_amount,
+                   w.r1 AS reserve1, w.r2 AS reserve2, w.fee AS lp_fee,
+                   ev.k*3 + 2 AS min_out,
+                   ev.k % 1000000 + 60 AS deadline,
+                   '0:' || upper(md5('cu-'||(ev.k%3000))||md5('cu-'||(ev.k%3000))) AS recipient,
+                   CASE WHEN ev.k % 4 = 0
+                        THEN '0:' || upper(md5('cref-'||(ev.k%5))||md5('cref-'||(ev.k%5)))
+                        ELSE NULL END AS referral
+            FROM ev JOIN w USING (v)
         """,
         "dedust_swaps_verified": """
             WITH w AS (

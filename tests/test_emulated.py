@@ -125,3 +125,65 @@ def test_dedust_swaps_verified_vs_duckdb(ray_session):
     # the invalid-pool and zero-amount drop rules actually fired
     n_all = _con().execute("SELECT count(*) FROM part").fetchone()[0]
     assert len(got) < n_all
+
+
+def test_coffee_swaps_vs_duckdb(ray_session):
+    """P6-P8/P11 composed pipeline: claim -> decode -> parent join ->
+    rank-1 pool state -> get_pool_data emulation + factory validation.
+    Pool identity is k mod 30; keys ≡ 0,15 (mod 30) have no valid pool
+    state and must be dropped (inner join in the oracle)."""
+    got = (emulated.coffee_swaps(SF).to_pandas()
+           .sort_values("query_id").reset_index(drop=True))
+    con = _con()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    exp = con.execute("""
+        WITH ev AS (
+            SELECT o_orderkey AS k, o_orderkey % 6 AS a1,
+                   6 + o_orderkey % 5 AS a2, o_orderkey % 3 AS amm,
+                   (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                     + 30*(o_orderkey % 3) + 5 AS v
+            FROM orders WHERE o_orderkey % 19 <> 0 AND o_orderkey % 23 <> 0
+        ), st AS (
+            SELECT o_orderkey AS k,
+                   (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                     + 30*(o_orderkey % 3) + 5 AS v,
+                   row_number() OVER (
+                       PARTITION BY (o_orderkey % 6) + 6*(6 + o_orderkey % 5)
+                         + 30*(o_orderkey % 3) + 5
+                       ORDER BY o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderkey % 15 <> 0
+        ), w AS (
+            SELECT v, k*211 + 19 AS r1, k*97 + 31 AS r2, k % 100 + 1 AS fee
+            FROM st WHERE rn = 1
+        )
+        SELECT ev.k AS query_id,
+               '0:' || upper(printf('%064x', ev.v)) AS pool,
+               ev.amm,
+               '0:' || upper(printf('%064x',
+                   CASE WHEN ev.k % 2 = 0 THEN ev.a1 ELSE ev.a2 END)) AS swap_src_token,
+               '0:' || upper(printf('%064x',
+                   CASE WHEN ev.k % 2 = 0 THEN ev.a2 ELSE ev.a1 END)) AS swap_dst_token,
+               ev.k*31 + 7 AS swap_src_amount,
+               ev.k*11 + 3 AS swap_dst_amount,
+               w.r1 AS reserve1, w.r2 AS reserve2, w.fee AS lp_fee,
+               ev.k*3 + 2 AS min_out,
+               ev.k % 1000000 + 60 AS deadline,
+               '0:' || upper(md5('cu-'||(ev.k%3000))||md5('cu-'||(ev.k%3000))) AS recipient,
+               CASE WHEN ev.k % 4 = 0
+                    THEN '0:' || upper(md5('cref-'||(ev.k%5))||md5('cref-'||(ev.k%5)))
+                    ELSE NULL END AS referral
+        FROM ev JOIN w USING (v)
+        ORDER BY query_id
+    """).df()
+    assert len(got) == len(exp) > 0
+    for c in ("pool", "swap_src_token", "swap_dst_token", "recipient"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert (got["referral"].where(pd.notna(got["referral"]), None).tolist()
+            == exp["referral"].where(pd.notna(exp["referral"]), None).tolist())
+    for c in ("query_id", "amm", "swap_src_amount", "swap_dst_amount",
+              "reserve1", "reserve2", "lp_fee", "min_out", "deadline"):
+        assert got[c].tolist() == exp[c].astype("int64").tolist(), c
+    # the no-state-pool drop path fired (pools 0/15 mod 30 have no state)
+    assert got["query_id"].nunique() < con.execute(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 19 <> 0 AND o_orderkey % 23 <> 0"
+    ).fetchone()[0]

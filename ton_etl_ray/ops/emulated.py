@@ -534,6 +534,390 @@ class _FactoryVerify:
                          for f, c in zip(_DV_SCHEMA, cols)}, schema=_DV_SCHEMA)
 
 
+_COFFEE_EV_OP = 0xC0FFEE30
+_COFFEE_IN_OP = 0xC0FFEE20
+# factory derivation constants — positional weights chosen INJECTIVE
+# over the feasible identity space (a1 < 6, a2 in 6..10, amm < 3), so
+# no two asset pairs share a pool address
+_CPF = {"a1": 1, "a2": 6, "amm": 30, "c": 5}
+
+
+def coffee_pool_code() -> Cell:
+    """Coffee-shaped pool (coffee_swap.py:67): c4 = (asset1 u64,
+    asset2 u64, amm u8, reserve1 u64, reserve2 u64, lp_fee u16);
+    ``get_pool_data`` returns (ver, asset1, asset2, amm, is_active,
+    reserve1, reserve2, lp_fee) — the reference's 11-tuple trimmed to
+    the fields its parser consumes."""
+    return contract({
+        "get_pool_data": [
+            ("PUSHINT", 3),                                  # ver
+            ("PUSHCTR", 4), ("CTOS",), ("LDU", 64), ("LDU", 64),
+            ("LDU", 8),                                      # … amm s
+            ("PUSHINT", -1), ("SWAP",),                      # is_active
+            ("LDU", 64), ("LDU", 64), ("LDU", 16), ("DROP",),
+        ],
+    })
+
+
+def coffee_factory_code() -> Cell:
+    """Coffee-shaped factory: ``get_pool_address(asset1, asset2, amm,
+    amm_settings)`` (coffee_swap.py:41) — asset slices + amm int +
+    settings cell (ignored), address derived arithmetically from the
+    assets' 64-bit tails so the oracle can recompute it."""
+    load_tail = [("LDU", 4), ("NIP",), ("LDU", 8), ("NIP",),
+                 ("LDU", 256), ("DROP",)]
+    return contract({
+        "get_pool_address": (
+            # stack: a1 a2 amm settings
+            [("DROP",), ("MULINT", _CPF["amm"]), ("SWAP",)] + load_tail +
+            [("MULINT", _CPF["a2"]), ("ADD",), ("SWAP",)] + load_tail +
+            [("MULINT", _CPF["a1"]), ("ADD",), ("ADDINT", _CPF["c"]),
+             ("PUSHINT", 4), ("NEWC",), ("STU", 3),
+             ("PUSHINT", 0), ("SWAP",), ("STU", 8),
+             ("PUSHINT", 0), ("SWAP",), ("STU", 192),
+             ("STU", 64), ("ENDC",), ("CTOS",)]
+        ),
+    })
+
+
+def coffee_pool_of(k: int) -> tuple[int, int, int, int]:
+    """(asset1, asset2, amm, v): pool identity derived from the source
+    key — 30 distinct pools (k mod 30 decides)."""
+    a1, a2, amm = k % 6, 6 + k % 5, k % 3
+    v = _CPF["a1"] * a1 + _CPF["a2"] * a2 + _CPF["amm"] * amm + _CPF["c"]
+    return a1, a2, amm, v
+
+
+def encode_coffee_pool_data(k: int) -> bytes:
+    a1, a2, amm, _ = coffee_pool_of(k)
+    return serialize_boc(Builder()
+                         .store_uint(a1, 64).store_uint(a2, 64)
+                         .store_uint(amm, 8)
+                         .store_uint(k * 211 + 19, 64)
+                         .store_uint(k * 97 + 31, 64)
+                         .store_uint(k % 100 + 1, 16).end_cell())
+
+
+def synth_coffee_states(sf_dir: str):
+    """Pool state feed from orders: per key one state row at the
+    FACTORY-DERIVED pool address; every 15th key carries wallet-code
+    noise (and keys ≡ 0, 15 mod 30 therefore leave two pools with NO
+    valid state — their events must be dropped downstream, the
+    reference's get_account_state_safe failure path)."""
+    ensure_portable()
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    cof_h, cof_b = _code_entry(coffee_pool_code())
+    wal_h, wal_b = _code_entry(wallet_code())
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = []
+        for k in t["o_orderkey"].to_pylist():
+            _, _, _, v = coffee_pool_of(k)
+            noise = k % 15 == 0
+            rows.append((f"0:{v:064X}", k,
+                         wal_h if noise else cof_h,
+                         wal_b if noise else cof_b,
+                         encode_coffee_pool_data(k)))
+        return _state_table(rows)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+_COFFEE_MSG_SCHEMA = pa.schema([
+    ("msg_hash", pa.string()),
+    ("parent_hash", pa.string()),
+    ("opcode", pa.int32()),
+    ("direction", pa.string()),
+    ("source", pa.string()),
+    ("destination", pa.string()),
+    ("body_boc", pa.binary()),
+])
+
+
+def encode_coffee_event(k: int) -> bytes:
+    """swap_successful_event#c0ffee30 (coffee_swap.py:52-60):
+    query_id, asset_in, amount_in, amount_out, reserve_in,
+    reserve_out, protocol_fee — zero amounts on every 19th key."""
+    a1, a2, _, _ = coffee_pool_of(k)
+    zero = k % 19 == 0
+    b = Builder().store_uint(_COFFEE_EV_OP, 32).store_uint(k, 64)
+    b.store_uint(1, 4).store_uint(0, 8).store_uint(a1 if k % 2 == 0 else a2, 256)
+    b.store_coins(0 if zero else k * 31 + 7)
+    b.store_coins(0 if zero else k * 11 + 3)
+    b.store_coins(k + 1)
+    b.store_coins(k + 2)
+    b.store_coins(k % 50)
+    return serialize_boc(b.end_cell())
+
+
+def encode_coffee_parent(k: int) -> bytes:
+    """swap_internal#c0ffee20 (coffee_swap.py:79-93): parent query_id,
+    previous_amount, optional asset variant (absent), min_output,
+    maybe next_body (absent), swap_params ref (deadline, recipient,
+    referral)."""
+    b = Builder().store_uint(_COFFEE_IN_OP, 32).store_uint(k, 64)
+    b.store_coins(k * 5 + 1)
+    b.store_bit(0)               # no asset variant
+    b.store_coins(k * 3 + 2)     # min_output
+    b.store_bit(0)               # no next_body
+    p = Builder().store_uint(k % 1_000_000 + 60, 32)
+    p.store_address((0, bytes.fromhex(hex2("cu", k % 3000))))
+    p.store_address((0, bytes.fromhex(hex2("cref", k % 5))) if k % 4 == 0 else None)
+    b.store_ref(p.end_cell())
+    return serialize_boc(b.end_cell())
+
+
+def synth_coffee_messages(sf_dir: str):
+    """Two-message feed from orders (the parent-join shape the stonfi
+    family established): per key one ext-out event from its pool (a
+    WRONG source on every 23rd key — factory validation must drop it)
+    plus one in-router swap_internal parent."""
+    ensure_portable()
+    from ..functions import opcode_signed
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    op_ev = int(opcode_signed(np.array([_COFFEE_EV_OP], np.uint32))[0])
+    op_in = int(opcode_signed(np.array([_COFFEE_IN_OP], np.uint32))[0])
+
+    def gen(t: pa.Table) -> pa.Table:
+        rows = []
+        for k in t["o_orderkey"].to_pylist():
+            _, _, _, v = coffee_pool_of(k)
+            pool = f"0:{v:064X}"
+            src = addr_str("cbad", k % 4) if k % 23 == 0 else pool
+            rows.append((md5_tag("ce", k), md5_tag("cp", k), op_ev, "out",
+                         src, None, encode_coffee_event(k)))
+            rows.append((md5_tag("cp", k), md5_tag("cx", k), op_in, "in",
+                         addr_str("cu", k % 3000), pool,
+                         encode_coffee_parent(k)))
+        cols = list(zip(*rows)) if rows else [[] for _ in _COFFEE_MSG_SCHEMA]
+        return pa.table({f.name: pa.array(list(c), f.type)
+                         for f, c in zip(_COFFEE_MSG_SCHEMA, cols)},
+                        schema=_COFFEE_MSG_SCHEMA)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def coffee_state_dataset(sf_dir: str):
+    return read_synth_dir(
+        cached_synth_table(sf_dir, "coffeest", "orders", synth_coffee_states),
+        _STATE_SCHEMA)
+
+
+def coffee_message_dataset(sf_dir: str):
+    return read_synth_dir(
+        cached_synth_table(sf_dir, "coffeemsg", "orders", synth_coffee_messages),
+        _COFFEE_MSG_SCHEMA)
+
+
+_COFFEE_EV_SCHEMA = pa.schema([
+    ("parent_hash", pa.string()),
+    ("pool", pa.string()),
+    ("query_id", pa.int64()),
+    ("asset_in", pa.int64()),
+    ("amount_in", pa.int64()),
+    ("amount_out", pa.int64()),
+])
+
+_COFFEE_REQ_SCHEMA = pa.schema([
+    ("parent_hash", pa.string()),
+    ("min_out", pa.int64()),
+    ("deadline", pa.int64()),
+    ("recipient", pa.string()),
+    ("referral", pa.string()),
+])
+
+_COFFEE_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("pool", pa.string()),
+    ("amm", pa.int64()),
+    ("swap_src_token", pa.string()),
+    ("swap_dst_token", pa.string()),
+    ("swap_src_amount", pa.int64()),
+    ("swap_dst_amount", pa.int64()),
+    ("reserve1", pa.int64()),
+    ("reserve2", pa.int64()),
+    ("lp_fee", pa.int64()),
+    ("min_out", pa.int64()),
+    ("deadline", pa.int64()),
+    ("recipient", pa.string()),
+    ("referral", pa.string()),
+])
+
+
+class _CoffeeEnrich:
+    """Actor stage: per joined swap, run the POOL's get_pool_data on
+    its rank-1 state (emulator memoized per pool account — the pool
+    set is dim-sized), validate via the factory emulator built once in
+    ``__init__`` (coffee_swap.py:20-23 prepare), classify asset_out
+    against the pool's asset pair (coffee_swap.py:98-105: a mismatch
+    drops the row)."""
+
+    def __init__(self, winners_ref):
+        import ray
+
+        w = ray.get(winners_ref)
+        self.states: dict[str, tuple[bytes, bytes]] = {
+            a: (cb, db) for a, cb, db in zip(
+                w["account"].to_pylist(), w["code_boc"].to_pylist(),
+                w["data_boc"].to_pylist())
+        }
+        self.factory = TvmEmulator(coffee_factory_code(), Builder().end_cell())
+        self._pools: dict[str, tuple | None] = {}
+        self.valid: dict[str, bool] = {}
+
+    def _pool_data(self, account: str):
+        hit = self._pools.get(account, False)
+        if hit is not False:
+            return hit
+        st = self.states.get(account)
+        data = None
+        if st is not None:
+            emu = TvmEmulator(parse_boc(st[0]), parse_boc(st[1]))
+            ver, a1, a2, amm, active, r1, r2, fee = _run(emu, "get_pool_data")
+            data = (a1, a2, amm, r1, r2, fee)
+        self._pools[account] = data
+        return data
+
+    def _validate(self, account: str, a1: int, a2: int, amm: int) -> bool:
+        hit = self.valid.get(account)
+        if hit is not None:
+            return hit
+        (s,) = _run(self.factory, "get_pool_address",
+                    [_asset_slice(a1), _asset_slice(a2), amm,
+                     Builder().end_cell()])
+        ok = fmt_addr(s.load_address()) == account
+        self.valid[account] = ok
+        return ok
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            account = t["pool"][i].as_py()
+            pd_ = self._pool_data(account)
+            if pd_ is None:
+                continue  # no pool state (get_account_state_safe fails)
+            a1, a2, amm, r1, r2, fee = pd_
+            if not self._validate(account, a1, a2, amm):
+                continue  # coffee_swap.py:69-71
+            asset_in = t["asset_in"][i].as_py()
+            if asset_in == a1:
+                asset_out = a2
+            elif asset_in == a2:
+                asset_out = a1
+            else:
+                continue  # asset does not match the pool
+            rows.append({
+                "query_id": t["query_id"][i].as_py(),
+                "pool": account, "amm": amm,
+                "swap_src_token": asset_str(asset_in),
+                "swap_dst_token": asset_str(asset_out),
+                "swap_src_amount": t["amount_in"][i].as_py(),
+                "swap_dst_amount": t["amount_out"][i].as_py(),
+                "reserve1": r1, "reserve2": r2, "lp_fee": fee,
+                "min_out": t["min_out"][i].as_py(),
+                "deadline": t["deadline"][i].as_py(),
+                "recipient": t["recipient"][i].as_py(),
+                "referral": t["referral"][i].as_py(),
+            })
+        if not rows:
+            return _COFFEE_SCHEMA.empty_table()
+        return pa.table({f.name: pa.array([r[f.name] for r in rows], f.type)
+                         for f in _COFFEE_SCHEMA}, schema=_COFFEE_SCHEMA)
+
+
+def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
+                 num_buckets: int = 32):
+    """The P6-P8/P11 family end to end (coffee_swap.py): vectorized
+    event claim + decode ∥ parent swap_internal decode → ONE hash join
+    on the parent hash → per-pool get_pool_data emulation + factory
+    validation in an actor pool. The pool-state side reduces to rank-1
+    winners FIRST (dim-sized — 30 pools here, thousands on mainnet)
+    and broadcasts via ``ray.put``; the emulator runs once per DISTINCT
+    pool per actor, never per swap."""
+    ensure_portable()
+    import ray
+
+    from ..functions import opcode_signed
+    from .relational import join_auto
+
+    msgs = coffee_message_dataset(sf_dir)
+    op_ev = pa.scalar(int(opcode_signed(np.array([_COFFEE_EV_OP], np.uint32))[0]), pa.int32())
+    op_in = pa.scalar(int(opcode_signed(np.array([_COFFEE_IN_OP], np.uint32))[0]), pa.int32())
+
+    def decode_events(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.equal(t["opcode"], op_ev),
+                    pc.equal(t["direction"], pa.scalar("out"))),
+            pc.is_null(t["destination"]),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        rows = []
+        for ph, src, body in zip(t["parent_hash"].to_pylist(),
+                                 t["source"].to_pylist(),
+                                 t["body_boc"].to_pylist()):
+            s = parse_boc(body).begin_parse()
+            s.load_uint(32)
+            qid = s.load_uint(64)
+            s.load_uint(4), s.load_uint(8)
+            asset_in = s.load_uint(256)
+            amount_in = s.load_coins()
+            amount_out = s.load_coins()
+            if amount_in == 0 or amount_out == 0:
+                continue  # coffee_swap.py:61-63
+            rows.append((ph, src, qid, asset_in, amount_in, amount_out))
+        cols = list(zip(*rows)) if rows else [[] for _ in _COFFEE_EV_SCHEMA]
+        return pa.table({f.name: pa.array(list(c), f.type)
+                         for f, c in zip(_COFFEE_EV_SCHEMA, cols)},
+                        schema=_COFFEE_EV_SCHEMA)
+
+    def decode_parents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["opcode"], op_in))
+        rows = []
+        for mh, body in zip(t["msg_hash"].to_pylist(),
+                            t["body_boc"].to_pylist()):
+            s = parse_boc(body).begin_parse()
+            s.load_uint(32)
+            s.load_uint(64)   # parent query_id
+            s.load_coins()    # previous_amount
+            if s.load_bit():  # optional asset variant
+                tag = s.load_uint(2)
+                if tag == 1:
+                    s.load_uint(8), s.load_uint(256)
+                elif tag == 2:
+                    s.load_uint(32)
+            min_out = s.load_coins()
+            if s.load_bit():
+                s.load_ref()  # next_body
+            p = s.load_ref().begin_parse()
+            deadline = p.load_uint(32)
+            recipient = fmt_addr(p.load_address())
+            referral = fmt_addr(p.load_address())
+            rows.append((mh, min_out, deadline, recipient, referral))
+        cols = list(zip(*rows)) if rows else [[] for _ in _COFFEE_REQ_SCHEMA]
+        return pa.table({f.name: pa.array(list(c), f.type)
+                         for f, c in zip(_COFFEE_REQ_SCHEMA, cols)},
+                        schema=_COFFEE_REQ_SCHEMA)
+
+    events = msgs.map_batches(decode_events, batch_format="pyarrow",
+                              batch_size=batch_size)
+    parents = msgs.map_batches(decode_parents, batch_format="pyarrow",
+                               batch_size=batch_size)
+    joined = join_auto(events, parents, on="parent_hash")
+
+    cof_h, _ = _code_entry(coffee_pool_code())
+    winners = _rank1_with_code(coffee_state_dataset(sf_dir), [cof_h],
+                               num_buckets=num_buckets)
+    # dim-sized winner set (30 pools here): one driver pull, one
+    # object-store copy, read by every enrich actor
+    win_ref = ray.put(pa.Table.from_pylist(
+        winners.take_all(), schema=winners.schema().base_schema))
+
+    return joined.map_batches(
+        _CoffeeEnrich, fn_constructor_args=(win_ref,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=pool())
+
+
 def dedust_swaps_verified(sf_dir: str, *, batch_size: int = 4096):
     """The FULL P1 pipeline: vectorized ext-out claim, decode-after-
     claim, then per-pool factory get_pool_address validation in the
