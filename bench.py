@@ -236,6 +236,13 @@ def run_bench() -> dict:
         "nft_sale_union",
         # payload-opcode claim + request decode + trace join (P9/P10)
         "moon_swaps",
+        # round-5 additions: price-normalized volume (as-of composition
+        # against the pruned price observation series), the dedust
+        # claim+codec family, and the TVM-emulator families (rank-1 →
+        # emulate winners; factory-validated swap pipelines)
+        "swap_volume_priced", "dedust_swaps",
+        "emu_pool_states", "emu_core_prices",
+        "dedust_swaps_verified", "coffee_swaps",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
@@ -257,6 +264,16 @@ def run_bench() -> dict:
         ensure_sale_table as _ensure_sale_table,
     )
     from ton_etl_ray.ops.wallets import ensure_state_table as _ensure_wallet_table
+    from ton_etl_ray.ops.dedust import ensure_dedust_table as _ensure_dedust_table
+    from ton_etl_ray.ops import emulated as _emulated
+
+    def _ensure_emu_tables(sf_dir):
+        from ton_etl_ray.ops._util import cached_synth_table
+        cached_synth_table(sf_dir, "emupool", "customer", _emulated.synth_emu_pool_states)
+        cached_synth_table(sf_dir, "emuvault", "supplier", _emulated.synth_emu_vault_states)
+        cached_synth_table(sf_dir, "dedustv2", "part", _emulated.synth_dv_messages)
+        cached_synth_table(sf_dir, "coffeest", "orders", _emulated.synth_coffee_states)
+        cached_synth_table(sf_dir, "coffeemsg", "orders", _emulated.synth_coffee_messages)
     from ton_etl_ray.pipelines import (
         ensure_epoch_diff_lake, ensure_flagship_lake, ensure_flagship_log,
         ensure_ivm_views as _ensure_ivm_views,
@@ -293,6 +310,10 @@ def run_bench() -> dict:
         "auction_table": _ensure_auction_table,
         # P9/P10 input: payload-bearing derived transfer table
         "moon_table": _ensure_moon_table,
+        # P1 claim+codec input and the emulator families' state/message
+        # feeds (queries time parse/rank-1/emulate, not body synthesis)
+        "dedust_table": _ensure_dedust_table,
+        "emu_tables": _ensure_emu_tables,
     }
     setup_sec = {}
     if not SKIP_QUERIES:

@@ -186,3 +186,53 @@ def test_method_id_convention():
     # crc16/xmodem with bit 16 set; stable across processes
     assert method_id("get_jetton_data") == (0x10000 | (method_id("get_jetton_data") & 0xFFFF))
     assert method_id("get_a") != method_id("get_b")
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the VM agrees with Python integer semantics
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_small = st.integers(min_value=-(1 << 64), max_value=(1 << 64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_small, _small)
+def test_prop_add_sub_mul(x, y):
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("ADD",)]) == (0, [x + y])
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("SUB",)]) == (0, [x - y])
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("MUL",)]) == (0, [x * y])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_small, _small.filter(lambda v: v != 0))
+def test_prop_floor_div_mod(x, y):
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("DIV",)]) == (0, [x // y])
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("MOD",)]) == (0, [x % y])
+    code, st_ = run([("PUSHINT", x), ("PUSHINT", y), ("DIVMOD",)])
+    assert (code, st_) == (0, [x // y, x % y])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_small, _small, _small.filter(lambda v: v != 0))
+def test_prop_muldiv_exact_product(x, y, z):
+    # the intermediate product must not truncate (TVM keeps it exact)
+    assert run([("PUSHINT", x), ("PUSHINT", y), ("PUSHINT", z),
+                ("MULDIV",)]) == (0, [x * y // z])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 256) - 1),
+       st.integers(min_value=1, max_value=256))
+def test_prop_stu_ldu_roundtrip(v, bits):
+    v &= (1 << bits) - 1
+    ops = [("PUSHINT", v), ("NEWC",), ("STU", bits), ("ENDC",),
+           ("CTOS",), ("LDU", bits), ("DROP",)]
+    assert run(ops) == (0, [v])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(1 << 255), max_value=(1 << 255) - 1))
+def test_prop_pushint_all_widths(v):
+    assert run([("PUSHINT", v)]) == (0, [v])
