@@ -753,10 +753,7 @@ class _CoffeeEnrich:
     against the pool's asset pair (coffee_swap.py:98-105: a mismatch
     drops the row)."""
 
-    def __init__(self, winners_ref):
-        import ray
-
-        w = ray.get(winners_ref)
+    def __init__(self, w: pa.Table):
         self.states: dict[str, tuple[bytes, bytes]] = {
             a: (cb, db) for a, cb, db in zip(
                 w["account"].to_pylist(), w["code_boc"].to_pylist(),
@@ -791,39 +788,56 @@ class _CoffeeEnrich:
         return ok
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows = []
-        for i in range(t.num_rows):
-            account = t["pool"][i].as_py()
-            pd_ = self._pool_data(account)
+        """Vectorized enrich: the VM runs once per DISTINCT pool in the
+        batch (memoized across batches); per-row work is a pandas merge
+        against the dim-sized pool-info frame + numpy side-pick masks —
+        no per-row Python dispatch in the hot path."""
+        if not t.num_rows:
+            return _COFFEE_SCHEMA.empty_table()
+        accounts = t["pool"].to_pylist()
+        info_rows = []
+        for a in set(accounts):
+            pd_ = self._pool_data(a)
             if pd_ is None:
                 continue  # no pool state (get_account_state_safe fails)
             a1, a2, amm, r1, r2, fee = pd_
-            if not self._validate(account, a1, a2, amm):
+            if not self._validate(a, a1, a2, amm):
                 continue  # coffee_swap.py:69-71
-            asset_in = t["asset_in"][i].as_py()
-            if asset_in == a1:
-                asset_out = a2
-            elif asset_in == a2:
-                asset_out = a1
-            else:
-                continue  # asset does not match the pool
-            rows.append({
-                "query_id": t["query_id"][i].as_py(),
-                "pool": account, "amm": amm,
-                "swap_src_token": asset_str(asset_in),
-                "swap_dst_token": asset_str(asset_out),
-                "swap_src_amount": t["amount_in"][i].as_py(),
-                "swap_dst_amount": t["amount_out"][i].as_py(),
-                "reserve1": r1, "reserve2": r2, "lp_fee": fee,
-                "min_out": t["min_out"][i].as_py(),
-                "deadline": t["deadline"][i].as_py(),
-                "recipient": t["recipient"][i].as_py(),
-                "referral": t["referral"][i].as_py(),
-            })
-        if not rows:
+            info_rows.append((a, a1, a2, amm, r1, r2, fee))
+        if not info_rows:
             return _COFFEE_SCHEMA.empty_table()
-        return pa.table({f.name: pa.array([r[f.name] for r in rows], f.type)
-                         for f in _COFFEE_SCHEMA}, schema=_COFFEE_SCHEMA)
+        info = pd.DataFrame(info_rows, columns=[
+            "pool", "a1", "a2", "amm", "reserve1", "reserve2", "lp_fee"])
+        df = t.to_pandas().merge(info, on="pool", how="inner")
+        if not len(df):
+            return _COFFEE_SCHEMA.empty_table()
+        asset_in = df["asset_in"].to_numpy()
+        a1 = df["a1"].to_numpy()
+        a2 = df["a2"].to_numpy()
+        is_a1 = asset_in == a1
+        keep = is_a1 | (asset_in == a2)  # else: asset/pool mismatch
+        df = df[keep]
+        asset_out = np.where(is_a1[keep], a2[keep], a1[keep])
+        fmt = np.frompyfunc(lambda j: f"0:{j:064X}", 1, 1)
+        return pa.table(
+            {
+                "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+                "pool": pa.array(df["pool"], pa.string(), from_pandas=True),
+                "amm": pa.array(df["amm"].to_numpy(np.int64)),
+                "swap_src_token": pa.array(fmt(asset_in[keep]), pa.string()),
+                "swap_dst_token": pa.array(fmt(asset_out), pa.string()),
+                "swap_src_amount": pa.array(df["amount_in"].to_numpy(np.int64)),
+                "swap_dst_amount": pa.array(df["amount_out"].to_numpy(np.int64)),
+                "reserve1": pa.array(df["reserve1"].to_numpy(np.int64)),
+                "reserve2": pa.array(df["reserve2"].to_numpy(np.int64)),
+                "lp_fee": pa.array(df["lp_fee"].to_numpy(np.int64)),
+                "min_out": pa.array(df["min_out"].to_numpy(np.int64)),
+                "deadline": pa.array(df["deadline"].to_numpy(np.int64)),
+                "recipient": pa.array(df["recipient"], pa.string(), from_pandas=True),
+                "referral": pa.array(df["referral"], pa.string(), from_pandas=True),
+            },
+            schema=_COFFEE_SCHEMA,
+        )
 
 
 def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
@@ -833,11 +847,10 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
     on the parent hash → per-pool get_pool_data emulation + factory
     validation in an actor pool. The pool-state side reduces to rank-1
     winners FIRST (dim-sized — 30 pools here, thousands on mainnet)
-    and broadcasts via ``ray.put``; the emulator runs once per DISTINCT
-    pool per actor, never per swap."""
+    first (dim-sized — 30 pools here, thousands on mainnet) and ships
+    in the enrich actors' constructor; the emulator runs once per
+    DISTINCT pool per actor, never per swap."""
     ensure_portable()
-    import ray
-
     from ..functions import opcode_signed
     from .relational import join_auto
 
@@ -908,13 +921,15 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
     cof_h, _ = _code_entry(coffee_pool_code())
     winners = _rank1_with_code(coffee_state_dataset(sf_dir), [cof_h],
                                num_buckets=num_buckets)
-    # dim-sized winner set (30 pools here): one driver pull, one
-    # object-store copy, read by every enrich actor
-    win_ref = ray.put(pa.Table.from_pylist(
-        winners.take_all(), schema=winners.schema().base_schema))
+    # dim-sized winner set (30 pools here, thousands on mainnet): one
+    # driver pull, shipped in each enrich actor's constructor (kept
+    # out of the object store so actor restarts never lose it; switch
+    # to ray.put + ref when the pool dim outgrows constructor pickling)
+    win_tbl = pa.Table.from_pylist(winners.take_all(),
+                                   schema=winners.schema().base_schema)
 
     return joined.map_batches(
-        _CoffeeEnrich, fn_constructor_args=(win_ref,),
+        _CoffeeEnrich, fn_constructor_args=(win_tbl,),
         batch_format="pyarrow", batch_size=batch_size, concurrency=pool())
 
 
