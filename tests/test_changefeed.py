@@ -181,3 +181,170 @@ def test_apply_feeds_chain(primary, tmp_path):
                os.path.join(renamed, "epoch-000000"))
     with pytest.raises(ValueError, match="stamped"):
         apply_feeds(renamed, str(tmp_path / "r3"))
+
+
+@pytest.fixture(scope="module")
+def primary3(tmp_path_factory, ray_session):
+    """A 3-epoch primary lake plus its published feed chain (snapshot +
+    two changefeeds), feed dirs produced by the watcher's own atomic
+    catch-up publisher."""
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.cdc.streaming import DirectoryWatcher
+    from ton_etl_ray.gen import write_change_log
+
+    base = tmp_path_factory.mktemp("cf3")
+    chg, lake = str(base / "chg"), str(base / "lake")
+    write_change_log(chg, num_events=60_000, num_keys=5_000, seed=53,
+                     num_shards=9, max_tok=16)
+    cuts = [0, 20_000, 40_000, 10**9]
+    edirs = [str(base / f"e{i}") for i in range(3)]
+    for d in edirs:
+        os.makedirs(d)
+    for p in sorted(glob.glob(os.path.join(chg, "*.parquet"))):
+        t = pq.read_table(p)
+        lsn = t["lsn"].to_numpy()
+        for i in range(3):
+            part = t.filter(pa.array((lsn >= cuts[i]) & (lsn < cuts[i + 1])))
+            if part.num_rows:
+                pq.write_table(part, os.path.join(edirs[i], os.path.basename(p)))
+    replay(edirs[0], lake, num_partitions=16, hot_share_threshold=1.0)
+    replay(edirs[1], lake)
+    replay(edirs[2], lake)
+
+    feeds = str(base / "feeds")
+    empty_watch = str(base / "watch")
+    os.makedirs(empty_watch)
+    w = DirectoryWatcher(empty_watch, lake, feed_dir=feeds)  # publishes on init
+    w.close()
+    assert sorted(os.path.basename(d) for d in
+                  glob.glob(os.path.join(feeds, "epoch-*"))) == [
+        "epoch-000000", "epoch-000001", "epoch-000002"]
+    return lake, feeds
+
+
+def test_follower_tails_live_chain(primary3, tmp_path):
+    """FeedFollower applies feeds AS THEY APPEAR — revealed one at a
+    time, the replica converges to each primary epoch in turn, and the
+    replica lake itself is the resume cursor (a brand-new follower over
+    the same replica continues from the right feed)."""
+    from ton_etl_ray.cdc.changefeed import FeedFollower
+
+    lake, feeds = primary3
+    live = str(tmp_path / "live_feeds")
+    os.makedirs(live)
+    replica = str(tmp_path / "replica")
+
+    f = FeedFollower(live, replica, num_partitions=8)
+    assert f.step() is None                      # chain still empty
+
+    for e in range(3):
+        os.symlink(os.path.join(feeds, f"epoch-{e:06d}"),
+                   os.path.join(live, f"epoch-{e:06d}"))
+        # fresh follower each epoch: cursor must live in the replica,
+        # not the object
+        f2 = FeedFollower(live, replica, num_partitions=8)
+        assert f2.step() == e
+        assert f2.step() is None                 # caught up
+        assert _state_map(replica) == _state_map(lake, e)
+
+    # gap detection: feed 1 missing while 2 exists
+    gapped = str(tmp_path / "gapped")
+    os.makedirs(gapped)
+    os.symlink(os.path.join(feeds, "epoch-000000"),
+               os.path.join(gapped, "epoch-000000"))
+    os.symlink(os.path.join(feeds, "epoch-000002"),
+               os.path.join(gapped, "epoch-000002"))
+    r2 = str(tmp_path / "r2")
+    g = FeedFollower(gapped, r2, num_partitions=8)
+    assert g.step() == 0
+    with pytest.raises(ValueError, match="GC'd the gap"):
+        g.step()
+
+    # a replica not seeded by a follower has no feed-epoch mapping
+    with pytest.raises(ValueError, match="_follower.json"):
+        FeedFollower(feeds, lake)
+
+
+def test_follower_run_drains_backlog(primary3, tmp_path):
+    """run() drains every published feed without sleeping between
+    applies and stops after the configured idle polls."""
+    from ton_etl_ray.cdc.changefeed import FeedFollower
+
+    lake, feeds = primary3
+    replica = str(tmp_path / "replica")
+    sleeps = []
+    f = FeedFollower(feeds, replica, num_partitions=8)
+    applied = f.run(poll_interval_sec=0.01, stop_after_idle_polls=2,
+                    sleep_fn=sleeps.append)
+    assert applied == [0, 1, 2]
+    assert len(sleeps) == 1                      # only the idle tail sleeps
+    assert _state_map(replica) == _state_map(lake)
+
+
+def test_follower_sigkill_resume(primary3, tmp_path):
+    """SIGKILL a follower subprocess mid-chain; a fresh follower over
+    the same replica must finish to exactly the primary's final state
+    (verdict r4 item #5's done criterion: replica ≡ primary across ≥3
+    epochs with a SIGKILL in between)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from ton_etl_ray.cdc import sink as S
+    from ton_etl_ray.cdc.changefeed import FeedFollower
+
+    lake, feeds = primary3
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    replica = str(tmp_path / "replica")
+
+    script = f"""
+import sys; sys.path.insert(0, {REPO!r})
+import ray; ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from ton_etl_ray.cdc.changefeed import FeedFollower
+FeedFollower({feeds!r}, {replica!r}, num_partitions=8).run(
+    poll_interval_sec=0.05, stop_after_idle_polls=3)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # drained all 3 feeds before we could kill — still valid
+        latest = S.latest_epoch(replica)
+        if latest is not None and latest >= 0:
+            os.kill(proc.pid, signal.SIGKILL)  # ≥1 feed applied, ≥1 to go
+            killed = True
+            break
+        time.sleep(0.02)
+    proc.wait(timeout=60)
+
+    f2 = FeedFollower(feeds, replica, num_partitions=8)
+    resumed = f2.run(poll_interval_sec=0.01, stop_after_idle_polls=2,
+                     sleep_fn=lambda _s: None)
+    assert _state_map(replica) == _state_map(lake)
+    done = ({0, 1, 2} if not killed else set(resumed) | set(
+        range(S.latest_epoch(replica) + 1)))
+    assert done == {0, 1, 2}
+
+
+def test_empty_changefeed_is_replayable(primary, tmp_path):
+    """A no-change epoch pair exports an empty-but-valid feed (one
+    empty shard in the change schema) that replays as a no-op epoch —
+    consumers map one feed to one replica epoch, so a shard-less dir
+    would break the chain."""
+    from ton_etl_ray.cdc.changefeed import emit_changefeed, emit_snapshot
+    from ton_etl_ray.cdc.replay import replay
+
+    snap, feed = str(tmp_path / "snap"), str(tmp_path / "feed")
+    emit_snapshot(primary, snap, epoch=1)
+    emit_changefeed(primary, feed, 1, 1)        # identical epochs: empty diff
+    assert glob.glob(os.path.join(feed, "*.parquet"))  # shard exists
+
+    replica = str(tmp_path / "replica")
+    replay(snap, replica, num_partitions=8)
+    res = replay(feed, replica)                 # must not raise
+    assert res.published and res.counters["rows_in"] == 0
+    assert _state_map(replica) == _state_map(primary, 1)

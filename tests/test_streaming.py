@@ -630,10 +630,13 @@ def test_continuous_feed_publication(tmp_path, ray_session):
     feed_dirs = sorted(glob.glob(os.path.join(feed, "epoch-*")))
     assert len(feed_dirs) == len(w.epochs)
 
-    # replay the published feeds, in order, into a fresh replica
+    # consume the published chain through apply_feeds (one replay per
+    # feed — the tombstone-lsn safety contract, changefeed.py module doc)
+    from ton_etl_ray.cdc.changefeed import apply_feeds
+
     replica = str(tmp_path / "replica")
-    for fd in feed_dirs:
-        replay(fd, replica, num_partitions=8)
+    applied = apply_feeds(feed, replica, num_partitions=8)
+    assert applied == list(range(len(feed_dirs)))
     want = final_state_table(lake).to_pandas()
     got = final_state_table(replica).to_pandas()
     wm = {r.doc_id: (list(r.tokens), r.n_tok) for r in want.itertuples()}

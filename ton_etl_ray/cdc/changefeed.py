@@ -271,4 +271,155 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
         for f in _glob.glob(os.path.join(ddir, "*.parquet")):
             os.replace(f, os.path.join(out_dir, "deletes-" + os.path.basename(f)))
         _shutil.rmtree(ddir, ignore_errors=True)
+    elif not wrote_upserts:
+        # empty diff (e.g. an idempotent re-apply committed an epoch
+        # that changed nothing): publish ONE empty shard in the change
+        # schema so the feed stays replayable as a no-op epoch —
+        # consumers map one feed to one replica epoch, and a shard-less
+        # dir would crash replay's discovery instead
+        import pyarrow.parquet as pq
+
+        payload = sink.lake_schema(lake_dir, e_b)
+        fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        fields += [f for f in payload if f.name not in ("lsn",)]
+        pq.write_table(pa.schema(fields).empty_table(),
+                       os.path.join(out_dir, "changefeed-empty.parquet"))
     return out_dir
+
+FOLLOWER_META = "_follower.json"
+
+
+class FeedFollower:
+    """Continuous consumer side of the changefeed: tail a primary's
+    published feed root (the watcher's ``epoch-NNNNNN`` layout) and
+    replay each epoch feed into a replica lake as it appears — the
+    committed-state analogue of the reference's long-running streaming
+    consumers (reference datalake/streaming.py:65-191 poll→convert→
+    commit loop), with one ``replay()`` per feed (the module-doc
+    tombstone-lsn contract) and durable crash-resume.
+
+    **The replica lake IS the cursor.** Feed epochs apply in order from
+    the chain's first feed F0; each successful apply is exactly one
+    replica epoch, so the next feed is always ``F0 + committed replica
+    epochs``. F0 is stamped once into ``replica/_follower.json`` BEFORE
+    the first replay (idempotent: a crash inside that window re-derives
+    the same F0 from the chain). No per-feed cursor write exists, so
+    there is no crash window where a feed double-applies: ``replay``'s
+    epoch lock + staging-then-publish makes each apply exactly-once,
+    and the cursor is derived from what actually committed.
+
+    A feed directory is complete the instant it exists — the watcher
+    publishes build-dir → ``os.rename`` (atomic on one filesystem), so
+    the follower never sees a half-written feed. A missing next feed
+    while a LATER epoch exists means the primary GC'd it: fail loudly
+    (the replica must re-seed from a snapshot inside the keep window),
+    never skip.
+    """
+
+    def __init__(self, feed_root: str, replica_dir: str,
+                 *, num_partitions: int = 64, **replay_kw):
+        import json
+
+        self.feed_root = feed_root
+        self.replica_dir = replica_dir
+        self.replay_kw = dict(replay_kw, num_partitions=num_partitions)
+        os.makedirs(replica_dir, exist_ok=True)
+        self._meta_path = os.path.join(replica_dir, FOLLOWER_META)
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.first_feed = int(json.load(f)["first_feed_epoch"])
+        else:
+            if sink.latest_epoch(replica_dir) is not None:
+                raise ValueError(
+                    f"FeedFollower: replica {replica_dir!r} has committed "
+                    "epochs but no _follower.json stamp — it was not seeded "
+                    "by a follower, so the feed-epoch mapping is unknown; "
+                    "start from an empty replica"
+                )
+            self.first_feed = None  # stamped on first observed feed
+
+    def _available(self) -> list[int]:
+        import glob as _glob
+        import re as _re
+
+        out = []
+        for d in _glob.glob(os.path.join(self.feed_root, "epoch-*")):
+            m = _re.fullmatch(r"epoch-(\d+)", os.path.basename(d))
+            if m and os.path.isdir(d):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def next_feed_epoch(self) -> int | None:
+        """The feed epoch the replica needs next (None until the chain
+        has published anything and F0 is known)."""
+        if self.first_feed is None:
+            avail = self._available()
+            if not avail:
+                return None
+            self._stamp(avail[0])
+        latest = sink.latest_epoch(self.replica_dir)
+        return self.first_feed + (latest + 1 if latest is not None else 0)
+
+    def _stamp(self, f0: int) -> None:
+        import json
+
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"first_feed_epoch": int(f0)}, f)
+        os.replace(tmp, self._meta_path)
+        self.first_feed = int(f0)
+
+    def step(self) -> int | None:
+        """Apply at most ONE pending feed. Returns the feed epoch
+        applied, or None when the replica is caught up (or the chain is
+        still empty)."""
+        from .replay import replay
+
+        e = self.next_feed_epoch()
+        if e is None:
+            return None
+        d = os.path.join(self.feed_root, f"epoch-{e:06d}")
+        if not os.path.isdir(d):
+            later = [a for a in self._available() if a > e]
+            if later:
+                raise ValueError(
+                    f"FeedFollower: feed epoch {e} is missing but epoch "
+                    f"{later[0]} exists — the primary GC'd the gap; "
+                    "re-seed the replica from a snapshot inside the keep "
+                    "window"
+                )
+            return None  # caught up
+        meta = read_feed_meta(d)
+        if meta is not None and meta.get("epoch_b") != e:
+            raise ValueError(
+                f"FeedFollower: feed dir {d!r} is stamped for epoch "
+                f"{meta.get('epoch_b')} — directory was renamed or mixed"
+            )
+        # first replica epoch takes the configured layout; later epochs
+        # adopt the replica's own (replay pins num_partitions to the
+        # epoch-0 commit), same contract as apply_feeds
+        kw = self.replay_kw if sink.latest_epoch(self.replica_dir) is None else {}
+        replay(d, self.replica_dir, **kw)
+        return e
+
+    def run(self, *, poll_interval_sec: float = 1.0,
+            stop_after_idle_polls: int | None = None,
+            sleep_fn=None) -> list[int]:
+        """Tail the chain until ``stop_after_idle_polls`` consecutive
+        polls find nothing new (None = run forever). Returns the feed
+        epochs applied this run."""
+        import time as _time
+
+        sleep = sleep_fn or _time.sleep
+        applied: list[int] = []
+        idle = 0
+        while True:
+            e = self.step()
+            if e is not None:
+                applied.append(e)
+                idle = 0
+                continue  # drain the backlog without sleeping
+            idle += 1
+            if stop_after_idle_polls is not None and idle >= stop_after_idle_polls:
+                return applied
+            sleep(poll_interval_sec)
