@@ -185,3 +185,135 @@ def test_enrich_routed_fetches_each_key_exactly_once():
     plain = enrich(ds, factory, key_col="key").to_pandas()
     key_of = lambda df: sorted(map(tuple, df[["id", "enrichment", "fetch_ok"]].to_numpy()))
     assert key_of(routed) == key_of(plain)
+
+
+# --- P30 delta-compare loop: metadata_refresh_feed --------------------
+
+
+@pytest.fixture()
+def small_lake(tmp_path, ray_session):
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+
+    chg, lake = str(tmp_path / "chg"), str(tmp_path / "lake")
+    write_change_log(chg, num_events=4_000, num_keys=300, seed=31,
+                     num_shards=4, max_tok=8)
+    replay(chg, lake, num_partitions=8)
+    return lake
+
+
+def _state(lake):
+    from ton_etl_ray.cdc.replay import final_state_table
+
+    df = final_state_table(lake).to_pandas()
+    return {r.doc_id: r for r in df.itertuples()}
+
+
+def test_metadata_refresh_full_loop(small_lake, tmp_path):
+    """The P30 loop end-to-end: first refresh adds the metadata column
+    for every row (schema evolution); an identical re-fetch produces an
+    EMPTY feed that still replays as a no-op epoch; a changed upstream
+    value produces exactly the changed keys."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.ops.enrich import metadata_refresh_feed
+
+    lake = small_lake
+    fetch_v1 = lambda: (lambda k: {"name": k, "v": 1})
+
+    f1 = str(tmp_path / "f1")
+    metadata_refresh_feed(lake, f1, fetch_v1, key_col="source",
+                          meta_col="metadata")
+    rows = pq.read_table(glob.glob(f1 + "/*.parquet"))
+    assert rows.num_rows == len(_state(lake))          # every row gains meta
+    assert set(rows["op"].to_pylist()) == {"u"}
+    replay(f1, lake)
+    st = _state(lake)
+    some = next(iter(st.values()))
+    assert json.loads(some.metadata) == {"name": some.source, "v": 1}
+
+    # no-change: same fetcher (different key order in the dict must NOT
+    # count as a change — canonical compare)
+    fetch_v1b = lambda: (lambda k: {"v": 1, "name": k})
+    f2 = str(tmp_path / "f2")
+    metadata_refresh_feed(lake, f2, fetch_v1b, key_col="source",
+                          meta_col="metadata")
+    shards = glob.glob(f2 + "/*.parquet")
+    assert shards and pq.read_table(shards).num_rows == 0   # empty but valid
+    res = replay(f2, lake)                                  # replays as no-op
+    assert res.counters["rows_in"] == 0
+    st2 = _state(lake)
+    assert {k: (list(v.tokens), v.metadata) for k, v in st2.items()} == \
+           {k: (list(v.tokens), v.metadata) for k, v in st.items()}
+
+    # field change for ONE source: only that source's rows re-emit
+    changed_src = some.source
+
+    def fetch_v2_factory():
+        def f(k):
+            return {"name": k, "v": 2} if k == changed_src else {"name": k, "v": 1}
+        return f
+
+    f3 = str(tmp_path / "f3")
+    metadata_refresh_feed(lake, f3, fetch_v2_factory, key_col="source",
+                          meta_col="metadata")
+    rows3 = pq.read_table(glob.glob(f3 + "/*.parquet"))
+    want_n = sum(1 for v in st2.values() if v.source == changed_src)
+    assert rows3.num_rows == want_n > 0
+    assert set(rows3["source"].to_pylist()) == {changed_src}
+    replay(f3, lake)
+    st3 = _state(lake)
+    for k, v in st3.items():
+        expect_v = 2 if v.source == changed_src else 1
+        assert json.loads(v.metadata)["v"] == expect_v
+        assert list(v.tokens) == list(st2[k].tokens)       # payload untouched
+
+
+def test_metadata_refresh_single_row_and_failure(small_lake, tmp_path):
+    """Per-doc keys: a field change on ONE key emits exactly ONE 'u'
+    row (verdict r4 item #4's done criterion), and a key whose fetch
+    fails after retries is SKIPPED — the stored row survives."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.ops.enrich import metadata_refresh_feed
+
+    lake = small_lake
+    st0 = _state(lake)
+    doc_ids = sorted(st0)
+    target, broken = doc_ids[0], doc_ids[1]
+
+    base = lambda: (lambda k: {"d": k})
+    f1 = str(tmp_path / "f1")
+    metadata_refresh_feed(lake, f1, base, key_col="doc_id",
+                          meta_col="metadata", backoff_base_sec=0.0)
+    replay(f1, lake)
+    st1 = _state(lake)
+
+    def v2_factory():
+        def f(k):
+            if k == broken:
+                raise RuntimeError("boom")       # persistent failure
+            return {"d": k, "v": 2} if k == target else {"d": k}
+        return f
+
+    f2 = str(tmp_path / "f2")
+    metadata_refresh_feed(lake, f2, v2_factory, key_col="doc_id",
+                          meta_col="metadata", backoff_base_sec=0.0)
+    rows = pq.read_table(glob.glob(f2 + "/*.parquet"))
+    assert rows.num_rows == 1                    # exactly one 'u' row
+    assert rows["doc_id"].to_pylist() == [target]
+    assert rows["op"].to_pylist() == ["u"]
+    replay(f2, lake)
+    st2 = _state(lake)
+    assert json.loads(st2[target].metadata) == {"d": target, "v": 2}
+    # failed fetch kept the stored row
+    assert st2[broken].metadata == st1[broken].metadata
+    assert json.loads(st2[broken].metadata) == {"d": broken}

@@ -232,3 +232,91 @@ def test_coalesced_shuffle_matches_oracle(tmp_path, ray_session):
     g = {r.doc_id: (list(r.tokens), r.n_tok, r.source) for r in got.itertuples()}
     o = {r.doc_id: (list(r.tokens), r.n_tok, r.source) for r in ora.itertuples()}
     assert g == o
+
+
+def test_auto_coalesce_routing():
+    """The auto-router coalesces ONLY on (single node × read-block count
+    at/above the profiled one-raylet exchange breakpoint), and never on
+    multi-node clusters — pinning verdict r4 next-item #6's decision
+    table, including both 40M-sweep legs staying untouched."""
+    from ton_etl_ray.cdc.replay import _auto_coalesce_target as route
+
+    # multi-node: never coalesce, regardless of block count
+    assert route(4096, nodes_alive=2, cpus=64) is None
+    assert route(96, nodes_alive=16, cpus=512) is None
+    # single node below the breakpoint: data-sized blocks stay — the
+    # scaling-sweep legs (40M log: 64 blocks @32 cpus, ~41 @8 cpus)
+    assert route(64, nodes_alive=1, cpus=32) is None
+    assert route(41, nodes_alive=1, cpus=8) is None
+    assert route(95, nodes_alive=1, cpus=32) is None
+    # single node at/above the breakpoint: coalesce to max(64, 2x cpus)
+    assert route(96, nodes_alive=1, cpus=32) == 64
+    assert route(128, nodes_alive=1, cpus=32) == 64   # the 80M regime
+    assert route(128, nodes_alive=1, cpus=8) == 64    # floor holds
+    assert route(300, nodes_alive=1, cpus=64) == 128  # 2x cpus on big hosts
+
+
+def test_auto_coalesce_zero_disables(tmp_path, ray_session):
+    """coalesce_shuffle_blocks=0 must disable coalescing (no repartition
+    op in the plan) while None auto-routes; both produce the oracle
+    state on a small log (where auto is a no-op anyway)."""
+    import duckdb
+    import glob as _glob
+
+    from ton_etl_ray.cdc.replay import final_state_table, replay
+    from ton_etl_ray.gen import write_change_log
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=20_000, num_keys=2_000, seed=29,
+                     num_shards=8, max_tok=16)
+    shards = sorted(_glob.glob(chg + "/*.parquet"))
+    ora = duckdb.sql(
+        f"""WITH ranked AS (SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY lsn DESC) rk
+            FROM read_parquet({shards}, union_by_name=true))
+            SELECT doc_id, tokens, n_tok, source
+            FROM ranked WHERE rk = 1 AND op <> 'd'"""
+    ).df()
+    o = {r.doc_id: (list(r.tokens), r.n_tok, r.source) for r in ora.itertuples()}
+    for tag, kw in (("zero", {"coalesce_shuffle_blocks": 0}),
+                    ("auto", {})):
+        lake = str(tmp_path / f"lake_{tag}")
+        replay(chg, lake, num_partitions=16, **kw)
+        got = final_state_table(lake).to_pandas()
+        g = {r.doc_id: (list(r.tokens), r.n_tok, r.source)
+             for r in got.itertuples()}
+        assert g == o, tag
+
+
+def test_noop_epoch_keeps_lsn_watermark(tmp_path, ray_session):
+    """A no-op epoch (every partition inherited) must carry the lake's
+    lsn high watermark forward, not reset it to -1 — the changefeed
+    tombstone lsn and refresh-update lsn are commit.max_lsn+1, so a
+    regressed watermark would mint lsns that lose to (or collide with)
+    stored rows."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.cdc.replay import replay
+    from ton_etl_ray.gen import write_change_log
+
+    chg, lake = str(tmp_path / "chg"), str(tmp_path / "lake")
+    write_change_log(chg, num_events=5_000, num_keys=400, seed=37,
+                     num_shards=4, max_tok=8)
+    r0 = replay(chg, lake, num_partitions=8)
+    assert r0.max_lsn == 4_999
+
+    # an empty change shard → next epoch writes nothing, inherits all
+    schema = pq.read_schema(sorted(glob.glob(chg + "/*.parquet"))[0])
+    empty_dir = str(tmp_path / "empty")
+    import os as _os
+    _os.makedirs(empty_dir)
+    pq.write_table(pa.schema(schema).empty_table(),
+                   _os.path.join(empty_dir, "chg-empty.parquet"))
+    r1 = replay(empty_dir, lake)
+    assert r1.counters["rows_in"] == 0 and r1.partitions_written == 0
+    assert r1.max_lsn == 4_999
+    assert sink.read_commit(lake, r1.epoch)["max_lsn"] == 4_999

@@ -261,6 +261,48 @@ def _manifest_row(part: int, kind: str, m: dict) -> pa.Table:
     )
 
 
+def _auto_coalesce_target(
+    read_blocks: int,
+    *,
+    threshold: int = 96,
+    floor: int = 64,
+    nodes_alive: int | None = None,
+    cpus: int | None = None,
+) -> int | None:
+    """Route the exchange-coalescing decision automatically (VERDICT r4
+    next-item #6). On ONE raylet the sort exchange costs
+    O(map_blocks × reduce_blocks) tiny-object transfers regardless of
+    bytes — profiled on the 80M-event log: 128 read blocks split to 256
+    sort blocks = 65k transfers, 34 s of Sort wall on ~1.2 s of reduce
+    CPU, while 64 read blocks replay the same log in 22.3 s total. The
+    breakpoint is a property of one raylet's scheduling throughput, not
+    of CPU count, so the gate is an ABSOLUTE read-block count:
+
+    - multi-node cluster → never coalesce (the exchange spreads across
+      per-node raylets/NICs; capping blocks would throttle real
+      clusters — the r4 profiling ruling);
+    - single node, read_blocks < ``threshold`` → leave data-sized
+      blocks (the 40M scaling log is 64 blocks at 32 cpus and ~41 at
+      8 cpus: both legs stay untouched, preserving the sweep);
+    - single node, read_blocks ≥ ``threshold`` → coalesce to
+      ``max(floor, 2×cpus)`` — the measured sweet spot (64) with
+      headroom on bigger hosts.
+
+    ``nodes_alive``/``cpus`` are injectable for tests."""
+    import ray as _ray
+
+    if nodes_alive is None or cpus is None:
+        if not _ray.is_initialized():
+            return None
+        if nodes_alive is None:
+            nodes_alive = sum(1 for n in _ray.nodes() if n.get("Alive", False))
+        if cpus is None:
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+    if nodes_alive != 1 or read_blocks < threshold:
+        return None
+    return max(floor, 2 * cpus)
+
+
 def replay(
     changes: str | list[str],
     lake_dir: str,
@@ -289,11 +331,14 @@ def replay(
     on ONE raylet dominates once read parallelism is high while the
     post-compaction stream is small (profiled on an 80M-event log:
     256-block exchange 34 s of sort wall against ~1 s of reduce CPU;
-    coalescing to 64 nearly halved the replay). Default None — on a
-    multi-node cluster the exchange spreads across raylets and
-    data-sized blocks are correct; set ≈2-4× total CPUs when a single
-    node must chew a high-block-count log eagerly (or use
-    ``replay_late``, which bounds exchange bytes instead).
+    coalescing to 64 nearly halved the replay). Default None =
+    AUTO-ROUTED by ``_auto_coalesce_target``: multi-node clusters never
+    coalesce (the exchange spreads across raylets and data-sized blocks
+    are correct); a single node coalesces to ``max(64, 2×cpus)`` once
+    read parallelism reaches the profiled one-raylet breakpoint (96
+    blocks). Pass an explicit block count to override, or ``0`` to
+    disable coalescing entirely (``replay_late`` bounds exchange bytes
+    instead).
     """
     from .._pickle import ensure_portable
 
@@ -395,8 +440,10 @@ def _replay_locked(
         override_num_blocks = max(2 * cpus, total_bytes // (64 << 20), 1)
 
     groups = []
+    total_read_blocks = 0
     for s, fl in file_schemas.values():
         blocks = max(1, int(override_num_blocks * len(fl) / len(files)))
+        total_read_blocks += blocks
         ds = rd.read_parquet(fl, override_num_blocks=blocks)
         groups.append(
             ds.map_batches(
@@ -408,7 +455,9 @@ def _replay_locked(
     ds = groups[0]
     for g in groups[1:]:
         ds = ds.union(g)
-    if coalesce_shuffle_blocks is not None:
+    if coalesce_shuffle_blocks is None:
+        coalesce_shuffle_blocks = _auto_coalesce_target(total_read_blocks)
+    if coalesce_shuffle_blocks and coalesce_shuffle_blocks > 0:
         ds = ds.repartition(coalesce_shuffle_blocks)
 
     apply_fn = _make_apply_fn(lake_dir, epoch, num_partitions, prev_state)
@@ -517,6 +566,15 @@ def _replay_locked(
             partitions[str(p_)] = ent
             inherited += 1
             rows_total += ent["rows"]
+            # inherited partitions carry lake state, so their lsns are
+            # part of the epoch's HIGH WATERMARK — excluding them made a
+            # no-op epoch (all partitions inherited) commit max_lsn=-1,
+            # regressing the watermark every consumer builds on: the
+            # changefeed tombstone lsn (commit(b).max_lsn+1 → 0, which
+            # COLLIDES with real lsns), metadata_refresh_feed's update
+            # lsn, and the watcher's watermark_lsn gauge. incremental.py
+            # already maxes over all partitions; this matches it.
+            max_lsn = max(max_lsn, int(ent.get("max_lsn", -1)))
         else:
             partitions[str(p_)] = {"path": "", "rows": 0, "max_lsn": -1}
 

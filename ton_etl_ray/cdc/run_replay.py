@@ -32,8 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stats", action="store_true", help="print lake_stats after run")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     ap.add_argument("--coalesce-shuffle-blocks", type=int, default=None,
-                    help="streaming repartition before the partition exchange "
-                         "(single-node escape hatch for high-block-count logs)")
+                    help="streaming repartition before the partition exchange; "
+                         "default auto-routes (single node + high block count "
+                         "coalesces to max(64, 2x cpus)); 0 disables")
     args = ap.parse_args(argv)
 
     from ._driver import init_driver

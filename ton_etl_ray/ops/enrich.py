@@ -234,3 +234,146 @@ def enrich_routed(
         .groupby("__kb")
         .map_groups(run_group, batch_format="pyarrow")
     )
+
+
+def metadata_refresh_feed(
+    lake_dir: str,
+    out_dir: str,
+    fetcher_factory: Callable[[], Callable[[str], dict]],
+    *,
+    key_col: str = "source",
+    meta_col: str = "metadata",
+    epoch: int | None = None,
+    concurrency: int = 2,
+    **stage_kwargs,
+) -> str:
+    """The full P30 loop (reference jetton_metadata.py:86-127): re-fetch
+    metadata for every distinct ``key_col`` in the lake's live rows,
+    DELTA-COMPARE each fetch against the stored ``meta_col``, and export
+    ONLY the changed rows as a replayable changefeed — apply it with
+    ``replay(out_dir, lake_dir)`` to commit the refresh as the next
+    epoch (schema evolution adds ``meta_col`` on first refresh).
+
+    Scale shape: the fetch runs over the DISTINCT key set (dim-sized by
+    P30's contract — jetton masters, not events) through the actor-pool
+    stage, then the (key → canonical metadata) map broadcasts via
+    ``ray.put`` into a zero-shuffle map-side compare over the payload
+    stream. The no-change path is fully vectorized (raw string
+    equality against the canonical form this pipeline itself writes);
+    only rows whose raw strings differ pay a JSON re-parse to rule out
+    formatting-only deltas. Keys whose fetch FAILED after retries are
+    skipped — the stored row stays, matching the reference's
+    keep-on-fetch-failure rule. An empty delta still writes one empty
+    shard in the change schema so the feed replays as a no-op epoch.
+
+    Update rows carry ``lsn = commit.max_lsn + 1``: strictly above every
+    stored lsn, so LWW picks the refresh; one feed per replay (the
+    changefeed module-doc contract) keeps that lsn from colliding with
+    later real lsns.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..cdc import sink
+    from ..cdc.changefeed import _fresh_out_dir, _live_rows, _write_feed_meta
+    from ..functions import normalize_json
+
+    ensure_portable()
+    base_epoch = sink.latest_epoch(lake_dir) if epoch is None else epoch
+    if base_epoch is None:
+        raise ValueError(f"metadata_refresh_feed: no committed epochs under {lake_dir!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    _fresh_out_dir(out_dir)
+    refresh_lsn = int(sink.read_commit(lake_dir, base_epoch)["max_lsn"]) + 1
+    _write_feed_meta(out_dir, {"kind": "metadata_refresh", "epoch_a": base_epoch,
+                               "epoch_b": None, "delete_lsn": None,
+                               "refresh_lsn": refresh_lsn})
+
+    payload = sink.lake_schema(lake_dir, base_epoch)
+    out_fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+    out_fields += [f for f in payload if f.name != "lsn"]
+    if meta_col not in payload.names:
+        out_fields.append(pa.field(meta_col, pa.string()))
+    out_schema = pa.schema(out_fields)
+
+    live = _live_rows(lake_dir, base_epoch)
+    if live is not None:
+        # distinct keys: per-block unique partials, then a driver set —
+        # dim-sized by contract (the fetch targets masters/collections,
+        # never the event stream)
+        partials = live.select_columns([key_col]).map_batches(
+            lambda t: pa.table({key_col: pc.unique(
+                t[key_col].combine_chunks()
+                if isinstance(t[key_col], pa.ChunkedArray) else t[key_col])}),
+            batch_format="pyarrow",
+        )
+        keys = sorted(set(partials.unique(key_col)) - {None})
+        if keys:
+            kds = rd.from_arrow(pa.table({key_col: pa.array(keys, pa.string())}))
+            kds = kds.repartition(max(1, min(concurrency * 2, len(keys))))
+            fetched = enrich(kds, fetcher_factory, key_col=key_col,
+                             concurrency=concurrency, **stage_kwargs)
+            canon: dict[str, str] = {}
+            for b in fetched.iter_batches(batch_format="pyarrow"):
+                for k, enr, ok in zip(b[key_col].to_pylist(),
+                                      b["enrichment"].to_pylist(),
+                                      b["fetch_ok"].to_pylist()):
+                    if ok:  # failed fetch → keep stored row (reference rule)
+                        canon[k] = normalize_json(json.loads(enr))
+            canon_ref = ray.put(canon)
+
+            def delta(t: pa.Table, _ref=canon_ref) -> pa.Table:
+                cmap: dict[str, str] = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+                kcol = (t[key_col].combine_chunks()
+                        if isinstance(t[key_col], pa.ChunkedArray) else t[key_col])
+                karr = kcol.to_pylist()
+                new = np.array([cmap.get(k) for k in karr], dtype=object)
+                if meta_col in t.column_names:
+                    stored = np.array(t[meta_col].to_pylist(), dtype=object)
+                else:
+                    stored = np.full(len(karr), None, dtype=object)
+                cand = np.array([n is not None for n in new]) & (new != stored)
+                # raw mismatch may be formatting-only: re-parse those few
+                for i in np.flatnonzero(cand):
+                    s = stored[i]
+                    if s is None:
+                        continue
+                    try:
+                        if normalize_json(json.loads(s)) == new[i]:
+                            cand[i] = False
+                    except (ValueError, TypeError):
+                        pass  # unparseable stored value: a real change
+                idx = np.flatnonzero(cand)
+                sub = t.take(pa.array(idx, pa.int64()))
+                n = sub.num_rows
+                cols = {
+                    "lsn": pa.array(np.full(n, refresh_lsn, np.int64), pa.int64()),
+                    "op": pa.array(["u"] * n, pa.string()),
+                }
+                for f in out_schema:
+                    if f.name in ("lsn", "op"):
+                        continue
+                    if f.name == meta_col:
+                        cols[f.name] = pa.array([new[i] for i in idx], pa.string())
+                    elif f.name in sub.column_names:
+                        cols[f.name] = sub[f.name].cast(f.type)
+                    else:
+                        cols[f.name] = pa.nulls(n, f.type)
+                return pa.table(cols, schema=out_schema)
+
+            live.map_batches(delta, batch_format="pyarrow").write_parquet(out_dir)
+
+    if not _glob.glob(os.path.join(out_dir, "*.parquet")):
+        # no-change refresh: one empty shard keeps the feed replayable
+        # as a no-op epoch (same rule as emit_changefeed/emit_snapshot)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(out_schema.empty_table(),
+                        os.path.join(out_dir, "refresh-empty.parquet"))
+    return out_dir
