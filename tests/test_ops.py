@@ -775,3 +775,47 @@ def test_rolling_daily_spend_range_semantics(tmp_path):
         ["user_id", "day"]).reset_index(drop=True)
     # user 1 day0: 1.0; day1: 1.0+2.5; day3: window covers days 1-3 → 2.5+4.0
     assert out["spend_3d"].tolist() == [1.00, 3.50, 6.50, 7.25]
+
+
+def test_media_features_auto_decoder(monkeypatch):
+    """use_stub="auto" resolves a REAL decode kernel when an imaging lib
+    is importable and falls back to the deterministic stub when none is
+    (verdict r4 item #8) — resolution happens in the stage constructor,
+    once per actor."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ton_etl_ray.ops.multimodal import (FEATURE_DIM, MediaFeatureStage,
+                                            real_decoder, synth_media_table)
+
+    # this container has no imaging libs: auto must be the stub
+    name, fn = real_decoder()
+    assert (name, fn) == (None, None)
+    st = MediaFeatureStage(use_stub="auto")
+    assert st.use_stub is True
+
+    # fake Pillow: Image.open(...).convert("RGB") → a 2x2x3 array
+    class _Img:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((2, 2, 3), 7, dtype=np.uint8)
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=lambda buf: _Img())
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    name, fn = real_decoder()
+    assert name == "pillow"
+    st2 = MediaFeatureStage(use_stub="auto")
+    assert st2.use_stub is False
+    out = st2(synth_media_table(num_rows=3))
+    assert out.num_rows == 3
+    # mean of a constant-7 image, resized to FEATURE_DIM
+    feats = np.asarray(out["feature"].to_pylist())
+    assert feats.shape == (3, FEATURE_DIM)
+    assert np.allclose(feats, 7.0)

@@ -93,9 +93,43 @@ def decode_image(payload: bytes) -> np.ndarray:
     Callers wanting a real kernel inject one via
     ``media_features(..., use_stub=False, decoder=my_decode)`` — the
     injected callable receives the payload bytes and returns an HxWxC
-    ndarray; the stage wiring is identical either way.
+    ndarray; the stage wiring is identical either way. Or pass
+    ``use_stub="auto"`` to optional-import one (``real_decoder``).
     """
     raise NotImplementedError("image decode requires an imaging library not present here")
+
+
+def real_decoder():
+    """Optional-import a real image decode kernel: Pillow first, then
+    OpenCV. Returns ``(name, payload→HxWxC-ndarray)`` or ``(None,
+    None)`` when neither library is installed — callers (the ``"auto"``
+    route) fall back to the deterministic stub, so CI stays green in
+    containers without imaging libs while a real deployment gets real
+    decode with zero configuration."""
+    try:
+        import io
+
+        from PIL import Image
+
+        def pil_decode(payload: bytes) -> np.ndarray:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+        return "pillow", pil_decode
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        def cv2_decode(payload: bytes) -> np.ndarray:
+            arr = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+            if arr is None:
+                raise ValueError("cv2 could not decode payload")
+            return arr[:, :, ::-1]  # BGR → RGB
+
+        return "cv2", cv2_decode
+    except ImportError:
+        pass
+    return None, None
 
 
 class MediaFeatureStage:
@@ -106,11 +140,20 @@ class MediaFeatureStage:
     the distributed plumbing is testable without decode libs. Batches
     must stay small for large binary rows (see ``media_features``)."""
 
-    def __init__(self, use_stub: bool = True, decoder=None):
+    def __init__(self, use_stub: bool | str = True, decoder=None):
         # a real deployment injects ``decoder`` (e.g. PIL/turbojpeg
-        # wrapped) — loaded HERE, once per actor, never per batch
-        self.use_stub = use_stub
-        self.decoder = decoder if decoder is not None else decode_image
+        # wrapped) — loaded HERE, once per actor, never per batch.
+        # use_stub="auto": optional-import a real kernel (Pillow/cv2)
+        # per actor, stub when no lib exists — the zero-config route;
+        # the oracled queries pin use_stub=True so their sha-derived
+        # features stay deterministic in ANY container.
+        if use_stub == "auto":
+            _name, found = real_decoder()
+            self.use_stub = found is None
+            self.decoder = found if found is not None else decode_image
+        else:
+            self.use_stub = use_stub
+            self.decoder = decoder if decoder is not None else decode_image
 
     def _features(self, payload: bytes) -> np.ndarray:
         if not self.use_stub:
@@ -209,13 +252,16 @@ def media_frame_sample(media: "rd.Dataset | pa.Table", *, every: int = 10, batch
 
 
 def media_features(media: "rd.Dataset | pa.Table", *, batch_size: int = 64,
-                   concurrency: int = 2, use_stub: bool = True, decoder=None):
+                   concurrency: int = 2, use_stub: bool | str = True, decoder=None):
     """Feature-extraction pipeline over a media table.
 
     batch_size is deliberately small: batch bytes ≈ batch_size × payload
     size must fit the worker heap alongside ``concurrency`` actors.
     ``use_stub=False`` + ``decoder=<callable>`` routes every payload
-    through the injected decode kernel (constructed once per actor)."""
+    through the injected decode kernel (constructed once per actor);
+    ``use_stub="auto"`` optional-imports a real kernel (Pillow, then
+    cv2) in each actor and falls back to the stub when neither lib is
+    installed."""
     ensure_portable()
     ds = rd.from_arrow(media) if isinstance(media, pa.Table) else media
     return ds.map_batches(
