@@ -98,6 +98,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def metadata_refresh_q(sf: str):
+        import tempfile
+
+        import ray.data as _rd
+
+        from ton_etl_ray.ops.enrich import metadata_refresh_feed
+        from ton_etl_ray.pipelines import ensure_epoch_diff_lake
+
+        lake = ensure_epoch_diff_lake(sf)
+        feed = tempfile.mkdtemp(prefix="tonray_refresh_", dir="/tmp")
+        metadata_refresh_feed(
+            lake, feed,
+            lambda: (lambda k: {"src": k, "upper": k.upper()}),
+            key_col="source", meta_col="metadata",
+        )
+        ds = _rd.read_parquet(feed)
+        return ds.map_batches(
+            lambda t: t.select(["doc_id", "op", "lsn", "source", "metadata"]),
+            batch_format="pyarrow",
+        )
+
     def _incremental_histogram_q(sf: str):
         import pyarrow.parquet as _pq
 
@@ -179,6 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # max_lsn+1; the whole feed is SQL-derivable from the
         # deterministic flagship split
         "changefeed_export": changefeed_q,
+        # P30 delta-compare loop: re-fetch metadata per distinct source
+        # through the actor-pool stage, canonical-JSON compare against
+        # the stored column (absent here → every live row changes), and
+        # export the delta as a changefeed — deterministic fetcher makes
+        # the full feed SQL-derivable
+        "metadata_refresh": metadata_refresh_q,
         # --- relational / reference operator families (SURVEY §2) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "filtered_revenue": R.filtered_revenue,
@@ -514,6 +541,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT did, 'd', CAST(3 * n + ndead AS BIGINT),
                    CAST(NULL AS INT), CAST(NULL AS VARCHAR)
             FROM d CROSS JOIN c WHERE rn % 10 = 0
+        """,
+        "metadata_refresh": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            c AS (SELECT count(*) AS n, (count(*) + 9) // 10 AS ndead
+                  FROM documents)
+            SELECT did AS doc_id, 'u' AS op,
+                   CAST(3 * n + ndead AS BIGINT) AS lsn,
+                   source,
+                   '{"src":"' || source || '","upper":"' || upper(source) || '"}' AS metadata
+            FROM d CROSS JOIN c WHERE rn % 10 <> 0
         """,
         "incremental_budget": """
             WITH d AS (

@@ -243,6 +243,8 @@ def run_bench() -> dict:
         "swap_volume_priced", "dedust_swaps",
         "emu_pool_states", "emu_core_prices",
         "dedust_swaps_verified", "coffee_swaps",
+        # the P30 delta-compare loop (fetch → canonical diff → feed)
+        "metadata_refresh",
     ]
     # Setup/compute split (VERDICT r3 Wrong #5): queries whose pipeline
     # needs a lake or change log build it UNTIMED here (cached, shared),
