@@ -71,10 +71,11 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     _fsync_dir(os.path.dirname(path))
 
 
-def atomic_write_table(path: str, table: pa.Table) -> int:
+def atomic_write_table(path: str, table: pa.Table, *,
+                       row_group_size: int | None = None) -> int:
     """Write a parquet file atomically; returns file size in bytes."""
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=row_group_size)
     with open(tmp, "rb+") as f:
         os.fsync(f.fileno())
     os.replace(tmp, path)
@@ -96,7 +97,8 @@ def _sha256_file(path: str) -> str:
 
 
 def write_partition(
-    lake_dir: str, epoch: int, fname: str, table: pa.Table, lineage: dict
+    lake_dir: str, epoch: int, fname: str, table: pa.Table, lineage: dict,
+    *, row_group_size: int | None = None
 ) -> dict:
     """Phase-1 commit of one partition: data file then manifest.
 
@@ -106,7 +108,7 @@ def write_partition(
     d = epoch_dir(lake_dir, epoch)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, fname)
-    size = atomic_write_table(path, table)
+    size = atomic_write_table(path, table, row_group_size=row_group_size)
     manifest = {
         "file": fname,
         "rows": table.num_rows,
