@@ -254,6 +254,11 @@ def test_auto_coalesce_routing():
     assert route(128, nodes_alive=1, cpus=32) == 64   # the 80M regime
     assert route(128, nodes_alive=1, cpus=8) == 64    # floor holds
     assert route(300, nodes_alive=1, cpus=64) == 128  # 2x cpus on big hosts
+    # byte-dominated regime (the 10^9-event log): coalescing to 64 would
+    # make ~1 GB blocks — the exchange is bandwidth-bound there, leave
+    # the block layout alone (replay_late is the documented tool)
+    assert route(128, 5 << 30, nodes_alive=1, cpus=32) == 64   # 80M ≈ 5 GB ok
+    assert route(1000, 64 << 30, nodes_alive=1, cpus=32) is None  # 1B ≈ 64 GB
 
 
 def test_auto_coalesce_zero_disables(tmp_path, ray_session):

@@ -277,9 +277,11 @@ def _manifest_row(part: int, kind: str, m: dict) -> pa.Table:
 
 def _auto_coalesce_target(
     read_blocks: int,
+    total_bytes: int = 0,
     *,
     threshold: int = 96,
     floor: int = 64,
+    max_block_bytes: int = 256 << 20,
     nodes_alive: int | None = None,
     cpus: int | None = None,
 ) -> int | None:
@@ -300,7 +302,12 @@ def _auto_coalesce_target(
       8 cpus: both legs stay untouched, preserving the sweep);
     - single node, read_blocks ≥ ``threshold`` → coalesce to
       ``max(floor, 2×cpus)`` — the measured sweet spot (64) with
-      headroom on bigger hosts.
+      headroom on bigger hosts — UNLESS the coalesced blocks would be
+      huge (``total_bytes/target > max_block_bytes``, input bytes as
+      the upper bound on the post-compaction stream): that is the
+      10^9-event regime where the job is object-store/disk-bandwidth
+      bound, the exchange is byte- not block-dominated, and the right
+      tool is ``replay_late`` (r4 profiling), not giant blocks.
 
     ``nodes_alive``/``cpus`` are injectable for tests."""
     import ray as _ray
@@ -314,7 +321,10 @@ def _auto_coalesce_target(
             cpus = int(_ray.cluster_resources().get("CPU", 8))
     if nodes_alive != 1 or read_blocks < threshold:
         return None
-    return max(floor, 2 * cpus)
+    target = max(floor, 2 * cpus)
+    if total_bytes and total_bytes // target > max_block_bytes:
+        return None
+    return target
 
 
 def replay(
@@ -446,11 +456,11 @@ def _replay_locked(
     # the sort shuffle quadratic in tiny objects (B_map × B_reduce). Use
     # ~2 blocks per core, floored by a ~64 MiB on-disk target so blocks
     # stay bounded at scale (measured: 4.7x faster at sf0.1/32 cpus).
+    total_bytes = sum(os.path.getsize(f) for f in files)
     if override_num_blocks is None:
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        total_bytes = sum(os.path.getsize(f) for f in files)
         override_num_blocks = max(2 * cpus, total_bytes // (64 << 20), 1)
 
     groups = []
@@ -470,7 +480,7 @@ def _replay_locked(
     for g in groups[1:]:
         ds = ds.union(g)
     if coalesce_shuffle_blocks is None:
-        coalesce_shuffle_blocks = _auto_coalesce_target(total_read_blocks)
+        coalesce_shuffle_blocks = _auto_coalesce_target(total_read_blocks, total_bytes)
     if coalesce_shuffle_blocks and coalesce_shuffle_blocks > 0:
         ds = ds.repartition(coalesce_shuffle_blocks)
 
