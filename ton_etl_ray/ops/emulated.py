@@ -912,10 +912,46 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
                          for f, c in zip(_COFFEE_REQ_SCHEMA, cols)},
                         schema=_COFFEE_REQ_SCHEMA)
 
-    events = msgs.map_batches(decode_events, batch_format="pyarrow",
-                              batch_size=batch_size)
-    parents = msgs.map_batches(decode_parents, batch_format="pyarrow",
-                               batch_size=batch_size)
+    # ONE decode pass over the message table emitting both sides tagged
+    # (side 0 = ext-out events, side 1 = in-router parents), materialized
+    # once: the old two-branch plan read + claimed the 272k-row table
+    # TWICE and join_auto's size probe serialized the whole parent pass
+    # before the event pass could start (profiled r5: ~5 s of the 8.9 s
+    # query was that second read + barrier). The decoded stream is
+    # swap-dimensional (far narrower than the message table) and
+    # object-store-spillable, so the materialize is bounded at scale.
+    _union_fields = list(_COFFEE_EV_SCHEMA) + [
+        f for f in _COFFEE_REQ_SCHEMA if f.name != "parent_hash"]
+    _union_schema = pa.schema(_union_fields + [pa.field("side", pa.int8())])
+
+    def _tagged(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in _union_schema:
+            if f.name == "side":
+                cols["side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+            elif f.name in t.column_names:
+                cols[f.name] = t[f.name]
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols, schema=_union_schema)
+
+    def decode_both(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [_tagged(decode_events(t), 0), _tagged(decode_parents(t), 1)])
+
+    decoded = msgs.map_batches(decode_both, batch_format="pyarrow",
+                               batch_size=batch_size).materialize()
+    ev_names = _COFFEE_EV_SCHEMA.names
+    req_names = _COFFEE_REQ_SCHEMA.names
+    events = decoded.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], pa.scalar(0, pa.int8())))
+                   .select(ev_names),
+        batch_format="pyarrow")
+    parents = decoded.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], pa.scalar(1, pa.int8())))
+                   .select(req_names),
+        batch_format="pyarrow")
     joined = join_auto(events, parents, on="parent_hash")
 
     cof_h, _ = _code_entry(coffee_pool_code())
