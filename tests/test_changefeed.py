@@ -348,3 +348,33 @@ def test_empty_changefeed_is_replayable(primary, tmp_path):
     res = replay(feed, replica)                 # must not raise
     assert res.published and res.counters["rows_in"] == 0
     assert _state_map(replica) == _state_map(primary, 1)
+
+
+def test_truncated_head_refuses_empty_replica_seed(primary3, tmp_path):
+    """A chain whose HEAD snapshot was GC'd leaves a contiguous tail of
+    changefeed diffs — seeding an EMPTY replica from it would silently
+    drop every unchanged key, so both consumption paths fail loudly. A
+    replica that already holds the base state may resume at a
+    changefeed (apply_feeds re-applies idempotently)."""
+    from ton_etl_ray.cdc.changefeed import FeedFollower, apply_feeds
+
+    lake, feeds = primary3
+    trunc = str(tmp_path / "trunc")
+    os.makedirs(trunc)
+    for e in (1, 2):
+        os.symlink(os.path.join(feeds, f"epoch-{e:06d}"),
+                   os.path.join(trunc, f"epoch-{e:06d}"))
+
+    with pytest.raises(ValueError, match="not a snapshot"):
+        apply_feeds(trunc, str(tmp_path / "r_empty"))
+    f = FeedFollower(trunc, str(tmp_path / "r_follow"), num_partitions=8)
+    with pytest.raises(ValueError, match="not a snapshot"):
+        f.step()
+
+    # non-empty replica: seed from the full chain, then the truncated
+    # tail is a legitimate (idempotent) resume point
+    replica = str(tmp_path / "r_resume")
+    apply_feeds(feeds, replica, num_partitions=8)
+    applied = apply_feeds(trunc, replica)
+    assert applied == [1, 2]
+    assert _state_map(replica) == _state_map(lake)

@@ -120,7 +120,12 @@ def apply_feeds(feed_root: str, replica_dir: str, **replay_kw) -> list[int]:
 
     Verifies the chain is contiguous from each feed's ``_feed.json``
     stamp (a gap means a GC'd epoch whose diff is unreplayable — fail
-    loudly rather than silently skipping changes). Extra ``replay_kw``
+    loudly rather than silently skipping changes), and that a feed
+    seeding an EMPTY replica is a *snapshot* feed: a GC'd chain HEAD
+    leaves a contiguous tail of changefeed diffs, and seeding from a
+    diff would silently build a replica missing every unchanged key.
+    A non-empty replica may legitimately resume at a changefeed (its
+    earlier epochs already hold the base state). Extra ``replay_kw``
     (e.g. ``num_partitions``) apply to the FIRST feed only; later
     epochs adopt the replica's layout, matching ``replay``'s own
     contract. Returns the list of applied epochs."""
@@ -135,6 +140,20 @@ def apply_feeds(feed_root: str, replica_dir: str, **replay_kw) -> list[int]:
     )
     if not dirs:
         raise ValueError(f"apply_feeds: no epoch-* feed dirs under {feed_root!r}")
+    head_meta = read_feed_meta(dirs[0])
+    head_epoch = int(os.path.basename(dirs[0]).split("-")[1])
+    if (sink.latest_epoch(replica_dir) is None
+            and head_meta is not None and head_meta.get("kind") != "snapshot"
+            # a stamp/dirname mismatch gets the loop's more precise
+            # "renamed or mixed" diagnosis instead
+            and head_meta.get("epoch_b") == head_epoch):
+        raise ValueError(
+            f"apply_feeds: first available feed {dirs[0]!r} is a "
+            f"{head_meta.get('kind')!r}, not a snapshot — the chain head "
+            "was garbage-collected; an empty replica seeded from a diff "
+            "would miss every unchanged key. Re-seed from a snapshot "
+            "inside the keep window"
+        )
     applied: list[int] = []
     prev: int | None = None
     for i, d in enumerate(dirs):
@@ -351,11 +370,24 @@ class FeedFollower:
 
     def next_feed_epoch(self) -> int | None:
         """The feed epoch the replica needs next (None until the chain
-        has published anything and F0 is known)."""
+        has published anything and F0 is known). F0 must be a SNAPSHOT
+        feed: if the primary GC'd the chain head before this follower
+        first looked, the earliest remaining dir is a changefeed diff,
+        and seeding the empty replica from it would silently drop every
+        unchanged key — fail loudly instead."""
         if self.first_feed is None:
             avail = self._available()
             if not avail:
                 return None
+            head = os.path.join(self.feed_root, f"epoch-{avail[0]:06d}")
+            meta = read_feed_meta(head)
+            if meta is not None and meta.get("kind") != "snapshot":
+                raise ValueError(
+                    f"FeedFollower: first available feed {head!r} is a "
+                    f"{meta.get('kind')!r}, not a snapshot — the chain "
+                    "head was garbage-collected; point the follower at a "
+                    "chain whose head snapshot is inside the keep window"
+                )
             self._stamp(avail[0])
         latest = sink.latest_epoch(self.replica_dir)
         return self.first_feed + (latest + 1 if latest is not None else 0)
