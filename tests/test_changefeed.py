@@ -156,7 +156,8 @@ def test_apply_feeds_chain(primary, tmp_path):
     meta0 = read_feed_meta(os.path.join(root, "epoch-000000"))
     meta1 = read_feed_meta(os.path.join(root, "epoch-000001"))
     assert meta0 == {"kind": "snapshot", "epoch_a": None, "epoch_b": 0,
-                     "delete_lsn": None}
+                     "delete_lsn": None,
+                     "max_lsn": read_commit(primary, 0)["max_lsn"]}
     assert meta1["kind"] == "changefeed" and meta1["epoch_b"] == 1
     assert meta1["delete_lsn"] == read_commit(primary, 1)["max_lsn"] + 1
 
@@ -378,3 +379,53 @@ def test_truncated_head_refuses_empty_replica_seed(primary3, tmp_path):
     applied = apply_feeds(trunc, replica)
     assert applied == [1, 2]
     assert _state_map(replica) == _state_map(lake)
+
+
+def test_prune_feeds_reseeds_head_snapshot(primary3, tmp_path):
+    """prune_feeds keeps the newest N feeds with the new head rewritten
+    as a snapshot: a FRESH replica seeds from the pruned chain to the
+    primary's final state; a replica BEHIND the new head is refused by
+    the watermark guard (the pruned window's deletes are gone); a
+    replica at-or-ahead re-applies idempotently."""
+    import shutil as _sh
+
+    from ton_etl_ray.cdc.changefeed import (
+        FeedFollower, apply_feeds, prune_feeds, read_feed_meta)
+    from ton_etl_ray.cdc.sink import read_commit
+
+    lake, feeds = primary3
+    root = str(tmp_path / "chain")
+    _sh.copytree(feeds, root)
+
+    # a replica left BEHIND the future head (applied feed 0 only)
+    behind = str(tmp_path / "behind")
+    f_behind = FeedFollower(root, behind, num_partitions=8)
+    assert f_behind.step() == 0
+
+    # keep_feeds >= chain length: no-op
+    assert prune_feeds(lake, root, keep_feeds=5) == [0, 1, 2]
+
+    kept = prune_feeds(lake, root, keep_feeds=2)
+    assert kept == [1, 2]
+    assert not os.path.exists(os.path.join(root, "epoch-000000"))
+    head_meta = read_feed_meta(os.path.join(root, "epoch-000001"))
+    assert head_meta["kind"] == "snapshot" and head_meta["epoch_b"] == 1
+    assert head_meta["max_lsn"] == read_commit(lake, 1)["max_lsn"]
+
+    # fresh replica seeds from the pruned chain to the primary's state
+    fresh = str(tmp_path / "fresh")
+    assert apply_feeds(root, fresh, num_partitions=8) == [1, 2]
+    assert _state_map(fresh) == _state_map(lake)
+
+    # the behind replica (state 0) needs feed 1 = the new head snapshot:
+    # watermark guard refuses (deletes in 0->1 are unreplayable)
+    with pytest.raises(ValueError, match="AHEAD of the replica"):
+        FeedFollower(root, behind, num_partitions=8).step()
+
+    # an at-head replica re-applies the snapshot idempotently: seed a
+    # replica through feed 1 BEFORE pruning again, then re-apply
+    assert prune_feeds(lake, root, keep_feeds=2) == [1, 2]  # idempotent
+    again = str(tmp_path / "again")
+    apply_feeds(root, again, num_partitions=8)
+    assert apply_feeds(root, again) == [1, 2]  # full re-apply, no raise
+    assert _state_map(again) == _state_map(lake)

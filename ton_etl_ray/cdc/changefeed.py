@@ -170,10 +170,88 @@ def apply_feeds(feed_root: str, replica_dir: str, **replay_kw) -> list[int]:
                 "missing epoch's diff is unreplayable — re-seed from a "
                 "snapshot inside the GC keep window"
             )
+        _refuse_behind_snapshot(replica_dir, d, meta)
         replay(d, replica_dir, **(replay_kw if i == 0 else {}))
         applied.append(e)
         prev = e
     return applied
+
+
+def _refuse_behind_snapshot(replica_dir: str, feed_dir: str, meta: dict | None) -> None:
+    """Applying a SNAPSHOT feed to a NON-EMPTY replica silently loses
+    the deletes between the replica's state and the snapshot epoch (a
+    snapshot carries live rows only — nothing tombstones a key the
+    replica has live but the primary deleted), unless the replica is
+    already at-or-ahead of the snapshot, where the re-apply is an
+    idempotent LWW no-op (the crash-and-rerun path). The snapshot's
+    stamped ``max_lsn`` against the replica's committed watermark
+    decides; pre-watermark feeds (no stamp) are let through unchecked."""
+    if meta is None or meta.get("kind") != "snapshot":
+        return
+    snap_lsn = meta.get("max_lsn")
+    latest = sink.latest_epoch(replica_dir)
+    if latest is None or snap_lsn is None:
+        return
+    have = int(sink.read_commit(replica_dir, latest)["max_lsn"])
+    if have < int(snap_lsn):
+        raise ValueError(
+            f"snapshot feed {feed_dir!r} (max_lsn {int(snap_lsn)}) is AHEAD "
+            f"of the replica's watermark ({have}) — the chain was pruned "
+            "past this replica's position and the intervening deletes are "
+            "gone; re-seed into a fresh replica from the pruned head"
+        )
+
+
+def prune_feeds(lake_dir: str, feed_root: str, *, keep_feeds: int) -> list[int]:
+    """Retention for a published feed chain: keep the newest
+    ``keep_feeds`` feed epochs and delete the rest — re-seeding the new
+    HEAD as a *snapshot* of its epoch first (from the primary lake), so
+    the pruned chain still seeds a fresh replica (snapshot(e) +
+    changefeeds e+1.. ≡ primary state, the ``apply_feeds`` contract)
+    and the empty-replica snapshot-head guard stays satisfiable.
+
+    Followers already past the new head are untouched (they only look
+    forward); a follower still BEHIND it fails loudly — the missing-dir
+    gap error below the head, or the ``_refuse_behind_snapshot``
+    watermark guard at it — and must re-seed. Requires the head epoch's
+    lake files to still exist (``emit_snapshot`` raises ``ValueError``
+    otherwise and nothing is deleted). Single-writer maintenance op,
+    same class as ``compact_lake``; the head swap is two renames, so a
+    crash between them leaves the head missing — recoverable by
+    re-running the prune (consumers see the loud gap error meanwhile).
+    Returns the kept feed epochs."""
+    import glob as _glob
+    import re as _re
+    import shutil
+
+    if keep_feeds < 1:
+        raise ValueError("prune_feeds: keep_feeds must be >= 1")
+    dirs = sorted(
+        d for d in _glob.glob(os.path.join(feed_root, "epoch-*"))
+        if os.path.isdir(d) and _re.fullmatch(r"epoch-\d+", os.path.basename(d))
+    )
+    kept = [int(os.path.basename(d).split("-")[1]) for d in dirs]
+    if len(dirs) <= keep_feeds:
+        return kept
+    drop, keep = dirs[:-keep_feeds], dirs[-keep_feeds:]
+    head = keep[0]
+    head_epoch = int(os.path.basename(head).split("-")[1])
+    meta = read_feed_meta(head)
+    if meta is None or meta.get("kind") != "snapshot":
+        # build the replacement snapshot FIRST — if the lake can't
+        # serve epoch `head_epoch` any more this raises and the chain
+        # is left fully intact
+        new = head + ".new"
+        shutil.rmtree(new, ignore_errors=True)
+        emit_snapshot(lake_dir, new, epoch=head_epoch)
+        trash = head + ".trash"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(head, trash)
+        os.rename(new, head)
+        shutil.rmtree(trash)
+    for d in drop:
+        shutil.rmtree(d)
+    return [int(os.path.basename(d).split("-")[1]) for d in keep]
 
 
 def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> str:
@@ -184,8 +262,13 @@ def emit_snapshot(lake_dir: str, out_dir: str, *, epoch: int | None = None) -> s
     os.makedirs(out_dir, exist_ok=True)
     _fresh_out_dir(out_dir)
     e = sink.latest_epoch(lake_dir) if epoch is None else epoch
+    # max_lsn: the source epoch's watermark — consumers use it to tell
+    # an idempotent re-apply (replica watermark >= it) from a replica
+    # that is BEHIND this snapshot (< it), which would lose the deletes
+    # between its state and the snapshot epoch (prune_feeds guard)
     _write_feed_meta(out_dir, {"kind": "snapshot", "epoch_a": None,
-                               "epoch_b": e, "delete_lsn": None})
+                               "epoch_b": e, "delete_lsn": None,
+                               "max_lsn": int(sink.read_commit(lake_dir, e)["max_lsn"])})
     if ds is None:
         # fully-tombstoned epoch: seed with ONE empty shard in the change
         # schema so replay() of the feed is a valid no-op epoch instead
@@ -427,6 +510,7 @@ class FeedFollower:
                 f"FeedFollower: feed dir {d!r} is stamped for epoch "
                 f"{meta.get('epoch_b')} — directory was renamed or mixed"
             )
+        _refuse_behind_snapshot(self.replica_dir, d, meta)
         # first replica epoch takes the configured layout; later epochs
         # adopt the replica's own (replay pins num_partitions to the
         # epoch-0 commit), same contract as apply_feeds
