@@ -659,3 +659,59 @@ def test_continuous_feed_publication(tmp_path, ray_session):
         assert after == before
     finally:
         w2.close()
+
+
+def test_watcher_feed_retention(tmp_path, ray_session):
+    """feed_keep=N: the watcher prunes its published chain after each
+    flush — only the newest N feeds remain, the head is a snapshot, and
+    a fresh replica seeded from the PRUNED chain still reproduces the
+    watcher lake exactly."""
+    from ton_etl_ray.cdc.changefeed import apply_feeds, read_feed_meta
+    from ton_etl_ray.cdc.replay import final_state_table
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=8000, num_keys=500, seed=67,
+                     num_shards=8, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    watch, lake, feed = (str(tmp_path / d) for d in ("incoming", "lake", "feed"))
+    os.makedirs(watch)
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=2,
+                         max_batch_shards=2, idle_flush_sec=5.0,
+                         stable_polls=0, feed_dir=feed, feed_keep=2,
+                         time_fn=clock)
+    try:
+        for f in files:
+            shutil.copy(f, watch)
+            w.step()
+            clock.t += 1.0
+        clock.t += 10.0
+        w.step()  # idle drain
+        assert len(w.epochs) >= 3  # retention actually had to prune
+    finally:
+        w.close()
+
+    feed_dirs = sorted(glob.glob(os.path.join(feed, "epoch-*")))
+    assert len(feed_dirs) == 2
+    epochs = [int(os.path.basename(d).split("-")[1]) for d in feed_dirs]
+    assert epochs == [len(w.epochs) - 2, len(w.epochs) - 1]
+    head_meta = read_feed_meta(feed_dirs[0])
+    assert head_meta["kind"] == "snapshot" and head_meta["epoch_b"] == epochs[0]
+
+    replica = str(tmp_path / "replica")
+    assert apply_feeds(feed, replica, num_partitions=8) == epochs
+    want = final_state_table(lake).to_pandas()
+    got = final_state_table(replica).to_pandas()
+    wm = {r.doc_id: (list(r.tokens), r.n_tok) for r in want.itertuples()}
+    gm = {r.doc_id: (list(r.tokens), r.n_tok) for r in got.itertuples()}
+    assert gm == wm
+
+    # restart: catch_up_feeds must NOT resurrect pruned feeds, and the
+    # chain stays pruned + snapshot-headed
+    w2 = DirectoryWatcher(watch, lake, num_partitions=8, num_actors=1,
+                          feed_dir=feed, feed_keep=2, time_fn=clock)
+    w2.close()
+    after = sorted(glob.glob(os.path.join(feed, "epoch-*")))
+    assert [os.path.basename(d) for d in after] == [
+        os.path.basename(d) for d in feed_dirs]
+    assert read_feed_meta(after[0])["kind"] == "snapshot"

@@ -82,6 +82,7 @@ class DirectoryWatcher:
         derive=None,
         derive_source: str = "changes",
         feed_dir: str | None = None,
+        feed_keep: int | None = None,
         metrics_window_sec: float = 60.0,
         time_fn: Callable[[], float] = time.monotonic,
     ):
@@ -94,7 +95,15 @@ class DirectoryWatcher:
         # (build dir + rename). The feed is DERIVABLE state: a missed
         # publication (crash between commit and export) is regenerated
         # identically by catch_up_feeds(), called here on start.
+        # feed_keep=N applies feed retention after each publication
+        # (prune_feeds: newest N feeds kept, the new head re-seeded as
+        # a snapshot). Runs BEFORE lake GC in the same flush, so the
+        # head epoch's pre-image files always still exist; keep it
+        # >= gc_keep_epochs if you also prune manually out of band.
         self.feed_dir = feed_dir
+        self.feed_keep = feed_keep
+        if feed_keep is not None and feed_keep < 1:
+            raise ValueError("feed_keep must be >= 1")
         self.max_batch = max_batch_shards
         self.idle_flush = idle_flush_sec
         self.pattern = pattern
@@ -243,13 +252,32 @@ class DirectoryWatcher:
         pointed at an existing lake backfills the full feed history.
         Epochs whose pre-image files were garbage-collected are skipped
         (their diff is no longer derivable; GC'd history is by contract
-        outside the replayable window)."""
+        outside the replayable window).
+
+        Retention-aware (``feed_keep``): epochs below the chain's
+        current earliest feed are never backfilled — they were PRUNED,
+        not lost — and the retention pass reruns after catch-up so a
+        restart leaves the same pruned, snapshot-headed chain a clean
+        shutdown would have."""
+        import glob as _glob
+        import re as _re
+
         published = []
         os.makedirs(self.feed_dir, exist_ok=True)
         latest = sink.latest_epoch(self.lake_dir)
         if latest is None:
             return published
-        for e in range(latest + 1):
+        start = 0
+        if self.feed_keep is not None:
+            existing = [
+                int(m.group(1))
+                for d in _glob.glob(os.path.join(self.feed_dir, "epoch-*"))
+                if (m := _re.fullmatch(r"epoch-(\d+)", os.path.basename(d)))
+                and os.path.isdir(d)
+            ]
+            if existing:
+                start = min(existing)
+        for e in range(start, latest + 1):
             if not sink.is_committed(self.lake_dir, e):
                 continue
             if os.path.isdir(os.path.join(self.feed_dir, f"epoch-{e:06d}")):
@@ -259,6 +287,10 @@ class DirectoryWatcher:
                 published.append(e)
             except ValueError:
                 continue  # pre-image collected by GC
+        if self.feed_keep is not None:
+            from .changefeed import prune_feeds
+
+            prune_feeds(self.lake_dir, self.feed_dir, keep_feeds=self.feed_keep)
         return published
 
     def _emit_metrics(self, res: dict, wall_sec: float) -> dict:
@@ -313,6 +345,11 @@ class DirectoryWatcher:
         self.epochs.append(res)
         if self.feed_dir is not None:
             self._publish_feed(res["epoch"])
+            if self.feed_keep is not None:
+                from .changefeed import prune_feeds
+
+                prune_feeds(self.lake_dir, self.feed_dir,
+                            keep_feeds=self.feed_keep)
         self._emit_metrics(res, self.now() - t0)
         if self.gc_every and len(self.epochs) % self.gc_every == 0:
             sink.gc_epochs(self.lake_dir, keep_epochs=self.gc_keep)
