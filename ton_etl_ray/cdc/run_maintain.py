@@ -7,12 +7,14 @@ Usage::
     python -m ton_etl_ray.cdc.run_maintain --lake DIR \
         [--compact] [--partitions P] [--gc-keep K] [--verify] \
         [--stats] [--diff A [B]] [--snapshot OUT] [--changefeed OUT] \
-        [--num-cpus N]
+        [--prune-feeds N --feed-root DIR] [--num-cpus N]
 
-Actions run in the order: diff → compact → gc → verify → stats —
-the diff first (it reads the PRE-maintenance epochs, which compaction
-renumbers past and GC may collect), then compact, then collect the
-history compaction freed, then prove the result. Prints one JSON line
+Actions run in the order: diff → compact → prune-feeds → gc → verify
+→ stats — the diff first (it reads the PRE-maintenance epochs, which
+compaction renumbers past and GC may collect), then compact, then
+feed retention BEFORE lake GC (the new feed head's pre-image epoch
+must still exist for its snapshot rewrite), then collect the history
+compaction freed, then prove the result. Prints one JSON line
 per action. This is the only place
 besides run_replay/bench/tests that owns a Ray session.
 """
@@ -45,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--changefeed", default=None, metavar="OUT_DIR",
                     help="export the --diff A [B] epoch diff as a replayable "
                          "change log (requires --diff)")
+    ap.add_argument("--prune-feeds", type=int, default=0, metavar="N",
+                    help=">0: keep the newest N feeds under --feed-root, "
+                         "re-seeding the new head as a snapshot")
+    ap.add_argument("--feed-root", default=None, metavar="DIR",
+                    help="published feed chain directory for --prune-feeds")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
@@ -54,9 +61,12 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--diff takes at most two epochs (FROM [TO])")
     if args.changefeed is not None and args.diff is None:
         ap.error("--changefeed requires --diff A [B] for the epoch range")
+    if (args.prune_feeds > 0) != (args.feed_root is not None):
+        ap.error("--prune-feeds N and --feed-root DIR go together")
 
     needs_ray = (args.compact or args.diff is not None
-                 or args.snapshot is not None or args.changefeed is not None)
+                 or args.snapshot is not None or args.changefeed is not None
+                 or args.prune_feeds > 0)
     if needs_ray:
         # gc/verify/stats are pure commit-manifest filesystem code — no
         # Ray session for metadata-only invocations
@@ -110,6 +120,19 @@ def main(argv: list[str] | None = None) -> int:
             "action": "compact", "epoch": commit["epoch"],
             "rows_total": commit["rows_total"],
             "num_partitions": commit["num_partitions"],
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+    if args.prune_feeds > 0:
+        # before lake GC, same order as the watcher: the new head's
+        # pre-image epoch must still exist for the snapshot rewrite
+        from .changefeed import prune_feeds
+
+        t0 = time.perf_counter()
+        kept = prune_feeds(args.lake, args.feed_root,
+                           keep_feeds=args.prune_feeds)
+        print(json.dumps({
+            "action": "prune_feeds", "feed_root": args.feed_root,
+            "kept_epochs": kept,
             "sec": round(time.perf_counter() - t0, 3),
         }))
     if args.gc_keep > 0:
