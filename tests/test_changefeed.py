@@ -429,3 +429,40 @@ def test_prune_feeds_reseeds_head_snapshot(primary3, tmp_path):
     apply_feeds(root, again, num_partitions=8)
     assert apply_feeds(root, again) == [1, 2]  # full re-apply, no raise
     assert _state_map(again) == _state_map(lake)
+
+
+def test_prune_feeds_crash_recovery(primary3, tmp_path):
+    """A crash between the head swap's two renames leaves
+    `epoch-N.trash` + `epoch-N.new` and no `epoch-N`; the next prune
+    invocation completes the swap instead of no-opping on the short
+    chain. An incomplete `.new` beside a LIVE head is discarded."""
+    import shutil as _sh
+
+    from ton_etl_ray.cdc.changefeed import (
+        apply_feeds, prune_feeds, read_feed_meta)
+
+    lake, feeds = primary3
+    root = str(tmp_path / "chain")
+    _sh.copytree(feeds, root)
+    prune_feeds(lake, root, keep_feeds=2)           # head = snapshot(1)
+    head = os.path.join(root, "epoch-000001")
+
+    # simulate the mid-swap crash: head moved aside, .new complete
+    os.rename(head, head + ".trash")
+    _sh.copytree(head + ".trash", head + ".new")
+    assert not os.path.isdir(head)
+    assert prune_feeds(lake, root, keep_feeds=2) == [1, 2]
+    assert os.path.isdir(head)
+    assert not os.path.isdir(head + ".new") and not os.path.isdir(head + ".trash")
+    assert read_feed_meta(head)["kind"] == "snapshot"
+    fresh = str(tmp_path / "fresh")
+    assert apply_feeds(root, fresh, num_partitions=8) == [1, 2]
+    assert _state_map(fresh) == _state_map(lake)
+
+    # incomplete build beside a LIVE head: discarded, head untouched
+    os.makedirs(head + ".new")
+    with open(os.path.join(head + ".new", "partial.parquet"), "w") as f:
+        f.write("junk")
+    assert prune_feeds(lake, root, keep_feeds=2) == [1, 2]
+    assert not os.path.isdir(head + ".new")
+    assert read_feed_meta(head)["kind"] == "snapshot"

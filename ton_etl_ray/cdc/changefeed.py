@@ -217,15 +217,30 @@ def prune_feeds(lake_dir: str, feed_root: str, *, keep_feeds: int) -> list[int]:
     lake files to still exist (``emit_snapshot`` raises ``ValueError``
     otherwise and nothing is deleted). Single-writer maintenance op,
     same class as ``compact_lake``; the head swap is two renames, so a
-    crash between them leaves the head missing — recoverable by
-    re-running the prune (consumers see the loud gap error meanwhile).
-    Returns the kept feed epochs."""
+    crash between them leaves the head missing — the recovery sweep
+    below completes or rolls back the swap on the next invocation
+    (consumers see the loud gap error meanwhile). Returns the kept
+    feed epochs."""
     import glob as _glob
     import re as _re
     import shutil
 
     if keep_feeds < 1:
         raise ValueError("prune_feeds: keep_feeds must be >= 1")
+    # crash recovery: a leftover `epoch-N.new` whose `epoch-N` is gone
+    # means the swap crashed BETWEEN its two renames — the .new build
+    # had fully completed (the old head is only trashed after
+    # emit_snapshot returns), so finish the swap. A .new alongside a
+    # live epoch-N is an incomplete build: discard it. Stale .trash
+    # dirs are always garbage.
+    for leftover in _glob.glob(os.path.join(feed_root, "epoch-*.new")):
+        target = leftover[: -len(".new")]
+        if os.path.isdir(target):
+            shutil.rmtree(leftover)
+        else:
+            os.rename(leftover, target)
+    for leftover in _glob.glob(os.path.join(feed_root, "epoch-*.trash")):
+        shutil.rmtree(leftover)
     dirs = sorted(
         d for d in _glob.glob(os.path.join(feed_root, "epoch-*"))
         if os.path.isdir(d) and _re.fullmatch(r"epoch-\d+", os.path.basename(d))
