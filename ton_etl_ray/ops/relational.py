@@ -89,7 +89,7 @@ def _evict_dims(cache: dict, budget_bytes: int = 128 << 20, keep: int = 7) -> No
 
 
 def _bucketed(ds: "rd.Dataset", key: str, per_bucket, out_schema: pa.Schema,
-              *, num_buckets: int = 256):
+              *, num_buckets: int = 256, coalesce_blocks: int | None = None):
     """Coarse-bucket grouped execution: ONE shuffle on hash(key) %
     num_buckets, then ``per_bucket`` runs once per bucket with ALL keys
     of that bucket in a single pandas frame — the per-key logic is
@@ -103,7 +103,17 @@ def _bucketed(ds: "rd.Dataset", key: str, per_bucket, out_schema: pa.Schema,
     proven in ``order_lifecycle.prev_order`` and
     ``minhash_lsh_pairs.shard_key``. Empty shuffle partitions pass
     through with the upstream block schema, so results are conformed to
-    ``out_schema`` right after the group stage."""
+    ``out_schema`` right after the group stage.
+
+    ``coalesce_blocks``: opt-in pre-exchange coalesce for callers whose
+    input stream is KNOWN small (dim-sized / already reduced) but
+    arrives in many tiny read-parallelism blocks — the single-raylet
+    sort exchange costs O(map_blocks × reducers) in tiny-object
+    transfers (the fk_orphans profiling), so folding to ~one block per
+    CPU first is a net win. NEVER set it for unbounded row streams:
+    ``total_bytes / coalesce_blocks`` becomes the block size."""
+    if coalesce_blocks:
+        ds = ds.repartition(coalesce_blocks)
 
     def bucket(t: pa.Table) -> pa.Table:
         b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int64)

@@ -685,8 +685,15 @@ def swap_volume_priced(sf_dir: str, *, num_buckets: int = 32):
             schema=_PRICED_SCHEMA,
         )
 
+    # the union is swap-dimensional (decoded swaps + a dim-sized price
+    # series, far narrower than the message table) but inherits the
+    # read's ~64+ tiny blocks — coalesce to ~one block per CPU before
+    # the bucket exchange (measured: 7.0 s → 5.9 s at sf0.1/32 cpus)
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     return _bucketed(u, "account", per_bucket, _PRICED_SCHEMA,
-                     num_buckets=num_buckets)
+                     num_buckets=num_buckets, coalesce_blocks=max(8, cpus))
 
 
 _MINT_SCHEMA = pa.schema(
