@@ -217,3 +217,137 @@ def test_ivm_property_random_logs(tmp_path, ray_session):
             lake, source_budget_at(lake, 0), 0, 1)
         want = source_budget_at(lake, 1)
         assert got.to_pydict() == want.to_pydict(), f"case {i} diverged"
+
+
+def test_delta_sources_agree(two_epoch_lake):
+    """The aligned (per-partition sorted-merge, shuffle-free) and diff
+    derivations produce identical maintained views; commits also carry
+    the min_lsn stream-ordering proof."""
+    from ton_etl_ray.ops.tokens import (
+        _lsn_ordered_span, incremental_source_budget, source_budget_at)
+
+    ordered, _ = _lsn_ordered_span(two_epoch_lake, 0, 1)
+    assert ordered  # commits carry the min_lsn proof
+    base = source_budget_at(two_epoch_lake, 0)
+    want = _as_map(source_budget_at(two_epoch_lake, 1))
+    for src in ("aligned", "diff", "auto"):
+        got = incremental_source_budget(two_epoch_lake, base, 0, 1,
+                                        delta_source=src)
+        assert _as_map(got) == want, src
+    # the diff derivation's semi-join variant
+    got = incremental_source_budget(two_epoch_lake, base, 0, 1,
+                                    delta_source="diff",
+                                    broadcast_threshold=0)
+    assert _as_map(got) == want
+
+
+@pytest.fixture(scope="module")
+def retouch_lake(tmp_path_factory, ray_session):
+    """Keys that cross the tombstone boundary between epochs: X dead at
+    epoch 0 and re-created in epoch 1 (its epoch-0 stored row is a
+    TOMBSTONE), W live at 0 and deleted in 1, V re-deleted in 1 while
+    already dead — the watermark derivation's −1 side must skip stored
+    tombstones exactly like the diff derivation does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ton_etl_ray.cdc.replay import replay
+
+    def log(rows):
+        lsn, op, doc, toks, src = zip(*rows)
+        n_tok = [len(t) if t is not None else None for t in toks]
+        return pa.table({
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "doc_id": pa.array(doc, pa.string()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(src, pa.string()),
+            "ts_ms": pa.array([1_700_000_000_000 + l for l in lsn], pa.int64()),
+        })
+
+    base = tmp_path_factory.mktemp("retouch")
+    e0, e1, lake = str(base / "e0"), str(base / "e1"), str(base / "lake")
+    os.makedirs(e0), os.makedirs(e1)
+    pq.write_table(log([
+        (1, "c", "X", [1, 2], "s1"),
+        (2, "d", "X", None, None),
+        (3, "c", "Y", [3, 3, 4], "s1"),
+        (4, "c", "W", [5], "s2"),
+        (5, "c", "V", [6, 6], "s2"),
+        (6, "d", "V", None, None),
+    ]), os.path.join(e0, "shard-0.parquet"))
+    pq.write_table(log([
+        (10, "c", "X", [7, 8, 9], "s2"),   # re-create over a tombstone
+        (11, "u", "Y", [3], "s1"),         # plain update
+        (12, "c", "Z", [1], "s3"),         # plain add
+        (13, "d", "W", None, None),        # live -> deleted
+        (14, "d", "V", None, None),        # dead -> re-deleted
+    ]), os.path.join(e1, "shard-0.parquet"))
+    replay(e0, lake, num_partitions=4, hot_share_threshold=1.0)
+    replay(e1, lake)
+    return lake
+
+
+def test_retouched_tombstones_agree(retouch_lake):
+    from ton_etl_ray.ops.tokens import (
+        incremental_source_budget, incremental_token_histogram,
+        source_budget_at, token_histogram_at)
+
+    base_b = source_budget_at(retouch_lake, 0)
+    want_b = _as_map(source_budget_at(retouch_lake, 1))
+    base_h = token_histogram_at(retouch_lake, epoch=0)
+    want_h = {r["token"]: r["n_occurrences"]
+              for r in token_histogram_at(retouch_lake, epoch=1).to_pylist()}
+    for src in ("aligned", "diff"):
+        for thr in (2_000_000, 0):
+            got_b = incremental_source_budget(
+                retouch_lake, base_b, 0, 1, delta_source=src,
+                broadcast_threshold=thr)
+            assert _as_map(got_b) == want_b, (src, thr)
+            got_h = incremental_token_histogram(
+                retouch_lake, base_h, 0, 1, delta_source=src,
+                broadcast_threshold=thr)
+            assert {r["token"]: r["n_occurrences"]
+                    for r in got_h.to_pylist()} == want_h, (src, thr)
+
+
+def test_reshard_breaks_alignment(two_epoch_lake, tmp_path):
+    """A compaction re-shard between the epochs breaks partition
+    alignment: 'auto' falls back to the diff derivation (still exact),
+    'aligned' raises. Also: commits stripped of min_lsn (older engine)
+    lose the stream-ordering proof."""
+    import json
+    import shutil
+
+    from ton_etl_ray.cdc.compact import compact_lake
+    from ton_etl_ray.ops.tokens import (
+        _lsn_ordered_span, incremental_source_budget, source_budget_at)
+
+    from ton_etl_ray.cdc import sink
+
+    lake = str(tmp_path / "lake_reshard")
+    # the shared fixture may have grown epochs (another test compacts it
+    # in place) — compact the COPY to a new layout and target whatever
+    # epoch that lands on
+    shutil.copytree(two_epoch_lake, lake)
+    compact_lake(lake, num_partitions=7)
+    eb = sink.latest_epoch(lake)
+    assert int(sink.read_commit(lake, eb)["num_partitions"]) == 7
+
+    base = source_budget_at(lake, 0)
+    want = _as_map(source_budget_at(lake, eb))
+    got = incremental_source_budget(lake, base, 0, eb)  # auto -> diff
+    assert _as_map(got) == want
+    with pytest.raises(ValueError, match="alignment"):
+        incremental_source_budget(lake, base, 0, eb, delta_source="aligned")
+
+    # min_lsn proof: stripping the field makes the span unprovable
+    cpath = os.path.join(lake, "epoch-000001", "_COMMIT.json")
+    with open(cpath) as f:
+        c = json.load(f)
+    c.pop("min_lsn", None)
+    with open(cpath, "w") as f:
+        json.dump(c, f)
+    ordered, _ = _lsn_ordered_span(lake, 0, 1)
+    assert not ordered

@@ -320,6 +320,25 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
     e_b = sink.latest_epoch(lake_dir) if epoch_b is None else epoch_b
     commit_b = sink.read_commit(lake_dir, e_b)
     delete_lsn = int(commit_b["max_lsn"]) + 1
+    # tombstone-lsn collision check: tombstones ride at max_lsn(b)+1,
+    # which the NEXT epoch's real lsns may legitimately reuse (harmless
+    # under the one-feed-per-replay contract, module doc). When epoch
+    # b+1 is already committed its recorded min_lsn proves or refutes
+    # the reuse at export time — warn on an actual overlap so an
+    # operator gluing feeds together hears about it before replaying.
+    try:
+        nxt = sink.read_commit(lake_dir, e_b + 1)
+    except FileNotFoundError:
+        nxt = None
+    if nxt is not None and 0 <= int(nxt.get("min_lsn", -1)) <= delete_lsn:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "emit_changefeed: epoch %d's min applied lsn (%d) does not "
+            "clear this feed's tombstone lsn (%d) — apply ONE feed per "
+            "replay invocation (apply_feeds/FeedFollower do) or a "
+            "delete can tie against a later re-create",
+            e_b + 1, int(nxt.get("min_lsn", -1)), delete_lsn)
     os.makedirs(out_dir, exist_ok=True)
     _fresh_out_dir(out_dir)
     _write_feed_meta(out_dir, {"kind": "changefeed", "epoch_a": epoch_a,

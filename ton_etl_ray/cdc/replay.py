@@ -64,6 +64,16 @@ MANIFEST_ROW_SCHEMA = pa.schema(
         pa.field("rows_in", pa.int64()),
         pa.field("tombstones", pa.int64()),
         pa.field("max_lsn", pa.int64()),
+        # LOWER BOUND on the lsn of every row NEWLY STORED by this
+        # epoch in this partition (min over the arriving change rows —
+        # the map-side partial compaction may have dropped lower-lsn
+        # LOSERS, but a loser never lands in stored state or a feed, so
+        # the bound covers exactly what consumers compare against).
+        # -1 = unknown (manifests written before this field existed).
+        # The commit-level min proves stored-lsn-ordered epochs
+        # (commit(b).min_lsn > commit(a).max_lsn) for the changefeed
+        # tombstone-collision check (ops/tokens._lsn_ordered_span).
+        pa.field("min_lsn", pa.int64()),
         pa.field("bytes", pa.int64()),
     ]
 )
@@ -198,6 +208,7 @@ def _make_apply_fn(
                 lake_dir, epoch, fname, partial,
                 {"kind": "hotspill", "part": part, "rows_in": rows_in,
                  "max_lsn": pc.max(partial["lsn"]).as_py(),
+                 "min_lsn": int(pc.min(changes["lsn"]).as_py()),
                  "tombstones": int(pc.sum(pc.equal(partial["op"], "d")).as_py() or 0)},
                 row_group_size=rg,
             )
@@ -212,7 +223,8 @@ def _make_apply_fn(
         m = sink.write_partition(
             lake_dir, epoch, fname, new_state,
             {"kind": "data", "part": part, "rows_in": rows_in,
-             "max_lsn": int(pc.max(changes["lsn"]).as_py()), "tombstones": tomb},
+             "max_lsn": int(pc.max(changes["lsn"]).as_py()),
+             "min_lsn": int(pc.min(changes["lsn"]).as_py()), "tombstones": tomb},
         )
         return _manifest_row(part, "data", m)
 
@@ -225,6 +237,8 @@ def _make_fold_fn(
     staging: str,
     prev_state: dict[int, str],
     prior_max_by_part: dict[int, int],
+    prior_min_by_part: dict[int, int],
+    spill_min_lsn: int,
 ):
     """Hot-spill second-stage reducer: one shuffle group per BASE
     partition that received salted hot winners. Compaction inside the
@@ -252,6 +266,14 @@ def _make_fold_fn(
              # changes and the hot winners folded in here
              "max_lsn": max(prior_max_by_part.get(bp, -1),
                             int(pc.max(sub["lsn"]).as_py())),
+             # min: the folded winners' lsns are POST-compaction (a hot
+             # key's lowest lsn may have lost LWW inside the spill), so
+             # the sound lower bound folds in the spill manifests'
+             # RAW-changes min; -1 (unknown) propagates — a partial min
+             # would falsely prove stream ordering
+             "min_lsn": (
+                 -1 if prior_min_by_part.get(bp, 0) < 0 or spill_min_lsn < 0
+                 else min(prior_min_by_part.get(bp, 1 << 62), spill_min_lsn)),
              "tombstones": int(pc.sum(pc.equal(sub["op"], "d")).as_py() or 0)},
         )
         return _manifest_row(bp, "data", m)
@@ -269,6 +291,7 @@ def _manifest_row(part: int, kind: str, m: dict) -> pa.Table:
             "rows_in": [m["rows_in"]],
             "tombstones": [m.get("tombstones", 0)],
             "max_lsn": [m.get("max_lsn", -1)],
+            "min_lsn": [m.get("min_lsn", -1)],
             "bytes": [m["bytes"]],
         },
         schema=MANIFEST_ROW_SCHEMA,
@@ -520,9 +543,16 @@ def _replay_locked(
             int(m["part"]): int(m["max_lsn"])
             for m in manifests.values() if m["kind"] == "data"
         }
+        prior_min_by_part = {
+            int(m["part"]): int(m.get("min_lsn", -1))
+            for m in manifests.values() if m["kind"] == "data"
+        }
+        spill_mins = [int(m.get("min_lsn", -1)) for m in spills]
+        spill_min_lsn = -1 if any(v < 0 for v in spill_mins) else min(spill_mins)
 
         fold_fn = _make_fold_fn(
-            lake_dir, epoch, staging, prev_state, prior_max_by_part
+            lake_dir, epoch, staging, prev_state, prior_max_by_part,
+            prior_min_by_part, spill_min_lsn,
         )
         bases = sorted(
             {int(b) for b in P.assign_partitions(
@@ -585,6 +615,10 @@ def _replay_locked(
     written = inherited = 0
     rows_total = 0
     max_lsn = -1
+    # min over the epoch's OWN incoming events (written partitions
+    # only — inherited carry no new events); -1 = unknown/no-op. The
+    # ordered-epoch proof consumers check: min_lsn > prev max_lsn.
+    min_lsns: list[int] = []
     for p_ in range(num_partitions):
         if p_ in data_manifests:
             m = data_manifests[p_]
@@ -593,6 +627,7 @@ def _replay_locked(
             written += 1
             rows_total += m["rows"]
             max_lsn = max(max_lsn, m["max_lsn"])
+            min_lsns.append(int(m.get("min_lsn", -1)))
         elif prev_commit is not None and str(p_) in prev_commit["partitions"]:
             ent = prev_commit["partitions"][str(p_)]
             partitions[str(p_)] = ent
@@ -621,6 +656,8 @@ def _replay_locked(
                 "inputs": [os.path.basename(f) for f in files],
                 "rows_total": rows_total,
                 "max_lsn": max_lsn,
+                "min_lsn": (-1 if not min_lsns or any(v < 0 for v in min_lsns)
+                            else min(min_lsns)),
             },
             state_schema,
         )

@@ -246,6 +246,165 @@ def _diff_change_counts(diff) -> dict[str, int]:
     return counts
 
 
+def _broadcast_key_pick(key_ref, partial_fn, sign: int, empty_schema: pa.Schema):
+    """Map-side key-membership filter + signed partial: the broadcast
+    half of both delta derivations. ``key_ref`` is a ``ray.put`` of the
+    doc_id key array; a per-ref worker-cache slot keeps the polars
+    series warm across tasks (the −1 and +1 passes interleave on the
+    same workers, so slots are bounded and evicted by run)."""
+    import ray
+
+    def pick(t: pa.Table, _ref=key_ref, _sign=sign) -> pa.Table:
+        import polars as pl
+
+        cache = worker_cache()
+        ck = ("ivm_keys", _ref.hex())
+        keys_s = cache.get(ck)
+        if keys_s is None:
+            for k in [k for k in cache if isinstance(k, tuple)
+                      and k[0] == "ivm_keys"][:-6]:
+                cache.pop(k, None)
+            keys_s = pl.from_arrow(ray.get(_ref))
+            cache[ck] = keys_s
+        if not t.num_rows or not len(keys_s):
+            return empty_schema.empty_table()
+        # hashed membership in polars — vectorized; object-dtype
+        # searchsorted would do Python string compares per row
+        mask = pl.from_arrow(t["doc_id"].combine_chunks()).is_in(keys_s)
+        return partial_fn(t.filter(mask.to_arrow()), _sign)
+
+    return pick
+
+
+def _lsn_ordered_span(lake_dir: str, epoch_a: int, epoch_b: int) -> tuple[bool, int]:
+    """Prove from commit metadata that every row NEWLY STORED in epochs
+    (a, b] carries ``lsn > commit(a).max_lsn`` — the stored-side face
+    of the LSN-ordered-stream contract (loser events dropped by LWW
+    never reach stored state or a feed, so they are out of scope by
+    construction). Each commit records ``min_lsn`` as a lower bound on
+    its own newly-stored lsns (-1 = unknown: a pre-field lake, a
+    ``replay_late``/``compact`` epoch, or a crash-resumed epoch mixing
+    old manifests). A no-op epoch (nothing written under its own dir)
+    stores nothing and cannot violate ordering. Consumers: the
+    changefeed exporter's tombstone-lsn collision check
+    (``emit_changefeed``) and stream contract verification in tests.
+    Returns ``(ordered, watermark)``."""
+    from ..cdc import sink
+
+    wm = int(sink.read_commit(lake_dir, epoch_a)["max_lsn"])
+    for k in range(epoch_a + 1, epoch_b + 1):
+        c = sink.read_commit(lake_dir, k)
+        v = int(c.get("min_lsn", -1))
+        if v > wm:
+            continue
+        tag = f"epoch-{k:06d}"
+        wrote = any((ent.get("path") or "").startswith(tag)
+                    for ent in c["partitions"].values())
+        if wrote:
+            return False, wm
+    return True, wm
+
+
+def _aligned_delta_stream(
+    lake_dir: str,
+    epoch_a: int,
+    epoch_b: int,
+    columns: list[str],
+    partial_fn,
+    empty_schema: pa.Schema,
+):
+    """Delta derivation for layout-aligned epochs: later epochs adopt
+    epoch 0's ``num_partitions`` (the replay contract), so partition p
+    of epoch a and partition p of epoch b hold the SAME key domain —
+    the epoch delta is a per-partition sorted-merge state comparison,
+    with no shuffle, no join, no broadcast key set:
+
+    - an INHERITED partition (same file path in both commits) changed
+      nothing and is skipped without touching its bytes;
+    - each rewritten partition pair is one task: both files are sorted
+      by doc_id, so a vectorized zipper classifies every key as
+      unchanged (same winning lsn — skipped), updated (old row → −1
+      partial, new row → +1), deleted (only in a → −1), or added (only
+      in b → +1), and both signed partials come out of the SAME pass.
+
+    vs the diff derivation this removes the O(lake ∪ lake) full-outer
+    diff join and both key-filtered lake passes; the work is one
+    column-pruned read of each REWRITTEN partition per side, which is
+    the minimum any signed-delta maintenance can do without an
+    auxiliary index. Pure state comparison — no LSN-ordering
+    assumption, late cross-epoch data included. Returns the partial
+    Dataset or None."""
+    ensure_portable()
+    import ray.data as rd
+
+    from ..cdc import sink
+
+    commit_a = sink.read_commit(lake_dir, epoch_a)
+    commit_b = sink.read_commit(lake_dir, epoch_b)
+    read_cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
+    pairs = []
+    for p in sorted(commit_a["partitions"].keys() | commit_b["partitions"].keys(),
+                    key=int):
+        ent_a = commit_a["partitions"].get(p, {})
+        ent_b = commit_b["partitions"].get(p, {})
+        path_a = ent_a.get("path") or ""
+        path_b = ent_b.get("path") or ""
+        if path_a == path_b:
+            continue  # inherited (or empty on both sides): no changes
+        pairs.append({"a": path_a, "b": path_b})
+    if not pairs:
+        return None
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        import os as _os
+
+        import polars as pl
+        import pyarrow.parquet as _pq
+
+        outs = []
+        cols = ["doc_id", "lsn"] + read_cols[1:]
+        for a_rel, b_rel in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta = (_pq.read_table(_os.path.join(lake_dir, a_rel), columns=cols)
+                  if a_rel else None)
+            tb = (_pq.read_table(_os.path.join(lake_dir, b_rel), columns=cols)
+                  if b_rel else None)
+            if ta is not None and tb is not None:
+                # vectorized zipper over the two sorted-by-doc_id files:
+                # full outer on the key, winners compared by lsn
+                ja = pl.from_arrow(ta).rename({c: f"{c}__a" for c in cols[1:]})
+                jb = pl.from_arrow(tb).rename({c: f"{c}__b" for c in cols[1:]})
+                m = ja.join(jb, on="doc_id", how="full", coalesce=True)
+                changed = m.filter(
+                    pl.col("lsn__a").is_null() | pl.col("lsn__b").is_null()
+                    | (pl.col("lsn__a") != pl.col("lsn__b")))
+                old = changed.filter(pl.col("lsn__a").is_not_null())
+                new = changed.filter(pl.col("lsn__b").is_not_null())
+                old_t = pa.table(
+                    {"doc_id": old["doc_id"].to_arrow(),
+                     **{c: old[f"{c}__a"].to_arrow().cast(ta.schema.field(c).type)
+                        for c in read_cols[1:]}})
+                new_t = pa.table(
+                    {"doc_id": new["doc_id"].to_arrow(),
+                     **{c: new[f"{c}__b"].to_arrow().cast(tb.schema.field(c).type)
+                        for c in read_cols[1:]}})
+            elif tb is not None:     # partition born in the span: all adds
+                old_t, new_t = None, tb.select(read_cols)
+            elif ta is not None:     # partition emptied: all deletes
+                old_t, new_t = ta.select(read_cols), None
+            else:
+                continue
+            if old_t is not None and old_t.num_rows:
+                outs.append(partial_fn(old_t, -1))
+            if new_t is not None and new_t.num_rows:
+                outs.append(partial_fn(new_t, 1))
+        if not outs:
+            return empty_schema.empty_table()
+        return pa.concat_tables([t.cast(empty_schema) for t in outs])
+
+    return (rd.from_items(pairs)
+            .map_batches(pair_partials, batch_format="pyarrow", batch_size=1))
+
+
 def _ivm_delta_stream(
     lake_dir: str,
     epoch_a: int,
@@ -254,9 +413,20 @@ def _ivm_delta_stream(
     partial_fn,
     empty_schema: pa.Schema,
     broadcast_threshold: int,
+    delta_source: str = "auto",
 ):
-    """The shared IVM core: epoch-diff the lake, then run signed
-    key-filtered delta passes over both epochs' states.
+    """The shared IVM core: derive the changed-key delta of a lake
+    commit span, then run signed key-filtered delta passes over both
+    epochs' states.
+
+    ``delta_source`` picks the derivation: ``"auto"`` (default) uses
+    the shuffle-free partition-ALIGNED sorted-merge when epochs a and b
+    share a partition layout (the replay contract — later epochs adopt
+    epoch 0's ``num_partitions``) and falls back to the general
+    state-comparison ``epoch_diff`` when a re-shard broke alignment;
+    ``"aligned"`` requires alignment and raises without it; ``"diff"``
+    forces the general path. Both derivations are pure state
+    comparison and are pinned equal in pytest.
 
     ``partial_fn(table, sign) -> pa.Table`` turns the changed rows of
     one batch into signed per-group partials (conforming to
@@ -278,6 +448,21 @@ def _ivm_delta_stream(
 
     from ..cdc import sink
     from ..cdc.replay import epoch_diff
+
+    if delta_source not in ("auto", "aligned", "diff"):
+        raise ValueError(f"unknown delta_source {delta_source!r}")
+    e_b = sink.latest_epoch(lake_dir) if epoch_b is None else epoch_b
+    if delta_source != "diff":
+        aligned = (int(sink.read_commit(lake_dir, epoch_a)["num_partitions"])
+                   == int(sink.read_commit(lake_dir, e_b)["num_partitions"]))
+        if aligned:
+            return _aligned_delta_stream(
+                lake_dir, epoch_a, e_b, columns, partial_fn, empty_schema)
+        if delta_source == "aligned":
+            raise ValueError(
+                "delta_source='aligned' requires epochs a and b to share "
+                "a partition layout (num_partitions); a re-shard broke "
+                "alignment — use 'auto' or 'diff'")
 
     # Materialize the diff DISTRIBUTED (object-store blocks, spillable):
     # the change-count pass and the per-side filters/joins then reuse the
@@ -318,30 +503,9 @@ def _ivm_delta_stream(
         if small:
             keys = side_keys(changes)
             key_ref = ray.put(keys["doc_id"].combine_chunks())
-
-            def pick(t: pa.Table, _ref=key_ref, _sign=sign) -> pa.Table:
-                import polars as pl
-
-                cache = worker_cache()
-                # per-ref cache slot: the −1 and +1 passes interleave on
-                # the same workers, so one shared slot would thrash and
-                # refetch per task; two bounded slots (evicted by run)
-                ck = ("ivm_keys", _ref.hex())
-                keys_s = cache.get(ck)
-                if keys_s is None:
-                    for k in [k for k in cache if isinstance(k, tuple)
-                              and k[0] == "ivm_keys"][:-6]:
-                        cache.pop(k, None)
-                    keys_s = pl.from_arrow(ray.get(_ref))
-                    cache[ck] = keys_s
-                if not t.num_rows or not len(keys_s):
-                    return empty_schema.empty_table()
-                # hashed membership in polars — vectorized; object-dtype
-                # searchsorted would do Python string compares per row
-                mask = pl.from_arrow(t["doc_id"].combine_chunks()).is_in(keys_s)
-                return partial_fn(t.filter(mask.to_arrow()), _sign)
-
-            return lake.map_batches(pick, batch_format="pyarrow")
+            return lake.map_batches(
+                _broadcast_key_pick(key_ref, partial_fn, sign, empty_schema),
+                batch_format="pyarrow")
         from .relational import shuffle_join
 
         lake_schema = pa.schema(
@@ -377,6 +541,7 @@ def incremental_source_budget(
     epoch_b: int | None = None,
     *,
     broadcast_threshold: int = 2_000_000,
+    delta_source: str = "auto",
 ) -> pa.Table:
     """Maintain the per-source budget view across a lake commit —
     incremental view maintenance, the materialized-view half of the CDC
@@ -395,6 +560,7 @@ def incremental_source_budget(
     stream = _ivm_delta_stream(
         lake_dir, epoch_a, epoch_b, ["source", "n_tok"],
         _budget_partials, _DELTA_SCHEMA, broadcast_threshold,
+        delta_source=delta_source,
     )
     if stream is None:
         return _finish_budget(pa.table(
@@ -474,6 +640,7 @@ def incremental_token_histogram(
     epoch_b: int | None = None,
     *,
     broadcast_threshold: int = 2_000_000,
+    delta_source: str = "auto",
 ) -> pa.Table:
     """Maintain the corpus token histogram (vocabulary counts) across a
     lake commit in O(changed keys × tokens-per-doc) — the heavier IVM
@@ -488,6 +655,7 @@ def incremental_token_histogram(
     stream = _ivm_delta_stream(
         lake_dir, epoch_a, epoch_b, ["tokens"],
         _hist_partials, _HIST_FULL_SCHEMA, broadcast_threshold,
+        delta_source=delta_source,
     )
     if stream is None:
         return base
