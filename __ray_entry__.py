@@ -576,6 +576,29 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_tok), 4) AS mean_tokens
             FROM f GROUP BY source
         """,
+        # source_token_budget computes the SAME per-source view directly
+        # over the replayed flagship lake (rank-1 winner = version 2,
+        # every 10th doc tombstoned, n_tok md5-derived) — so the full
+        # recompute used as the IVM oracle is its oracle verbatim
+        "source_token_budget": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            f AS (
+                SELECT source,
+                       CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                            AS INT) AS n_tok
+                FROM d WHERE rn % 10 <> 0
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(avg(n_tok), 4) AS mean_tokens
+            FROM f GROUP BY source
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
