@@ -745,111 +745,87 @@ _COFFEE_SCHEMA = pa.schema([
 ])
 
 
-class _CoffeeEnrich:
-    """Actor stage: per joined swap, run the POOL's get_pool_data on
-    its rank-1 state (emulator memoized per pool account — the pool
-    set is dim-sized), validate via the factory emulator built once in
-    ``__init__`` (coffee_swap.py:20-23 prepare), classify asset_out
-    against the pool's asset pair (coffee_swap.py:98-105: a mismatch
-    drops the row)."""
+_COFFEE_INFO_COLS = ["pool", "a1", "a2", "amm", "reserve1", "reserve2", "lp_fee"]
+_COFFEE_INFO_SCHEMA = pa.schema([("pool", pa.string())] + [
+    (c, pa.int64()) for c in _COFFEE_INFO_COLS[1:]])
 
-    def __init__(self, w: pa.Table):
-        self.states: dict[str, tuple[bytes, bytes]] = {
-            a: (cb, db) for a, cb, db in zip(
-                w["account"].to_pylist(), w["code_boc"].to_pylist(),
-                w["data_boc"].to_pylist())
-        }
-        self.factory = TvmEmulator(coffee_factory_code(), Builder().end_cell())
-        self._pools: dict[str, tuple | None] = {}
-        self.valid: dict[str, bool] = {}
 
-    def _pool_data(self, account: str):
-        hit = self._pools.get(account, False)
-        if hit is not False:
-            return hit
-        st = self.states.get(account)
-        data = None
-        if st is not None:
-            emu = TvmEmulator(parse_boc(st[0]), parse_boc(st[1]))
-            ver, a1, a2, amm, active, r1, r2, fee = _run(emu, "get_pool_data")
-            data = (a1, a2, amm, r1, r2, fee)
-        self._pools[account] = data
-        return data
-
-    def _validate(self, account: str, a1: int, a2: int, amm: int) -> bool:
-        hit = self.valid.get(account)
-        if hit is not None:
-            return hit
-        (s,) = _run(self.factory, "get_pool_address",
+def _coffee_pool_info(t: pa.Table) -> pa.Table:
+    """Winner state rows → validated pool-info rows: get_pool_data on
+    each pool's rank-1 state, factory get_pool_address authenticity
+    check (coffee_swap.py:20-23 prepare, 69-71 validation). Runs as
+    map_batches over the DIM-SIZED winner dataset, so every pool's VM
+    runs execute exactly ONCE globally — the previous per-enrich-actor
+    memo re-ran them in every actor of the pool (~24 s aggregate CPU
+    at sf0.1/32 cpus for 28 pools × 32 actors)."""
+    factory = TvmEmulator(coffee_factory_code(), Builder().end_cell())
+    rows = []
+    for a, cb, db in zip(t["account"].to_pylist(), t["code_boc"].to_pylist(),
+                         t["data_boc"].to_pylist()):
+        emu = TvmEmulator(parse_boc(cb), parse_boc(db))
+        ver, a1, a2, amm, active, r1, r2, fee = _run(emu, "get_pool_data")
+        (s,) = _run(factory, "get_pool_address",
                     [_asset_slice(a1), _asset_slice(a2), amm,
                      Builder().end_cell()])
-        ok = fmt_addr(s.load_address()) == account
-        self.valid[account] = ok
-        return ok
+        if fmt_addr(s.load_address()) != a:
+            continue  # coffee_swap.py:69-71: not a factory pool
+        rows.append((a, a1, a2, amm, r1, r2, fee))
+    cols = list(zip(*rows)) if rows else [[] for _ in _COFFEE_INFO_COLS]
+    return pa.table({n: pa.array(list(c), f.type) for (n, c), f in
+                     zip(zip(_COFFEE_INFO_COLS, cols), _COFFEE_INFO_SCHEMA)},
+                    schema=_COFFEE_INFO_SCHEMA)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        """Vectorized enrich: the VM runs once per DISTINCT pool in the
-        batch (memoized across batches); per-row work is a pandas merge
-        against the dim-sized pool-info frame + numpy side-pick masks —
-        no per-row Python dispatch in the hot path."""
-        if not t.num_rows:
-            return _COFFEE_SCHEMA.empty_table()
-        accounts = t["pool"].to_pylist()
-        info_rows = []
-        for a in set(accounts):
-            pd_ = self._pool_data(a)
-            if pd_ is None:
-                continue  # no pool state (get_account_state_safe fails)
-            a1, a2, amm, r1, r2, fee = pd_
-            if not self._validate(a, a1, a2, amm):
-                continue  # coffee_swap.py:69-71
-            info_rows.append((a, a1, a2, amm, r1, r2, fee))
-        if not info_rows:
-            return _COFFEE_SCHEMA.empty_table()
-        info = pd.DataFrame(info_rows, columns=[
-            "pool", "a1", "a2", "amm", "reserve1", "reserve2", "lp_fee"])
-        df = t.to_pandas().merge(info, on="pool", how="inner")
-        if not len(df):
-            return _COFFEE_SCHEMA.empty_table()
-        asset_in = df["asset_in"].to_numpy()
-        a1 = df["a1"].to_numpy()
-        a2 = df["a2"].to_numpy()
-        is_a1 = asset_in == a1
-        keep = is_a1 | (asset_in == a2)  # else: asset/pool mismatch
-        df = df[keep]
-        asset_out = np.where(is_a1[keep], a2[keep], a1[keep])
-        fmt = np.frompyfunc(lambda j: f"0:{j:064X}", 1, 1)
-        return pa.table(
-            {
-                "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
-                "pool": pa.array(df["pool"], pa.string(), from_pandas=True),
-                "amm": pa.array(df["amm"].to_numpy(np.int64)),
-                "swap_src_token": pa.array(fmt(asset_in[keep]), pa.string()),
-                "swap_dst_token": pa.array(fmt(asset_out), pa.string()),
-                "swap_src_amount": pa.array(df["amount_in"].to_numpy(np.int64)),
-                "swap_dst_amount": pa.array(df["amount_out"].to_numpy(np.int64)),
-                "reserve1": pa.array(df["reserve1"].to_numpy(np.int64)),
-                "reserve2": pa.array(df["reserve2"].to_numpy(np.int64)),
-                "lp_fee": pa.array(df["lp_fee"].to_numpy(np.int64)),
-                "min_out": pa.array(df["min_out"].to_numpy(np.int64)),
-                "deadline": pa.array(df["deadline"].to_numpy(np.int64)),
-                "recipient": pa.array(df["recipient"], pa.string(), from_pandas=True),
-                "referral": pa.array(df["referral"], pa.string(), from_pandas=True),
-            },
-            schema=_COFFEE_SCHEMA,
-        )
+
+def _coffee_enrich(t: pa.Table, info: pd.DataFrame) -> pa.Table:
+    """Stateless vectorized enrich: pandas merge against the dim-sized
+    validated pool-info frame + numpy side-pick masks — no per-row
+    Python dispatch, no VM anywhere near the row stream (pools whose
+    state is missing or failed factory validation drop via the inner
+    merge, matching get_account_state_safe/validation semantics)."""
+    if not t.num_rows or not len(info):
+        return _COFFEE_SCHEMA.empty_table()
+    df = t.to_pandas().merge(info, on="pool", how="inner")
+    if not len(df):
+        return _COFFEE_SCHEMA.empty_table()
+    asset_in = df["asset_in"].to_numpy()
+    a1 = df["a1"].to_numpy()
+    a2 = df["a2"].to_numpy()
+    is_a1 = asset_in == a1
+    keep = is_a1 | (asset_in == a2)  # else: asset/pool mismatch
+    df = df[keep]
+    asset_out = np.where(is_a1[keep], a2[keep], a1[keep])
+    fmt = np.frompyfunc(lambda j: f"0:{j:064X}", 1, 1)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+            "pool": pa.array(df["pool"], pa.string(), from_pandas=True),
+            "amm": pa.array(df["amm"].to_numpy(np.int64)),
+            "swap_src_token": pa.array(fmt(asset_in[keep]), pa.string()),
+            "swap_dst_token": pa.array(fmt(asset_out), pa.string()),
+            "swap_src_amount": pa.array(df["amount_in"].to_numpy(np.int64)),
+            "swap_dst_amount": pa.array(df["amount_out"].to_numpy(np.int64)),
+            "reserve1": pa.array(df["reserve1"].to_numpy(np.int64)),
+            "reserve2": pa.array(df["reserve2"].to_numpy(np.int64)),
+            "lp_fee": pa.array(df["lp_fee"].to_numpy(np.int64)),
+            "min_out": pa.array(df["min_out"].to_numpy(np.int64)),
+            "deadline": pa.array(df["deadline"].to_numpy(np.int64)),
+            "recipient": pa.array(df["recipient"], pa.string(), from_pandas=True),
+            "referral": pa.array(df["referral"], pa.string(), from_pandas=True),
+        },
+        schema=_COFFEE_SCHEMA,
+    )
 
 
 def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
                  num_buckets: int = 32):
     """The P6-P8/P11 family end to end (coffee_swap.py): vectorized
     event claim + decode ∥ parent swap_internal decode → ONE hash join
-    on the parent hash → per-pool get_pool_data emulation + factory
-    validation in an actor pool. The pool-state side reduces to rank-1
-    winners FIRST (dim-sized — 30 pools here, thousands on mainnet)
-    first (dim-sized — 30 pools here, thousands on mainnet) and ships
-    in the enrich actors' constructor; the emulator runs once per
-    DISTINCT pool per actor, never per swap."""
+    on the parent hash → pandas merge against the validated pool-info
+    dim. The pool-state side reduces to rank-1 winners FIRST (dim-sized
+    — 30 pools here, thousands on mainnet), then ``_coffee_pool_info``
+    runs get_pool_data + factory validation ONCE per pool, distributed
+    over the winner dataset, on a second driver thread overlapping the
+    decode materialize; the row stream never touches the VM."""
     ensure_portable()
     from ..functions import opcode_signed
     from .relational import join_auto
@@ -940,6 +916,29 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
         return pa.concat_tables(
             [_tagged(decode_events(t), 0), _tagged(decode_parents(t), 1)])
 
+    # the pool-winner reduction is an INDEPENDENT DAG branch (state
+    # table, not the message table) — run it on a second driver thread
+    # so its shuffle overlaps the decode materialize below instead of
+    # serializing after it (each Dataset execution owns its streaming
+    # executor; measured ~1.3 s saved at sf0.1/32 cpus)
+    import threading
+
+    win_box: dict = {}
+
+    def _winners():
+        try:
+            cof_h, _ = _code_entry(coffee_pool_code())
+            w = _rank1_with_code(coffee_state_dataset(sf_dir), [cof_h],
+                                 num_buckets=num_buckets)
+            info = w.map_batches(_coffee_pool_info, batch_format="pyarrow")
+            win_box["t"] = pa.Table.from_pylist(
+                info.take_all(), schema=_COFFEE_INFO_SCHEMA).to_pandas()
+        except BaseException as e:  # surface on the caller thread
+            win_box["err"] = e
+
+    win_thread = threading.Thread(target=_winners, name="coffee-winners")
+    win_thread.start()
+
     decoded = msgs.map_batches(decode_both, batch_format="pyarrow",
                                batch_size=batch_size).materialize()
     ev_names = _COFFEE_EV_SCHEMA.names
@@ -954,19 +953,18 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
         batch_format="pyarrow")
     joined = join_auto(events, parents, on="parent_hash")
 
-    cof_h, _ = _code_entry(coffee_pool_code())
-    winners = _rank1_with_code(coffee_state_dataset(sf_dir), [cof_h],
-                               num_buckets=num_buckets)
-    # dim-sized winner set (30 pools here, thousands on mainnet): one
-    # driver pull, shipped in each enrich actor's constructor (kept
-    # out of the object store so actor restarts never lose it; switch
-    # to ray.put + ref when the pool dim outgrows constructor pickling)
-    win_tbl = pa.Table.from_pylist(winners.take_all(),
-                                   schema=winners.schema().base_schema)
+    # dim-sized validated pool-info frame (30 pools here, thousands on
+    # mainnet): one driver pull, captured by the stateless enrich task
+    # closure (switch to ray.put + per-worker cache when the pool dim
+    # outgrows closure pickling)
+    win_thread.join()
+    if "err" in win_box:
+        raise win_box["err"]
+    info_df = win_box["t"]
 
     return joined.map_batches(
-        _CoffeeEnrich, fn_constructor_args=(win_tbl,),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=pool())
+        lambda t, _info=info_df: _coffee_enrich(t, _info),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def dedust_swaps_verified(sf_dir: str, *, batch_size: int = 4096):
