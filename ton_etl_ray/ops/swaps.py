@@ -416,12 +416,44 @@ def dex_swaps(sf_dir: str, *, batch_size: int = 4096):
     from .relational import join_auto
 
     msgs = swap_message_dataset(sf_dir)
-    notif = msgs.map_batches(
-        decode_payouts, batch_format="pyarrow", batch_size=batch_size
-    )
-    reqs = msgs.map_batches(
-        decode_requests, batch_format="pyarrow", batch_size=batch_size
-    )
+
+    # ONE decode pass over the message table emitting both sides tagged
+    # (side 0 = payout notifications, side 1 = request parents),
+    # materialized once: the two-branch plan read + claimed the table
+    # TWICE, and join_auto's size probe serialized the whole request
+    # pass before the payout pass could start (same shape as the
+    # coffee_swaps r5 fix). The decoded stream is swap-dimensional and
+    # object-store-spillable, so the materialize is bounded at scale.
+    _union_fields = list(_NOTIF_SCHEMA) + [
+        f for f in _REQ_SCHEMA if f.name != "parent_msg_hash"]
+    _union_schema = pa.schema(_union_fields + [pa.field("side", pa.int8())])
+
+    def _tagged(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in _union_schema:
+            if f.name == "side":
+                cols["side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+            elif f.name in t.column_names:
+                cols[f.name] = t[f.name]
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols, schema=_union_schema)
+
+    def decode_both(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [_tagged(decode_payouts(t), 0), _tagged(decode_requests(t), 1)])
+
+    decoded = msgs.map_batches(decode_both, batch_format="pyarrow",
+                               batch_size=batch_size).materialize()
+    notif = decoded.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], pa.scalar(0, pa.int8())))
+                   .select(_NOTIF_SCHEMA.names),
+        batch_format="pyarrow")
+    reqs = decoded.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], pa.scalar(1, pa.int8())))
+                   .select(_REQ_SCHEMA.names),
+        batch_format="pyarrow")
     joined = join_auto(notif, reqs, on="parent_msg_hash")
 
     dim_ref = ray.put(wallet_master_dim().combine_chunks())
