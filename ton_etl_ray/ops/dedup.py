@@ -752,14 +752,24 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     with Jaccard > 0 shares one → recall is exactly 1, so this matches a
     DuckDB oracle), discovered by exploding (shingle_hash, doc_id) rows
     and pairing within each shingle's posting list — the same shape as
-    the LSH bucket pass, just keyed by the shingle itself. Verification
-    is the shared distributed join verify (features once per doc).
+    the LSH bucket pass, just keyed by the shingle itself.
+
+    Verification is COUNTING, not a feature join: postings are distinct
+    per doc, so a pair is emitted exactly once per SHARED shingle —
+    its multiplicity in the candidate stream IS |A∩B|, and with the
+    per-doc distinct-shingle counts riding each pair row,
+    J = c/(nf_a + nf_b − c) falls out of one pair-keyed shuffle +
+    vectorized ``np.unique(return_counts=True)``. (The previous
+    feature-join verify re-shuffled every doc's shingle list to every
+    candidate side — measured 2× the whole query's wall at sf0.1.)
 
     ``df_cap`` is the 100-TB knob: drop shingles whose document frequency
     exceeds it (stop-phrase postings explode quadratically; a true
     near-dup pair at any threshold ≥ ~0.3 shares many shingles, so
-    dropping the hottest few keeps recall in practice — exactness is only
-    guaranteed with df_cap=None)."""
+    dropping the hottest few keeps recall in practice — exactness of
+    recall is only guaranteed with df_cap=None, and a capped shingle
+    also no longer contributes to surviving pairs' intersection
+    counts, biasing their jaccard DOWN)."""
     ensure_portable()
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -778,9 +788,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
         )
 
     thr = threshold - 1e-9  # keep pairs AT the ratio despite float literal
+    cand_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("na", pa.int64()), ("nb", pa.int64())])
 
     def pairs(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         capped = 0
         for _, grp in g.groupby("shingle"):
             u = grp.drop_duplicates("doc_id")
@@ -797,17 +809,51 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
                 m = np.minimum(sz[ia], sz[ib]) >= thr * np.maximum(sz[ia], sz[ib])
                 out_a.append(ids[ia][m])
                 out_b.append(ids[ib][m])
+                out_na.append(sz[ia][m])
+                out_nb.append(sz[ib][m])
         if capped:
             _LOG.warning(
                 "ngram_jaccard_pairs: %d shingle posting list(s) over df_cap=%d "
                 "skipped (recall is no longer exactly 1)", capped, df_cap,
             )
         if not out_a:
-            return _CAND_SCHEMA.empty_table()
+            return cand_schema.empty_table()
         return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "na": pa.array(np.concatenate(out_na), pa.int64()),
+                         "nb": pa.array(np.concatenate(out_nb), pa.int64())},
+                        schema=cand_schema)
 
-    cand = (
+    def bucket(t: pa.Table) -> pa.Table:
+        if "id_a" not in t.column_names:  # empty sort partition passthrough
+            return cand_schema.empty_table().append_column(
+                "__pb", pa.array([], pa.int64()))
+        t = t.select(cand_schema.names)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def count_verify(g: pd.DataFrame) -> pa.Table:
+        if not len(g) or "id_a" not in g.columns:
+            return _EMPTY_PAIRS.empty_table()
+        arr = np.stack([g["id_a"].to_numpy(), g["id_b"].to_numpy()], axis=1)
+        u, idx, inter = np.unique(arr, axis=0, return_index=True,
+                                  return_counts=True)
+        na = g["na"].to_numpy()[idx].astype(np.float64)
+        nb = g["nb"].to_numpy()[idx].astype(np.float64)
+        inter = inter.astype(np.float64)
+        ja = inter / (na + nb - inter)
+        keep = ja >= threshold  # threshold the UNROUNDED value (the SQL
+        # oracle filters the exact fraction; rounding first would let a
+        # 0.29999996 pair sneak past 0.3)
+        return pa.table({"id_a": pa.array(u[keep, 0], pa.int64()),
+                         "id_b": pa.array(u[keep, 1], pa.int64()),
+                         "jaccard": pa.array(np.round(ja[keep], 6), pa.float64())},
+                        schema=_EMPTY_PAIRS)
+
+    return (
         # no batch_size: one task per input block — a row-count batch
         # bound makes Ray bundle the small doc blocks into 2 fat tasks,
         # serializing the posting-list explosion AND leaving the sort
@@ -815,11 +861,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(pairs, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(count_verify, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b", "jaccard"])
+            if "jaccard" in t.column_names else _EMPTY_PAIRS.empty_table(),
+            batch_format="pyarrow",
+        )
     )
-    cand = _distinct_pairs(cand).materialize()
-    if cand.count() == 0:
-        return _EMPTY_PAIRS.empty_table()
-    return _verify_pairs(sf_dir, cand, n=n, threshold=threshold)
 
 
 def dedup_filter_corpus(sf_dir: str, threshold: float = 0.95):
