@@ -466,3 +466,87 @@ def test_prune_feeds_crash_recovery(primary3, tmp_path):
     assert prune_feeds(lake, root, keep_feeds=2) == [1, 2]
     assert not os.path.isdir(head + ".new")
     assert read_feed_meta(head)["kind"] == "snapshot"
+
+
+def test_prune_feeds_reseeds_short_chain_head(primary3, tmp_path):
+    """A chain SHORTER than keep_feeds whose head is a changefeed (the
+    GC-truncated-backfill shape: catch_up_feeds skipped the unseedable
+    prefix) must still get its head re-seeded as a snapshot — the early
+    return used to skip the invariant and no fresh replica could ever
+    seed from the chain."""
+    from ton_etl_ray.cdc.changefeed import (
+        apply_feeds, prune_feeds, read_feed_meta)
+
+    lake, feeds = primary3
+    trunc = str(tmp_path / "trunc")
+    os.makedirs(trunc)
+    import shutil as _sh
+
+    for e in (1, 2):  # head is the 0->1 changefeed: no snapshot anywhere
+        _sh.copytree(os.path.join(feeds, f"epoch-{e:06d}"),
+                     os.path.join(trunc, f"epoch-{e:06d}"))
+    with pytest.raises(ValueError, match="not a snapshot"):
+        apply_feeds(trunc, str(tmp_path / "r_refused"))
+
+    kept = prune_feeds(lake, trunc, keep_feeds=10)   # nothing to drop
+    assert kept == [1, 2]
+    head_meta = read_feed_meta(os.path.join(trunc, "epoch-000001"))
+    assert head_meta["kind"] == "snapshot" and head_meta["epoch_b"] == 1
+
+    fresh = str(tmp_path / "fresh")
+    assert apply_feeds(trunc, fresh, num_partitions=8) == [1, 2]
+    assert _state_map(fresh) == _state_map(lake)
+
+
+def test_follower_accepts_unpadded_feed_dirs(primary3, tmp_path):
+    """apply_feeds and the follower both accept any-width epoch dir
+    names; the follower used to LIST them as available but probe only
+    the zero-padded path — stalling forever as 'caught up'."""
+    from ton_etl_ray.cdc.changefeed import FeedFollower
+
+    lake, feeds = primary3
+    live = str(tmp_path / "unpadded")
+    os.makedirs(live)
+    for e in range(3):
+        os.symlink(os.path.join(feeds, f"epoch-{e:06d}"),
+                   os.path.join(live, f"epoch-{e}"))
+    replica = str(tmp_path / "replica")
+    f = FeedFollower(live, replica, num_partitions=8)
+    applied = f.run(poll_interval_sec=0.01, stop_after_idle_polls=2,
+                    sleep_fn=lambda _s: None)
+    assert applied == [0, 1, 2]
+    assert _state_map(replica) == _state_map(lake)
+
+
+def test_maintain_feed_export_is_atomic(tmp_path):
+    """_atomic_feed_export never leaves a stamped partial feed at the
+    published path: emit_snapshot/emit_changefeed write _feed.json
+    BEFORE the shards, so a crash mid-export must be invisible to
+    consumers (who treat dir-exists as complete)."""
+    from ton_etl_ray.cdc.run_maintain import _atomic_feed_export
+
+    out = str(tmp_path / "snap")
+
+    def crashing_emit(build):
+        os.makedirs(build, exist_ok=True)
+        with open(os.path.join(build, "_feed.json"), "w") as f:
+            f.write("{}")  # stamp written first, like the real emitters
+        raise RuntimeError("boom mid-export")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _atomic_feed_export(out, crashing_emit)
+    assert not os.path.exists(out)                    # nothing published
+    assert not glob.glob(out + ".build.*")            # build cleaned up
+
+    def good_emit(build):
+        os.makedirs(build, exist_ok=True)
+        with open(os.path.join(build, "_feed.json"), "w") as f:
+            f.write("{}")
+        with open(os.path.join(build, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+
+    _atomic_feed_export(out, good_emit)
+    assert os.path.exists(os.path.join(out, "_feed.json"))
+    # refuses to clobber a published feed
+    with pytest.raises(SystemExit, match="already contains"):
+        _atomic_feed_export(out, good_emit)

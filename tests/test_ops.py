@@ -187,6 +187,31 @@ def test_shuffle_join_native_and_portable_agree():
     assert len(a) == want
 
 
+def test_shuffle_join_overlapping_payload_columns():
+    """Both sides carrying a same-named NON-KEY column must join with
+    the right side suffixed `_right` (the native engine's right_suffix
+    rule) on BOTH routes — the portable path used to emit the name
+    twice in out_schema and crash (or silently overwrite) in the bucket
+    merge."""
+    import ray.data as rd
+
+    from ton_etl_ray.ops.relational import _portable_shuffle_join, shuffle_join
+
+    l = rd.from_items([{"k": i, "v": 10 + i, "a": i} for i in range(6)])
+    r = rd.from_items([{"k": i, "v": 100 + i, "b": -i} for i in range(4)])
+    for res in (
+        shuffle_join(l, r, "k", num_partitions=4).to_pandas(),      # native route
+        _portable_shuffle_join(l, r, "k", num_partitions=4).to_pandas(),
+        shuffle_join(l, r, "k", num_partitions=4,
+                     force_portable=True).to_pandas(),
+    ):
+        assert sorted(res.columns) == ["a", "b", "k", "v", "v_right"]
+        res = res.sort_values("k").reset_index(drop=True)
+        assert len(res) == 4
+        assert (res["v"] == 10 + res["k"]).all()        # left's values kept
+        assert (res["v_right"] == 100 + res["k"]).all()  # right's preserved
+
+
 def test_media_resize_and_frame_sample():
     from ton_etl_ray.ops.multimodal import media_frame_sample, media_resize, synth_media_table
 

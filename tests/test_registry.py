@@ -184,3 +184,39 @@ def test_batch_mint_one_to_many():
         {"event_id": 7, "item_idx": 0, "item_amount": 70},
         {"event_id": 7, "item_idx": 1, "item_amount": 71},
     ]
+
+
+def test_worker_cache_token_unique_across_registries(ray_session):
+    """Two registries whose FIRST registration is the same class (with
+    different kwargs) must not share a worker-cache token — the old
+    per-instance counter gave both `id(cls).0`, so whichever registry
+    ran first had its prepared instance (with ITS kwargs) served to the
+    other registry's batches."""
+
+    class Scaled(Transform):
+        source = "events"
+        emits = "scaled"
+
+        def __init__(self, factor=1):
+            self.factor = factor
+
+        def apply(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "event_id": batch["event_id"],
+                "scaled": pc.multiply(batch["event_id"], self.factor),
+            })
+
+    reg_a, reg_b = TransformRegistry(), TransformRegistry()
+    reg_a.register(Scaled, factor=2)
+    reg_b.register(Scaled, factor=5)
+
+    src = {"events": rd.read_parquet(f"{SF}/events.parquet",
+                                     columns=["event_id"])}
+    # task path (worker-process cache): run A first so its instance is
+    # warm in the cache, then B — B must still see factor=5
+    a = reg_a.run(src)["scaled"].to_pandas().sort_values("event_id")
+    b = reg_b.run(src)["scaled"].to_pandas().sort_values("event_id")
+    assert (a["scaled"] == a["event_id"] * 2).all()
+    assert (b["scaled"] == b["event_id"] * 5).all()

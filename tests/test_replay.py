@@ -325,3 +325,41 @@ def test_noop_epoch_keeps_lsn_watermark(tmp_path, ray_session):
     assert r1.counters["rows_in"] == 0 and r1.partitions_written == 0
     assert r1.max_lsn == 4_999
     assert sink.read_commit(lake, r1.epoch)["max_lsn"] == 4_999
+
+
+def test_replay_repins_epoch_when_raced_by_publisher(tmp_path, monkeypatch):
+    """A concurrent publisher can commit replay's pinned target epoch
+    between latest_epoch() and the epoch lock; replay must RE-PIN under
+    the lock (like incremental.ingest / compact_lake) instead of
+    clear_staging-ing the committed epoch's live data. Simulated by a
+    one-call-stale latest_epoch."""
+    from ton_etl_ray.cdc import sink as S
+
+    chg = str(tmp_path / "chg")
+    lake = str(tmp_path / "lake")
+    write_change_log(chg, num_events=6000, num_keys=400, seed=21,
+                     num_shards=4, max_tok=12)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    replay(files[:2], lake, num_partitions=8)   # epoch 0
+    replay(files[2:3], lake)                    # epoch 1 (the "racer")
+    state_e1 = _as_map(final_state_table(lake, 1))
+    assert S.is_committed(lake, 1)
+
+    real = S.latest_epoch
+    calls = {"n": 0}
+
+    def stale_once(lake_dir):
+        calls["n"] += 1
+        # first call: the pre-race view (epoch 1 not yet visible)
+        return 0 if calls["n"] == 1 else real(lake_dir)
+
+    monkeypatch.setattr(S, "latest_epoch", stale_once)
+    res = replay(files[3:], lake)
+    assert res.epoch == 2                       # re-pinned past the racer
+    assert S.is_committed(lake, 1)              # racer's commit survived
+    assert _as_map(final_state_table(lake, 1)) == state_e1
+
+    # and the final state equals a clean one-shot of the same log
+    clean = str(tmp_path / "clean")
+    replay(files, clean, num_partitions=8)
+    assert _as_map(final_state_table(lake)) == _as_map(final_state_table(clean))

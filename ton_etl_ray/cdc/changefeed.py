@@ -246,9 +246,17 @@ def prune_feeds(lake_dir: str, feed_root: str, *, keep_feeds: int) -> list[int]:
         if os.path.isdir(d) and _re.fullmatch(r"epoch-\d+", os.path.basename(d))
     )
     kept = [int(os.path.basename(d).split("-")[1]) for d in dirs]
-    if len(dirs) <= keep_feeds:
+    if not dirs:
         return kept
-    drop, keep = dirs[:-keep_feeds], dirs[-keep_feeds:]
+    if len(dirs) <= keep_feeds:
+        # nothing to drop, but the snapshot-head invariant must still be
+        # restored: a chain backfilled against a GC-truncated lake starts
+        # at a CHANGEFEED (catch_up_feeds skipped the unseedable prefix),
+        # and a replica can never seed from a diff-headed chain — re-seed
+        # the head below exactly as the drop path does.
+        drop, keep = [], dirs
+    else:
+        drop, keep = dirs[:-keep_feeds], dirs[-keep_feeds:]
     head = keep[0]
     head_epoch = int(os.path.basename(head).split("-")[1])
     meta = read_feed_meta(head)
@@ -379,11 +387,15 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
         joined.map_batches(to_changes, batch_format="pyarrow").write_parquet(out_dir)
         wrote_upserts = True
 
-    # tombstones: deleted keys at a feed lsn above every replicated lsn
+    # tombstones: deleted keys at a feed lsn above every replicated lsn.
+    # The payload schema is resolved ONCE on the driver — resolving it
+    # inside the batch fn would re-read the commit JSON + parquet footer
+    # per batch on every worker (and require workers to see the lake path).
+    payload = sink.lake_schema(lake_dir, e_b)
+
     def delete_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["change"], pa.scalar("deleted")))
         n = t.num_rows
-        payload = sink.lake_schema(lake_dir, e_b)
         cols = {"lsn": pa.array([delete_lsn] * n, pa.int64()),
                 "op": pa.array(["d"] * n, pa.string()),
                 "doc_id": t["doc_id"]}
@@ -415,7 +427,6 @@ def emit_changefeed(lake_dir: str, out_dir: str, epoch_a: int,
         # dir would crash replay's discovery instead
         import pyarrow.parquet as pq
 
-        payload = sink.lake_schema(lake_dir, e_b)
         fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
         fields += [f for f in payload if f.name not in ("lsn",)]
         pq.write_table(pa.schema(fields).empty_table(),
@@ -485,6 +496,25 @@ class FeedFollower:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _feed_dir(self, e: int) -> str:
+        """Resolve feed epoch ``e``'s directory with the same any-width
+        tolerance as ``_available`` / ``apply_feeds`` — a chain written
+        by a non-watcher producer may use unpadded names, and probing
+        only ``epoch-{e:06d}`` would count such a feed as available yet
+        never find it (a silent permanent 'caught up' stall). Returns
+        the watcher's padded form when no variant exists on disk."""
+        import glob as _glob
+        import re as _re
+
+        padded = os.path.join(self.feed_root, f"epoch-{e:06d}")
+        if os.path.isdir(padded):
+            return padded
+        for d in _glob.glob(os.path.join(self.feed_root, "epoch-*")):
+            m = _re.fullmatch(r"epoch-(\d+)", os.path.basename(d))
+            if m and int(m.group(1)) == e and os.path.isdir(d):
+                return d
+        return padded
+
     def next_feed_epoch(self) -> int | None:
         """The feed epoch the replica needs next (None until the chain
         has published anything and F0 is known). F0 must be a SNAPSHOT
@@ -496,7 +526,7 @@ class FeedFollower:
             avail = self._available()
             if not avail:
                 return None
-            head = os.path.join(self.feed_root, f"epoch-{avail[0]:06d}")
+            head = self._feed_dir(avail[0])
             meta = read_feed_meta(head)
             if meta is not None and meta.get("kind") != "snapshot":
                 raise ValueError(
@@ -527,7 +557,7 @@ class FeedFollower:
         e = self.next_feed_epoch()
         if e is None:
             return None
-        d = os.path.join(self.feed_root, f"epoch-{e:06d}")
+        d = self._feed_dir(e)
         if not os.path.isdir(d):
             later = [a for a in self._available() if a > e]
             if later:

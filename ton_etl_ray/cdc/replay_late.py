@@ -72,16 +72,22 @@ def replay_late(
     files = _discover(changes)
     os.makedirs(lake_dir, exist_ok=True)
 
-    prev_epoch = sink.latest_epoch(lake_dir)
-    epoch = 0 if prev_epoch is None else prev_epoch + 1
+    # pin the head UNDER the epoch lock (same retry loop as
+    # incremental.ingest / compact_lake / replay): a concurrent
+    # publisher can commit our target epoch between latest_epoch() and
+    # the lock, and clear_staging on a COMMITTED epoch would delete
+    # live data. Re-pin until the locked epoch is still uncommitted.
+    while True:
+        prev_epoch = sink.latest_epoch(lake_dir)
+        epoch = 0 if prev_epoch is None else prev_epoch + 1
+        lock = sink.acquire_epoch_lock(lake_dir, epoch)
+        if not sink.is_committed(lake_dir, epoch):
+            break
+        sink.release_epoch_lock(lock)  # raced a publisher; re-pin
     prev_commit = sink.read_commit(lake_dir, prev_epoch) if prev_epoch is not None else None
     if prev_commit is not None:
         num_partitions = prev_commit["num_partitions"]
     staging = sink.epoch_dir(lake_dir, epoch)
-    # lock FIRST, then clear stale staging (never rmtree before holding
-    # the lock — that would delete a live writer's _LOCK + staged files);
-    # always release on exit so a failure can't strand the lock
-    lock = sink.acquire_epoch_lock(lake_dir, epoch)
     try:
         if not resume:
             sink.clear_staging(lake_dir, epoch)

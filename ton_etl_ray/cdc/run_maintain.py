@@ -27,6 +27,33 @@ import os
 import time
 
 
+def _atomic_feed_export(out_dir: str, emit) -> None:
+    """Build-then-rename for CLI feed exports: ``emit_snapshot`` /
+    ``emit_changefeed`` stamp ``_feed.json`` BEFORE streaming the data
+    shards, and consumers (``apply_feeds`` / ``FeedFollower``) treat a
+    feed directory as complete the instant it exists — so a crash
+    mid-export must never leave a stamped partial feed at the published
+    path. Same discipline as ``DirectoryWatcher._publish_feed``."""
+    import glob as _glob
+    import shutil
+
+    out_dir = out_dir.rstrip("/")
+    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+        # fail before building, matching emit_*'s own fresh-dir guard
+        raise SystemExit(f"feed out dir {out_dir!r} already contains shards; "
+                         "export into a fresh directory")
+    build = out_dir + f".build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    try:
+        emit(build)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    if os.path.isdir(out_dir):
+        os.rmdir(out_dir)  # empty (guard above) — rename needs it gone
+    os.rename(build, out_dir)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lake", required=True)
@@ -94,7 +121,9 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         epoch = args.diff[0] if args.diff else None
-        emit_snapshot(args.lake, args.snapshot, epoch=epoch)
+        _atomic_feed_export(
+            args.snapshot,
+            lambda build: emit_snapshot(args.lake, build, epoch=epoch))
         print(json.dumps({
             "action": "snapshot", "out": args.snapshot,
             "epoch": epoch if epoch is not None else sink.latest_epoch(args.lake),
@@ -106,7 +135,9 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         a = args.diff[0]
         b = args.diff[1] if len(args.diff) > 1 else None
-        emit_changefeed(args.lake, args.changefeed, a, b)
+        _atomic_feed_export(
+            args.changefeed,
+            lambda build: emit_changefeed(args.lake, build, a, b))
         print(json.dumps({
             "action": "changefeed", "out": args.changefeed,
             "from_epoch": a,

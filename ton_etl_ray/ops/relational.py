@@ -683,7 +683,13 @@ def shuffle_join(
             left_schema=left_schema, right_schema=right_schema,
         )
     if hasattr(left, "join") and num_partitions <= native_cap:
-        return left.join(right, join_type=native_how, num_partitions=num_partitions, on=(on,))
+        # right_suffix applies ONLY to colliding non-key names (verified:
+        # non-colliding joins are untouched); without it the native
+        # aggregator crashes on any shared payload column. The portable
+        # path below applies the same `_right` suffix, so routing never
+        # changes the output schema.
+        return left.join(right, join_type=native_how, num_partitions=num_partitions,
+                         on=(on,), right_suffix="_right")
     if num_partitions > native_cap:
         import logging
 
@@ -727,6 +733,24 @@ def _portable_shuffle_join(
     if right_schema is None:
         right_schema = pa.schema(
             [pa.field(n, t) for n, t in zip(right.schema().names, right.schema().types)]
+        )
+    # suffix right-side non-key columns that collide with a left name
+    # (same `_right` rule as the native engine's right_suffix): without
+    # this, out_schema holds the name twice and full_schema folds both
+    # sides into ONE shared column — the bucket merge then either
+    # crashes on the duplicate select or silently overwrites the right
+    # side's values.
+    overlap = [n for n in right_schema.names
+               if n != on and n in set(left_schema.names)]
+    if overlap:
+        ren = {n: n + "_right" for n in overlap}
+        right = right.map_batches(
+            lambda t, _r=ren: t.rename_columns(
+                [_r.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow",
+        )
+        right_schema = pa.schema(
+            [pa.field(ren.get(f.name, f.name), f.type) for f in right_schema]
         )
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)

@@ -25,6 +25,7 @@ Our Ray-Data-native mirror:
 
 from __future__ import annotations
 
+import uuid
 from collections import defaultdict
 
 import pyarrow as pa
@@ -109,7 +110,6 @@ class TransformRegistry:
 
     def __init__(self):
         self._by_source: dict[str, list[tuple[type, dict, str]]] = defaultdict(list)
-        self._next_token = 0
 
     def register(self, transform_cls: type, **kwargs):
         if not transform_cls.source:
@@ -118,10 +118,14 @@ class TransformRegistry:
         # on class name + repr(kwargs) alone — a redefined same-named
         # class, or a callable kwarg whose repr (memory address) happens
         # to collide with a GC'd one, would silently serve a stale
-        # prepared instance. A fresh registration always gets a fresh
-        # token, so it always builds fresh instances.
-        token = f"{id(transform_cls):x}.{self._next_token}"
-        self._next_token += 1
+        # prepared instance. The token must also be unique ACROSS
+        # registry instances: two registries whose first registration is
+        # the same class would collide under a per-instance counter
+        # (same id(cls), same .0) and one registry's prepared instance —
+        # built with the OTHER registry's kwargs — would be served from
+        # the worker cache. uuid4 makes every register() call globally
+        # fresh while repeat run() calls on one registration still reuse.
+        token = uuid.uuid4().hex
         self._by_source[transform_cls.source].append((transform_cls, kwargs, token))
         return transform_cls
 
