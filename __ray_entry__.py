@@ -306,14 +306,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-trip decode, and determinism)
         "bpe_encode_corpus": lambda sf: corpus.bpe_encode(sf, num_merges=30),
         # token-payload analytics over the replayed lake — token values
-        # are PRNG-derived in the change log, so these are rows-only for
-        # the driver; tests/test_tokens.py oracle-checks them with
-        # DuckDB unnest(tokens) over the committed lake parquet
+        # are md5-seeded-LCG-derived in the change log (pipelines.
+        # docs_to_change_log), so DuckDB recomputes them exactly with
+        # unnest(range(0, n_tok)): full value-hash oracles below
         "lake_token_histogram": tokens.lake_token_histogram,
         # incremental view maintenance of the FULL vocabulary histogram
-        # across the two-epoch lake (rows-only: token values are
-        # PRNG-derived; incremental == full recompute and the DuckDB
-        # unnest cross-check are pinned in tests/test_ivm.py)
+        # across the two-epoch lake — oracled against the analytic
+        # recompute at epoch 1 (incremental == full recompute is also
+        # pinned in tests/test_ivm.py on both delta paths)
         "incremental_histogram": _incremental_histogram_q,
         "source_token_budget": tokens.source_token_budget,
         # iterative spherical k-means over embeddings (rows-only:
@@ -575,6 +575,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
                    round(avg(n_tok), 4) AS mean_tokens
             FROM f GROUP BY source
+        """,
+        # token-level views: the change log's token VALUES are md5-seeded
+        # LCG per (doc, version) — token_i = (seed + i*2654435761) mod
+        # 2^32 mod 50257, seed = first 8 md5 hex chars of 'did:v:tok' —
+        # so DuckDB reproduces the exact final-state token stream with
+        # unnest(range(0, n_tok)). Final state = version 2, every 10th
+        # doc tombstoned (pipelines.docs_to_change_log).
+        "lake_token_histogram": """
+            WITH d AS (
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            f AS (
+                SELECT did,
+                       CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                            AS INT) AS n_tok,
+                       CAST(concat('0x', substr(md5(did || ':2:tok'), 1, 8)) AS BIGINT) AS seed
+                FROM d WHERE rn % 10 <> 0
+            ),
+            tok AS (SELECT unnest(range(0, n_tok)) AS i, seed FROM f)
+            SELECT CAST((seed + i * 2654435761) % 4294967296 % 50257 AS INT) AS token,
+                   count(*) AS n_occurrences
+            FROM tok GROUP BY 1
+            ORDER BY n_occurrences DESC, token
+            LIMIT 50
+        """,
+        # the maintained view at epoch 1 equals the analytic recompute
+        # over epoch 1's final state (same derivation, no top-k)
+        "incremental_histogram": """
+            WITH d AS (
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS did,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            ),
+            f AS (
+                SELECT did,
+                       CAST(8 + CAST(concat('0x', substr(md5(did || ':2'), 1, 8)) AS BIGINT) % 56
+                            AS INT) AS n_tok,
+                       CAST(concat('0x', substr(md5(did || ':2:tok'), 1, 8)) AS BIGINT) AS seed
+                FROM d WHERE rn % 10 <> 0
+            ),
+            tok AS (SELECT unnest(range(0, n_tok)) AS i, seed FROM f)
+            SELECT CAST((seed + i * 2654435761) % 4294967296 % 50257 AS INT) AS token,
+                   count(*) AS n_occurrences
+            FROM tok GROUP BY 1
         """,
         # source_token_budget computes the SAME per-source view directly
         # over the replayed flagship lake (rank-1 winner = version 2,

@@ -187,3 +187,32 @@ def test_coffee_swaps_vs_duckdb(ray_session):
     assert got["query_id"].nunique() < con.execute(
         "SELECT count(*) FROM orders WHERE o_orderkey % 19 <> 0 AND o_orderkey % 23 <> 0"
     ).fetchone()[0]
+
+
+def test_emulation_failure_skips_row_not_pipeline():
+    """A winner row whose data BOC is corrupt (or whose get-method
+    exits non-zero) must be SKIPPED — the reference's
+    EmulatorException non-critical-skip path (emulator.py:134-155) —
+    never abort the whole batch."""
+    import pyarrow as pa
+
+    from ton_etl_ray.ops.emulated import (
+        _EmulateWinners, _POOL_SCHEMA, _code_entry, _pool_plan, amm_code,
+        encode_amm_data,
+    )
+
+    amm_hash, amm_boc = _code_entry(amm_code())
+    good = encode_amm_data(42)  # already serialized BOC bytes
+    # truncated data BOC: TvmEmulator construction / get-method fails
+    corrupt = good[:6]
+    stage = _EmulateWinners(_pool_plan, _POOL_SCHEMA)
+    t = pa.table({
+        "account": pa.array(["0:AA", "0:BB"], pa.string()),
+        "lt": pa.array([1, 2], pa.int64()),
+        "code_hash": pa.array([amm_hash, amm_hash], pa.string()),
+        "code_boc": pa.array([amm_boc, amm_boc], pa.binary()),
+        "data_boc": pa.array([corrupt, good], pa.binary()),
+    })
+    out = stage(t)
+    assert out.num_rows == 1                       # bad row dropped
+    assert out["account"].to_pylist() == ["0:BB"]  # good row survived

@@ -1,33 +1,29 @@
 """Token-payload analytics over the committed lake, checked against
-DuckDB unnest(tokens) on the lake parquet itself (token values are
-PRNG-derived in the change log, so the driver's input-table views can't
-express these — the lake IS the oracle surface)."""
-
-import glob
-import os
+DuckDB unnest(tokens) on the lake parquet itself — independent of the
+analytic md5/LCG derivation the driver oracle uses, so a generator bug
+and an operator bug can't cancel out."""
 
 import duckdb
 
 SF = "/root/testdata/sf0.001"
 
 
-def _lake_files(tag_dir: str) -> list[str]:
-    files = glob.glob(os.path.join(tag_dir, "**", "*.parquet"), recursive=True)
+def _lake_files(sf_dir: str) -> list[str]:
+    # the SAME committed lake the queries read (never a stale glob of a
+    # different cache path)
+    from ton_etl_ray.cdc import sink
+    from ton_etl_ray.pipelines import ensure_flagship_lake
+
+    files = sink.lake_files(ensure_flagship_lake(sf_dir))
     assert files
     return files
 
 
 def test_lake_token_histogram_matches_duckdb_over_lake():
     from ton_etl_ray.ops.tokens import lake_token_histogram
-    from ton_etl_ray.pipelines import flagship  # noqa: F401
 
     got = lake_token_histogram(SF, k=25).to_pandas()
-    # the query's own flagship() call just rebuilt the lake for SF
-    import hashlib
-
-    tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
-    lake_dir = f"/tmp/tonray_flagship_{tag}/lake"
-    files = _lake_files(lake_dir)
+    files = _lake_files(SF)
     want = duckdb.sql(
         f"""
         SELECT CAST(t AS INT) AS token, CAST(count(*) AS BIGINT) AS n_occurrences
@@ -40,16 +36,13 @@ def test_lake_token_histogram_matches_duckdb_over_lake():
 
 
 def test_source_token_budget_matches_duckdb_over_lake():
-    import hashlib
-
     from ton_etl_ray.ops.tokens import source_token_budget
 
     got = (
         source_token_budget(SF).to_pandas()
         .sort_values("source").reset_index(drop=True)
     )
-    tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
-    files = _lake_files(f"/tmp/tonray_flagship_{tag}/lake")
+    files = _lake_files(SF)
     want = duckdb.sql(
         f"""
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

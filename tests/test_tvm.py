@@ -236,3 +236,54 @@ def test_prop_stu_ldu_roundtrip(v, bits):
 @given(st.integers(min_value=-(1 << 255), max_value=(1 << 255) - 1))
 def test_prop_pushint_all_widths(v):
     assert run([("PUSHINT", v)]) == (0, [v])
+
+
+def test_unimplemented_arith_opcodes_raise_not_divide():
+    """0xA2 (SUBR) / 0xA3 (NEGATE) are not implemented; they must hit
+    the unimplemented-opcode error, not fall into the 0xA9
+    division-family sub-decoder (A2 04 used to RUN DIV with exit 0)."""
+    for op_byte in (0xA2, 0xA3):
+        vm = VM(Builder().store_uint(op_byte, 8).store_uint(0x04, 8).end_cell(),
+                EMPTY)
+        vm.stack = [7, 2]
+        code = vm.run(Slice(vm.code))
+        assert code != 0, f"opcode {op_byte:02x} executed silently"
+        assert vm.stack != [3], "division-family semantics leaked"
+
+
+def test_truncated_immediate_exits_cell_underflow():
+    """A code cell ending mid-immediate (lone 0x80 = PUSHINT int8 with
+    no operand byte) must surface EXC_CELL_UNDERFLOW through the
+    exit-code contract, not a raw ValueError escaping run()."""
+    vm = VM(Builder().store_uint(0x80, 8).end_cell(), EMPTY)
+    assert vm.run(Slice(vm.code)) == EXC_CELL_UNDERFLOW
+    # and through the facade (binary-column input surface)
+    r = TvmEmulator(Builder().store_uint(0x80, 8).end_cell(),
+                    EMPTY).run_get_method(0)
+    assert r["vm_exit_code"] != 0
+
+
+def test_neq_geq_spec_bytes():
+    """cp0 one-byte assignments: 0xBD = NEQ, 0xBE = GEQ — assembler and
+    interpreter agree AND match the spec (they used to be swapped
+    together)."""
+    assert asm([("NEQ",)]).data[:1] == b"\xBD"
+    assert asm([("GEQ",)]).data[:1] == b"\xBE"
+    assert run([("PUSHINT", 3), ("PUSHINT", 3), ("NEQ",)]) == (0, [0])
+    assert run([("PUSHINT", 4), ("PUSHINT", 3), ("NEQ",)]) == (0, [-1])
+    assert run([("PUSHINT", 3), ("PUSHINT", 3), ("GEQ",)]) == (0, [-1])
+    assert run([("PUSHINT", 2), ("PUSHINT", 3), ("GEQ",)]) == (0, [0])
+
+
+def test_asm_rejects_out_of_range_operands():
+    """Register indexes are one nibble and THROW's immediate one byte;
+    out-of-range values used to silently bleed into ADJACENT opcodes
+    (PUSH 16 assembled as DROP) or mask (THROW 300 -> THROW 44)."""
+    for bad in [("PUSH", 16), ("POP", 16), ("PUSH", -1),
+                ("PUSHCTR", 16), ("POPCTR", -1), ("XCHG", 3, 16),
+                ("THROW", 300), ("THROW", -1), ("EQINT", 128),
+                ("ADDINT", -129)]:
+        with pytest.raises(ValueError, match="out of range"):
+            asm([bad])
+    # in-range forms still assemble and execute
+    assert run([("PUSHINT", 1), ("PUSHINT", 2), ("PUSH", 1), ("ADD",), ("ADD",)]) == (0, [4])

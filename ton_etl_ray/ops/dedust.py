@@ -56,7 +56,7 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, Cell, parse_boc, serialize_boc
-from ._util import addr_bytes, addr_str, cached_synth_table, md5_tag, read_synth_dir, read_table
+from ._util import addr_bytes, addr_str, cached_synth_table, fmt_addr, md5_tag, read_synth_dir, read_table
 
 OP_DEDUST_SWAP = 0x9C610DE3
 OP_OTHER_EVENT = 0x00D1FF00
@@ -194,11 +194,8 @@ def decode_swaps(t: pa.Table) -> pa.Table:
         r = s.load_ref().begin_parse()
         sender = r.load_address()
         referral = r.load_address()
-        senders.append(f"{sender[0]}:{sender[1].hex().upper()}")
-        refs.append(
-            None if referral is None
-            else f"{referral[0]}:{referral[1].hex().upper()}"
-        )
+        senders.append(fmt_addr(sender))
+        refs.append(fmt_addr(referral))
         r0s.append(r.load_coins())
         r1s.append(r.load_coins())
     return pa.table(

@@ -287,11 +287,18 @@ class _EmulateWinners:
             handler = self.plan.get(ch)
             if handler is None:
                 continue
-            code = self._codes.get(ch)
-            if code is None:
-                code = self._codes[ch] = parse_boc(cb)
-            emu = TvmEmulator(code, parse_boc(db))
-            row = handler(emu, account, lt)
+            try:
+                code = self._codes.get(ch)
+                if code is None:
+                    code = self._codes[ch] = parse_boc(cb)
+                emu = TvmEmulator(code, parse_boc(db))
+                row = handler(emu, account, lt)
+            except ValueError:
+                # non-zero VM exit or corrupt code/data BOC: skip THIS
+                # row, never the pipeline — the reference's
+                # EmulatorException non-critical-skip path
+                # (emulator.py:134-155)
+                continue
             if row is not None:
                 rows.append(row)
         if not rows:
@@ -386,7 +393,10 @@ def emu_core_prices(sf_dir: str, *, num_buckets: int = 64):
 # DeDust factory validation (P1, dedust_swap.py:47-58)
 # ---------------------------------------------------------------------------
 
-OP_DEDUST_SWAP = 0x9C610DE3
+# the claim opcode is owned by the claim+codec half of the P1 family —
+# import, don't redefine, so the two halves can never drift apart
+from .dedust import OP_DEDUST_SWAP  # noqa: E402
+
 N_DV_ASSETS = 8
 
 
@@ -498,8 +508,11 @@ class _FactoryVerify:
             return hit
         ok = False
         for pool_type in (0, 1):
-            (addr,) = _run(self.factory, "get_pool_address",
-                           [pool_type, _asset_slice(j0), _asset_slice(j1)])
+            try:
+                (addr,) = _run(self.factory, "get_pool_address",
+                               [pool_type, _asset_slice(j0), _asset_slice(j1)])
+            except ValueError:
+                continue  # emulation failed for this pool type: not valid
             if fmt_addr(addr.load_address()) == source:
                 ok = True
                 break
@@ -762,11 +775,14 @@ def _coffee_pool_info(t: pa.Table) -> pa.Table:
     rows = []
     for a, cb, db in zip(t["account"].to_pylist(), t["code_boc"].to_pylist(),
                          t["data_boc"].to_pylist()):
-        emu = TvmEmulator(parse_boc(cb), parse_boc(db))
-        ver, a1, a2, amm, active, r1, r2, fee = _run(emu, "get_pool_data")
-        (s,) = _run(factory, "get_pool_address",
-                    [_asset_slice(a1), _asset_slice(a2), amm,
-                     Builder().end_cell()])
+        try:
+            emu = TvmEmulator(parse_boc(cb), parse_boc(db))
+            ver, a1, a2, amm, active, r1, r2, fee = _run(emu, "get_pool_data")
+            (s,) = _run(factory, "get_pool_address",
+                        [_asset_slice(a1), _asset_slice(a2), amm,
+                         Builder().end_cell()])
+        except ValueError:
+            continue  # failed emulation skips the pool, not the stage
         if fmt_addr(s.load_address()) != a:
             continue  # coffee_swap.py:69-71: not a factory pool
         rows.append((a, a1, a2, amm, r1, r2, fee))

@@ -38,7 +38,6 @@ def docs_to_change_log(sf_dir: str, out_dir: str, *, versions: int = 3, seed: in
 
     events = []
     for v in range(versions):
-        rng = np.random.default_rng(seed * 1000 + v)
         # n_tok is md5-derived from (doc_id, version) so the FINAL state
         # is SQL-expressible: DuckDB recomputes the same value with
         # 8 + CAST('0x' || substr(md5(did || ':' || v), 1, 8) AS BIGINT) % 56
@@ -48,9 +47,24 @@ def docs_to_change_log(sf_dir: str, out_dir: str, *, versions: int = 3, seed: in
              for d in doc_ids],
             dtype=np.int64,
         )
-        flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+        # token VALUES are md5-seeded LCG per (doc, version): token_i =
+        # (seed + i*2654435761) mod 2^32 mod VOCAB — exact 64-bit integer
+        # arithmetic DuckDB reproduces with unnest(range(0, n_tok)), so
+        # token-level views (lake_token_histogram, incremental_histogram)
+        # get full value-hash oracles too, not just n_tok-level ones
+        seeds = np.array(
+            [int(hashlib.md5(f"{d}:{v}:tok".encode()).hexdigest()[:8], 16)
+             for d in doc_ids],
+            dtype=np.uint64,
+        )
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
+        doc_idx = np.repeat(np.arange(n), lengths)
+        i_local = (np.arange(int(offsets[-1])) - offsets[doc_idx]).astype(np.uint64)
+        flat = (
+            (seeds[doc_idx] + i_local * np.uint64(2654435761))
+            % np.uint64(2**32) % np.uint64(VOCAB)
+        ).astype(np.int32)
         tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()).cast(pa.int32()), pa.array(flat))
         lsn = np.arange(v * n, (v + 1) * n, dtype=np.int64)
         events.append(
@@ -98,7 +112,7 @@ def docs_to_change_log(sf_dir: str, out_dir: str, *, versions: int = 3, seed: in
 
 # bump when a cached artifact's FORMAT changes (change-log schema, lake
 # layout) so stale /tmp caches rebuild instead of feeding old bytes
-_CACHE_VER = "r4"
+_CACHE_VER = "r5"
 
 
 def _tag(sf_dir: str) -> str:

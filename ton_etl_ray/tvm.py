@@ -169,6 +169,12 @@ class VM:
             return 0
         except VmError as e:
             return e.exit_code
+        except ValueError:
+            # a truncated IMMEDIATE (PUSHINT operand, XCHG args byte,
+            # PUSHCONT body, STU/LDU cc byte, sub-opcode byte) raises a
+            # raw boc underflow from inside an instruction decode — same
+            # exit-code contract as the guarded truncated-opcode load
+            return EXC_CELL_UNDERFLOW
 
     # -- decode / execute one instruction ----------------------------------
     def _step(self, cc: Slice) -> Slice | None:
@@ -231,7 +237,10 @@ class VM:
             st.append(Cont(Slice(body.end_cell())))
             return cc
 
-        if 0xA0 <= op <= 0xA8 or op == 0xA9:
+        # explicit arithmetic set — 0xA2 (SUBR) / 0xA3 (NEGATE) are NOT
+        # implemented and must hit the unimplemented-opcode error below,
+        # not fall into the 0xA9 division-family sub-opcode decoder
+        if op in (0xA0, 0xA1, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9):
             return self._arith(op, cc)
         if op == 0xB6:
             sub = cc.load_uint(8)
@@ -246,14 +255,16 @@ class VM:
             else:
                 raise VmError(EXC_TYPE_CHECK, f"bad B6 sub {sub:02x}")
             return cc
-        if 0xB8 <= op <= 0xBE:  # SGN LESS EQUAL LEQ GREATER GEQ NEQ
+        if 0xB8 <= op <= 0xBE:  # SGN LESS EQUAL LEQ GREATER NEQ GEQ
             if op == 0xB8:
                 x = self._pop_int()
                 self._push_int(0 if x == 0 else (1 if x > 0 else -1))
                 return cc
             y, x = self._pop_int(), self._pop_int()
+            # cp0 one-byte assignments: 0xBD = NEQ, 0xBE = GEQ (matched
+            # by the assembler's mnemonic table below)
             res = {0xB9: x < y, 0xBA: x == y, 0xBB: x <= y,
-                   0xBC: x > y, 0xBD: x >= y, 0xBE: x != y}[op]
+                   0xBC: x > y, 0xBD: x != y, 0xBE: x >= y}[op]
             self._push_int(-1 if res else 0)
             return cc
         if 0xC0 <= op <= 0xC3:  # EQINT LESSINT GTINT NEQINT (int8 imm)
@@ -442,7 +453,7 @@ _SIMPLE = {
     "MULDIV": b"\xA9\x84", "MULDIVMOD": b"\xA9\x8C",
     "MIN": b"\xB6\x08", "MAX": b"\xB6\x09", "ABS": b"\xB6\x0B",
     "SGN": b"\xB8", "LESS": b"\xB9", "EQUAL": b"\xBA", "LEQ": b"\xBB",
-    "GREATER": b"\xBC", "GEQ": b"\xBD", "NEQ": b"\xBE",
+    "GREATER": b"\xBC", "NEQ": b"\xBD", "GEQ": b"\xBE",
     "NEWC": b"\xC8", "ENDC": b"\xC9", "STREF": b"\xCC",
     "CTOS": b"\xD0", "ENDS": b"\xD1", "LDREF": b"\xD4",
     "EXECUTE": b"\xD8", "JMPX": b"\xD9", "RET": b"\xDB\x30",
@@ -469,6 +480,13 @@ def _encode(op) -> tuple[bytes, Cell | None]:
         return bytes([_CC_ARG[name], bits - 1]), None
     if name in _IMM8:
         (imm,) = args
+        # THROW's immediate is unsigned 0..255; the int-compare imms are
+        # signed int8 — refuse out-of-range instead of silently masking
+        # (a typo'd THROW 300 must not assemble as THROW 44)
+        lo_ok = 0 if name == "THROW" else -(1 << 7)
+        hi_ok = (1 << 8) - 1 if name == "THROW" else (1 << 7) - 1
+        if not lo_ok <= imm <= hi_ok:
+            raise ValueError(f"{name} immediate out of range: {imm}")
         return bytes([_IMM8[name], imm & 0xFF]), None
     if name == "PUSHINT":
         (v,) = args
@@ -482,23 +500,23 @@ def _encode(op) -> tuple[bytes, Cell | None]:
         if n > 33:
             raise ValueError("PUSHINT operand exceeds 257 bits")
         return bytes([0x82, n]) + (v & ((1 << (n * 8)) - 1)).to_bytes(n, "big"), None
-    if name == "PUSH":
+    if name in ("PUSH", "POP", "PUSHCTR", "POPCTR"):
         (i,) = args
-        return bytes([0x20 | i]), None
-    if name == "POP":
-        (i,) = args
-        return bytes([0x30 | i]), None
+        # one-nibble register index — out-of-range would silently bleed
+        # into an ADJACENT opcode family (PUSH 16 -> 0x30 = DROP)
+        if not 0 <= i <= 15:
+            raise ValueError(f"{name} register index out of range: {i}")
+        base = {"PUSH": (0x20,), "POP": (0x30,),
+                "PUSHCTR": (0xED, 0x40), "POPCTR": (0xED, 0x50)}[name]
+        return (bytes([base[0] | i]) if len(base) == 1
+                else bytes([base[0], base[1] | i])), None
     if name == "XCHG":
         if len(args) == 1:
             return bytes([args[0]]), None
         i, j = args
+        if not (0 <= i <= 15 and 0 <= j <= 15):
+            raise ValueError(f"XCHG register index out of range: {i},{j}")
         return bytes([0x10, (i << 4) | j]), None
-    if name == "PUSHCTR":
-        (i,) = args
-        return bytes([0xED, 0x40 | i]), None
-    if name == "POPCTR":
-        (i,) = args
-        return bytes([0xED, 0x50 | i]), None
     if name == "PUSHREF":
         return b"\x88", args[0]
     if name == "PUSHREFSLICE":
