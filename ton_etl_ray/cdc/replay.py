@@ -102,15 +102,23 @@ def _discover(changes: str | list[str]) -> list[str]:
     return files
 
 
+def _sample_row_groups(files: list[str], max_files: int = 8):
+    """First row group (doc_id column) of up to ``max_files`` evenly
+    spaced shards — the ONE shard-sampling idiom behind hot-key
+    detection here and the strategy router's shuffle-bytes estimate
+    (cdc/strategy.py). Yields ``(ParquetFile, row_group_table)``."""
+    step = max(1, len(files) // max_files)
+    for f in files[::step][:max_files]:
+        pf = pq.ParquetFile(f)
+        yield pf, pf.read_row_group(0, columns=["doc_id"])
+
+
 def _sample_keys(files: list[str], max_files: int = 8, max_rows: int = 200_000) -> pa.ChunkedArray:
     """Bounded driver-side sample for hot-key detection: first row group
     of up to ``max_files`` evenly spaced shards, doc_id column only."""
-    step = max(1, len(files) // max_files)
     chunks = []
     total = 0
-    for f in files[::step][:max_files]:
-        pf = pq.ParquetFile(f)
-        rg = pf.read_row_group(0, columns=["doc_id"])
+    for _pf, rg in _sample_row_groups(files, max_files):
         chunks.append(rg.column("doc_id"))
         total += rg.num_rows
         if total >= max_rows:

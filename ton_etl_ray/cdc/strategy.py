@@ -21,14 +21,13 @@ from .replay_late import replay_late
 def estimate_shuffle_bytes(files: list[str], override_num_blocks: int) -> int:
     """Predicted eager-shuffle payload: blocks × unique-keys-per-block ×
     bytes-per-row, extrapolated from sampled row groups."""
-    step = max(1, len(files) // 8)
+    from .replay import _sample_row_groups
+
     sampled_rows = 0
     sampled_bytes = 0
     distinct_ratio = 0.0
     n_samples = 0
-    for f in files[::step][:8]:
-        pf = pq.ParquetFile(f)
-        rg = pf.read_row_group(0, columns=["doc_id"])
+    for pf, rg in _sample_row_groups(files, max_files=8):
         n = rg.num_rows
         if n == 0:
             continue

@@ -338,7 +338,10 @@ def metadata_refresh_feed(
                     stored = np.array(t[meta_col].to_pylist(), dtype=object)
                 else:
                     stored = np.full(len(karr), None, dtype=object)
-                cand = np.array([n is not None for n in new]) & (new != stored)
+                # explicit bool dtype: np.array([]) defaults to float64
+                # and `float & bool` raises on an EMPTY batch
+                cand = (np.array([n is not None for n in new], dtype=bool)
+                        & (new != stored))
                 # raw mismatch may be formatting-only: re-parse those few
                 for i in np.flatnonzero(cand):
                     s = stored[i]

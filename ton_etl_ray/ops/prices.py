@@ -198,6 +198,16 @@ def _latest_states(sf_dir: str, key_cols: list[str], *, num_buckets: int):
     return _rank1_states(ds, AMM_CODE_HASH, key_cols, num_buckets=num_buckets)
 
 
+def _nano_price(r0: "pa.ChunkedArray | pa.Array", r1) -> pa.Array:
+    """reserve1/reserve0 in nano units — the ONE price formula behind
+    core_prices and price_history (and the DuckDB oracles pinned to
+    it). Python-int arithmetic: r1 * 1e9 overflows int64 at large sf."""
+    return pa.array(
+        [b * 10**9 // a for a, b in zip(r0.to_pylist(), r1.to_pylist())],
+        pa.int64(),
+    )
+
+
 def _decode_reserves(t: pa.Table, extra_cols: list[str]) -> pa.Table:
     """Winner-body reserve decode (per-row BOC parse is inherent for
     opaque binary payloads; runs over rank-1 survivors only)."""
@@ -227,11 +237,8 @@ def core_prices(sf_dir: str, *, num_buckets: int = 64):
 
     def finish(t: pa.Table) -> pa.Table:
         t = _decode_reserves(t, [])
-        r0 = t["reserve0"].to_pylist()
-        r1 = t["reserve1"].to_pylist()
-        # Python-int arithmetic: r1 * 1e9 overflows int64 at large sf
-        price = [b * 10**9 // a for a, b in zip(r0, r1)]
-        return t.append_column("price_nano", pa.array(price, pa.int64()))
+        return t.append_column(
+            "price_nano", _nano_price(t["reserve0"], t["reserve1"]))
 
     return _latest_states(sf_dir, ["account"], num_buckets=num_buckets).map_batches(
         finish, batch_format="pyarrow"
@@ -262,13 +269,11 @@ def price_history(sf_dir: str, *, accounts: list[str] | None = None):
             t = t.filter(pc.is_in(t["account"], acct_set))
         t = _decode_reserves(t.select(["account", "lt", "data_boc"]), [])
         # Python-int arithmetic: r1 * 1e9 overflows int64 at large sf
-        price = [b * 10**9 // a
-                 for a, b in zip(t["reserve0"].to_pylist(), t["reserve1"].to_pylist())]
         return pa.table(
             {
                 "account": t["account"],
                 "lt": t["lt"],
-                "price_nano": pa.array(price, pa.int64()),
+                "price_nano": _nano_price(t["reserve0"], t["reserve1"]),
             }
         )
 

@@ -171,31 +171,36 @@ def synth_swap_messages(sf_dir: str):
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
+    # the four signed opcodes are constants: compute once per batch,
+    # not once per appended row (each call allocated a numpy array)
+    sgn = lambda op: int(opcode_signed(np.array([op], np.uint32))[0])  # noqa: E731
+    op_req, op_pay = sgn(OP_SWAP_REQUEST), sgn(OP_SWAP_PAYOUT)
+    op_it, op_tr = sgn(OP_INTERNAL_TRANSFER), sgn(OP_JETTON_TRANSFER)
+
     def gen(t: pa.Table) -> pa.Table:
         keys = t["o_orderkey"].to_pylist()
         custs = t["o_custkey"].to_pylist()
         rows: list[tuple] = []
-        sgn = lambda op: int(opcode_signed(np.array([op], np.uint32))[0])  # noqa: E731
         for k, c in zip(keys, custs):
             pool = k % N_POOLS
             rows.append(
-                (md5_tag("req", k), None, sgn(OP_SWAP_REQUEST), "in",
+                (md5_tag("req", k), None, op_req, "in",
                  _addr_str("user", c), ROUTER, encode_swap_request(k, c))
             )
             rows.append(
-                (md5_tag("pay", k), md5_tag("req", k), sgn(OP_SWAP_PAYOUT), "in",
+                (md5_tag("pay", k), md5_tag("req", k), op_pay, "in",
                  _addr_str("pool", pool), ROUTER, encode_swap_payout(k, c))
             )
             if k % 5 == 0:
                 rows.append(
                     (md5_tag("it", k), md5_tag("tr", k) if k % 10 == 0 else None,
-                     sgn(OP_INTERNAL_TRANSFER), "in",
+                     op_it, "in",
                      _addr_str("jw", c), _addr_str("jw2", c),
                      encode_internal_transfer(k, c))
                 )
             if k % 10 == 0:
                 rows.append(
-                    (md5_tag("tr", k), None, sgn(OP_JETTON_TRANSFER), "in",
+                    (md5_tag("tr", k), None, op_tr, "in",
                      _addr_str("user", c), _addr_str("jw", c),
                      encode_transfer_parent(k, c))
                 )
@@ -540,8 +545,16 @@ def swap_volume(sf_dir: str):
             )
         masters, prices = _dim_arrays(dim_ref, "master", "price_quote")
         dst = np.asarray(t["swap_dst_token"].to_pylist())
-        idx = np.searchsorted(masters, dst)
-        price = prices[np.clip(idx, 0, len(masters) - 1)]
+        idx = np.clip(np.searchsorted(masters, dst), 0, len(masters) - 1)
+        hit = masters[idx] == dst
+        if not hit.all():
+            # fail loud, never price a swap with a NEIGHBORING pool's
+            # quote (clip maps a dim miss to an adjacent index)
+            raise ValueError(
+                "swap_volume: master(s) missing from wallet dim: "
+                f"{dst[~hit][:3].tolist()}"
+            )
+        price = prices[idx]
         df = pd.DataFrame(
             {
                 "swap_pool": t["swap_pool"].to_pylist(),
@@ -699,7 +712,18 @@ def swap_volume_priced(sf_dir: str, *, num_buckets: int = 32):
         vol = np.zeros(len(m), np.int64)
         a_i = np.where(priced, amount, 0).astype(np.int64)
         p_i = np.where(priced, price, 0).astype(np.int64)
-        vol[priced] = a_i[priced] * p_i[priced] // 10**9
+        ap, pp = a_i[priced], p_i[priced]
+        if ap.size and float(ap.max()) * float(pp.max()) >= 2.0**63:
+            # amount × nano-price can exceed int64 at large scale — the
+            # vectorized product would WRAP silently where the DuckDB
+            # oracle (hugeint) stays exact. Route the whole batch through
+            # Python big ints (exact; raises OverflowError if even the
+            # divided volume exceeds int64 — fail loud, never corrupt).
+            vol[priced] = np.fromiter(
+                (x * y // 10**9 for x, y in zip(ap.tolist(), pp.tolist())),
+                np.int64, count=len(ap))
+        else:
+            vol[priced] = ap * pp // 10**9
         return pa.table(
             {
                 "query_id": pa.array(m["query_id"].to_numpy(np.int64), pa.int64()),
