@@ -99,17 +99,13 @@ class Cell:
             raise ValueError(f"cell overflow: {len(self.refs)} refs > {MAX_CELL_REFS}")
 
     def __eq__(self, other):
-        return (
-            isinstance(other, Cell)
-            and self.bit_len == other.bit_len
-            and self.data == other.data
-            and self.refs == other.refs
-        )
+        # by VALUE via the iterative standard hash — structural
+        # recursion here would blow the Python stack on deep snake
+        # chains (~1000+ cells ≈ 125 KB payload, legal TL-B)
+        return isinstance(other, Cell) and cell_hash(self) == cell_hash(other)
 
     def __hash__(self):
-        # by value like __eq__ (refs recurse); iterative depth would only
-        # matter past ~1000 nested refs, far beyond any message payload
-        return hash((self.bit_len, self.data, tuple(hash(r) for r in self.refs)))
+        return hash(cell_hash(self))
 
     def begin_parse(self) -> "Slice":
         return Slice(self)
@@ -182,13 +178,23 @@ class Builder:
 
     def store_snake_bytes(self, data: bytes, *, first_budget: int | None = None) -> "Builder":
         """Snake format: fill this cell's remaining byte budget, chain
-        the rest through single refs."""
+        the rest through single refs. Iterative (tail-first): the chain
+        grows one cell per ~127 bytes, and payloads are legal to
+        megabytes — per-cell recursion would hit the Python stack limit
+        around 125 KB."""
         budget = (MAX_CELL_BITS - self.bit_len) // 8 if first_budget is None else first_budget
         head, tail = data[:budget], data[budget:]
         self.store_bytes(head)
         if tail:
-            nxt = Builder().store_snake_bytes(tail)
-            self.store_ref(nxt.end_cell())
+            per = MAX_CELL_BITS // 8
+            chunks = [tail[i:i + per] for i in range(0, len(tail), per)]
+            nxt: Cell | None = None
+            for chunk in reversed(chunks):
+                b = Builder().store_bytes(chunk)
+                if nxt is not None:
+                    b.store_ref(nxt)
+                nxt = b.end_cell()
+            self.store_ref(nxt)
         return self
 
     def end_cell(self) -> Cell:
@@ -283,16 +289,20 @@ def _number_cells(root: Cell) -> tuple[list[Cell], list[list[int]]]:
     occurrence — slightly larger output, never an ordering violation."""
     order: list[Cell] = []
     child_idx: list[list[int]] = []
-
-    def visit(c: Cell) -> int:
+    # iterative preorder (deep snake chains exceed the recursion limit):
+    # each stack entry is (cell, parent_index); a cell's own index is
+    # assigned at pop time and appended to its parent's child list, and
+    # refs are pushed reversed so children number left-to-right
+    stack: list[tuple[Cell, int]] = [(root, -1)]
+    while stack:
+        c, parent = stack.pop()
         i = len(order)
         order.append(c)
         child_idx.append([])
-        for r in c.refs:
-            child_idx[i].append(visit(r))
-        return i
-
-    visit(root)
+        if parent >= 0:
+            child_idx[parent].append(i)
+        for r in reversed(c.refs):
+            stack.append((r, i))
     return order, child_idx
 
 
@@ -424,25 +434,48 @@ def parse_boc(data: bytes) -> Cell:
 # ---------------------------------------------------------------------------
 
 
+def _hash_and_depth(root: Cell) -> tuple[dict[int, bytes], dict[int, int]]:
+    """Iterative post-order standard-hash + depth over the tree
+    (memoized by object identity): snake chains run one cell per ~127
+    bytes of payload, so structural recursion would hit the Python
+    stack limit around 125 KB — far below real message payloads."""
+    hsh: dict[int, bytes] = {}
+    dep: dict[int, int] = {}
+    stack: list[tuple[Cell, bool]] = [(root, False)]
+    while stack:
+        c, ready = stack.pop()
+        if id(c) in hsh:
+            continue
+        if not ready:
+            stack.append((c, True))
+            for r in c.refs:
+                if id(r) not in hsh:
+                    stack.append((r, False))
+            continue
+        d1 = len(c.refs)
+        d2 = c.bit_len // 8 + (c.bit_len + 7) // 8
+        data = bytearray(c.data[: (c.bit_len + 7) // 8])
+        if c.bit_len % 8:
+            data[-1] |= 0x80 >> (c.bit_len % 8)
+        body = bytearray((d1, d2)) + data
+        for r in c.refs:
+            body += dep[id(r)].to_bytes(2, "big")
+        for r in c.refs:
+            body += hsh[id(r)]
+        dep[id(c)] = 0 if not c.refs else 1 + max(dep[id(r)] for r in c.refs)
+        hsh[id(c)] = hashlib.sha256(bytes(body)).digest()
+    return hsh, dep
+
+
 def _cell_depth(c: Cell) -> int:
-    return 0 if not c.refs else 1 + max(_cell_depth(r) for r in c.refs)
+    return _hash_and_depth(c)[1][id(c)]
 
 
 def cell_hash(c: Cell) -> bytes:
     """sha256 standard hash of an ordinary level-0 cell: d1 d2 + padded
     data (with completion tag) + per-ref 16-bit depth + per-ref child
     hash, children hashed first."""
-    d1 = len(c.refs)
-    d2 = c.bit_len // 8 + (c.bit_len + 7) // 8
-    data = bytearray(c.data[: (c.bit_len + 7) // 8])
-    if c.bit_len % 8:
-        data[-1] |= 0x80 >> (c.bit_len % 8)
-    body = bytearray((d1, d2)) + data
-    for r in c.refs:
-        body += _cell_depth(r).to_bytes(2, "big")
-    for r in c.refs:
-        body += cell_hash(r)
-    return hashlib.sha256(bytes(body)).digest()
+    return _hash_and_depth(c)[0][id(c)]
 
 
 def state_init_cell(code: Cell, data: Cell) -> Cell:

@@ -136,8 +136,8 @@ def synth_dedust_messages(sf_dir: str):
     from ..functions import opcode_signed
 
     ds = read_table(sf_dir, "part", columns=["p_partkey"])
-    op_swap = int(opcode_signed(np.array([OP_DEDUST_SWAP], np.uint32))[0])
-    op_other = int(opcode_signed(np.array([OP_OTHER_EVENT], np.uint32))[0])
+    op_swap = opcode_signed(OP_DEDUST_SWAP)
+    op_other = opcode_signed(OP_OTHER_EVENT)
     other_body = serialize_boc(
         Builder().store_uint(OP_OTHER_EVENT, 32).end_cell()
     )
@@ -223,7 +223,7 @@ def dedust_swaps(sf_dir: str, *, batch_size: int = 4096):
     from ..functions import opcode_signed
 
     op_swap = pa.scalar(
-        int(opcode_signed(np.array([OP_DEDUST_SWAP], np.uint32))[0]), pa.int32()
+        opcode_signed(OP_DEDUST_SWAP), pa.int32()
     )
     blacklist = pa.array(DEDUST_BLACKLIST, pa.string())
 

@@ -464,7 +464,7 @@ def synth_dv_messages(sf_dir: str):
     from ..functions import opcode_signed
 
     ds = read_table(sf_dir, "part", columns=["p_partkey"])
-    op_swap = int(opcode_signed(np.array([OP_DEDUST_SWAP], np.uint32))[0])
+    op_swap = opcode_signed(OP_DEDUST_SWAP)
 
     def gen(t: pa.Table) -> pa.Table:
         rows = []
@@ -689,8 +689,8 @@ def synth_coffee_messages(sf_dir: str):
     from ..functions import opcode_signed
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
-    op_ev = int(opcode_signed(np.array([_COFFEE_EV_OP], np.uint32))[0])
-    op_in = int(opcode_signed(np.array([_COFFEE_IN_OP], np.uint32))[0])
+    op_ev = opcode_signed(_COFFEE_EV_OP)
+    op_in = opcode_signed(_COFFEE_IN_OP)
 
     def gen(t: pa.Table) -> pa.Table:
         rows = []
@@ -847,8 +847,8 @@ def coffee_swaps(sf_dir: str, *, batch_size: int = 4096,
     from .relational import join_auto
 
     msgs = coffee_message_dataset(sf_dir)
-    op_ev = pa.scalar(int(opcode_signed(np.array([_COFFEE_EV_OP], np.uint32))[0]), pa.int32())
-    op_in = pa.scalar(int(opcode_signed(np.array([_COFFEE_IN_OP], np.uint32))[0]), pa.int32())
+    op_ev = pa.scalar(opcode_signed(_COFFEE_EV_OP), pa.int32())
+    op_in = pa.scalar(opcode_signed(_COFFEE_IN_OP), pa.int32())
 
     def decode_events(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -992,7 +992,7 @@ def dedust_swaps_verified(sf_dir: str, *, batch_size: int = 4096):
     from ..functions import opcode_signed
 
     op_swap = pa.scalar(
-        int(opcode_signed(np.array([OP_DEDUST_SWAP], np.uint32))[0]), pa.int32())
+        opcode_signed(OP_DEDUST_SWAP), pa.int32())
 
     def claim(t: pa.Table) -> pa.Table:
         keep = pc.and_(

@@ -278,7 +278,10 @@ def uf_roundtrip_addresses(sf_dir: str):
             h = hashlib.md5(f"cust-{k}".encode()).hexdigest()
             raw = f"0:{(h + h).upper()}"
             uf = raw2uf(raw)
-            assert uf2raw(uf) == raw  # round-trip checked in-stage
+            if uf2raw(uf) != raw:  # round-trip checked in-stage — an
+                # explicit raise, not assert: workers may run with
+                # PYTHONOPTIMIZE and the guard must survive -O
+                raise ValueError(f"uf round-trip broke for {raw}")
             raws.append(raw)
             friendlies.append(uf)
         # the friendly form is asserted above but not emitted: the

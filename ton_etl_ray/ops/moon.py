@@ -179,11 +179,14 @@ def moon_swaps(sf_dir: str):
         )
         keep, min_outs, deadlines, refs = [], [], [], []
         for body in t["forward_payload"].to_pylist():
-            if opcode_of(body) != SWAP_OPCODE:
+            # parse ONCE and branch on the opcode — opcode_of() is a
+            # FULL parse (CRC32C + cell-tree build), and per-row BOC
+            # decode dominates this family's cost, so peeking then
+            # re-parsing claimed rows doubled the dominant work
+            s = parse_boc(body).begin_parse()
+            if s.remaining_bits < 32 or s.load_uint(32) != SWAP_OPCODE:
                 keep.append(False)
                 continue
-            s = parse_boc(body).begin_parse()
-            s.load_uint(32)
             min_outs.append(s.load_coins())
             deadlines.append(s.load_uint(64))
             s.load_address()  # excess (not projected by the reference row)

@@ -171,11 +171,10 @@ def synth_swap_messages(sf_dir: str):
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    # the four signed opcodes are constants: compute once per batch,
-    # not once per appended row (each call allocated a numpy array)
-    sgn = lambda op: int(opcode_signed(np.array([op], np.uint32))[0])  # noqa: E731
-    op_req, op_pay = sgn(OP_SWAP_REQUEST), sgn(OP_SWAP_PAYOUT)
-    op_it, op_tr = sgn(OP_INTERNAL_TRANSFER), sgn(OP_JETTON_TRANSFER)
+    # the four signed opcodes are constants: compute once, not once per
+    # appended row
+    op_req, op_pay = opcode_signed(OP_SWAP_REQUEST), opcode_signed(OP_SWAP_PAYOUT)
+    op_it, op_tr = opcode_signed(OP_INTERNAL_TRANSFER), opcode_signed(OP_JETTON_TRANSFER)
 
     def gen(t: pa.Table) -> pa.Table:
         keys = t["o_orderkey"].to_pylist()
@@ -274,7 +273,7 @@ from ._util import fmt_addr as _fmt_addr  # noqa: E402 — shared None-safe form
 def _op_scalar(op: int) -> pa.Scalar:
     from ..functions import opcode_signed
 
-    return pa.scalar(int(opcode_signed(np.array([op], np.uint32))[0]), pa.int32())
+    return pa.scalar(opcode_signed(op), pa.int32())
 
 
 # The decode stages are task-based map_batches, NOT actor pools: their
@@ -800,7 +799,7 @@ def jetton_mints(sf_dir: str, *, batch_size: int = 4096):
     )
 
     transfer_op = pa.scalar(
-        int(opcode_signed(np.array([OP_JETTON_TRANSFER], np.uint32))[0]), pa.int32()
+        opcode_signed(OP_JETTON_TRANSFER), pa.int32()
     )
 
     def transfer_hashes(t: pa.Table) -> pa.Table:

@@ -54,7 +54,14 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ..boc import Builder, parse_boc, serialize_boc
-from ._util import addr_bytes as _addr_bytes_t, addr_str as _addr_str_t, cached_synth_table, read_synth_dir, read_table
+from ._util import (
+    addr_bytes as _addr_bytes,
+    addr_str as _addr_str,
+    cached_synth_table,
+    fmt_addr as _fmt_addr,
+    read_synth_dir,
+    read_table,
+)
 
 OP_BUY = 0xCD78325D
 OP_SELL = 0x5E97D116
@@ -71,12 +78,6 @@ _MSG_SCHEMA = pa.schema(
         ("body_boc", pa.binary()),
     ]
 )
-
-
-# shared synthetic-address helpers (one definition for all four
-# parser families — ops/_util.py)
-_addr_str = _addr_str_t
-_addr_bytes = _addr_bytes_t
 
 
 def contract_whitelist() -> list[str]:
@@ -115,9 +116,9 @@ def synth_trade_messages(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_suppkey"]
     )
     ops_by_kind = {
-        0: int(opcode_signed(np.array([OP_BUY], np.uint32))[0]),
-        1: int(opcode_signed(np.array([OP_SELL], np.uint32))[0]),
-        2: int(opcode_signed(np.array([OP_GRADUATION], np.uint32))[0]),
+        0: opcode_signed(OP_BUY),
+        1: opcode_signed(OP_SELL),
+        2: opcode_signed(OP_GRADUATION),
     }
 
     def gen(t: pa.Table) -> pa.Table:
@@ -158,8 +159,6 @@ def trade_message_dataset(sf_dir: str):
     return read_synth_dir(ensure_trade_table(sf_dir), _MSG_SCHEMA)
 
 
-from ._util import fmt_addr as _fmt_addr  # noqa: E402 — shared None-safe formatter
-
 
 def _claim(t: pa.Table, ops: list[int]) -> pa.Table:
     """The P12-P16 predicate, fully vectorized: ext-out (direction out,
@@ -167,7 +166,7 @@ def _claim(t: pa.Table, ops: list[int]) -> pa.Table:
     (tonfun.py:14-18, 113-117)."""
     from ..functions import opcode_signed
 
-    signed = [int(opcode_signed(np.array([o], np.uint32))[0]) for o in ops]
+    signed = [opcode_signed(o) for o in ops]  # scalar path, no arrays
     mask = pc.and_(
         pc.and_(
             pc.is_in(t["opcode"], value_set=pa.array(signed, pa.int32())),
@@ -202,7 +201,7 @@ def decode_trades(t: pa.Table) -> pa.Table:
     from ..functions import opcode_signed
 
     t = _claim(t, [OP_BUY, OP_SELL])
-    buy_op = int(opcode_signed(np.array([OP_BUY], np.uint32))[0])
+    buy_op = opcode_signed(OP_BUY)
     contracts = t["source"].to_pylist()
     opcodes = t["opcode"].to_pylist()
     qids, traders, sides, tons, jettons, fees = [], [], [], [], [], []
