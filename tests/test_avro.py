@@ -139,3 +139,33 @@ def test_write_avro_dir_unique_naming_preserves_duplicates(tmp_path):
     back = read_avro_dataset(str(tmp_path / "uniq")).to_pandas()
     assert len(back) == 800
     assert len(set(files_u)) == len(files_u)
+
+
+def test_avro_null_list_elements_roundtrip(tmp_path):
+    """List items are a ['null', T] union: a null ELEMENT inside tokens
+    used to crash _encode_value (int(None)) mid-file."""
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "tokens": pa.array([[1, None, 3], None], pa.list_(pa.int32())),
+    })
+    p = str(tmp_path / "x.avro")
+    write_avro(t, p)
+    back = read_avro(p)
+    assert back.equals(t)
+
+
+def test_avro_roundtrip_preserves_narrow_types(tmp_path):
+    """Avro wire types widen int8/int16→int32, uint32→long and pin
+    timestamps at micros; the stored Arrow schema must restore the
+    writer's exact types on read."""
+    t = pa.table({
+        "i8": pa.array([1, -2], pa.int8()),
+        "i16": pa.array([300, -5], pa.int16()),
+        "u32": pa.array([7, 2**31], pa.uint32()),
+        "ts": pa.array([1000, 2000], pa.timestamp("ms")),
+    })
+    p = str(tmp_path / "narrow.avro")
+    write_avro(t, p)
+    back = read_avro(p)
+    assert back.schema == t.schema
+    assert back.equals(t)

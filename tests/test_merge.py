@@ -92,3 +92,17 @@ def test_order_insensitivity():
     a = compact(log, keep_tombstones=False).sort_by("doc_id")
     b = compact(shuffled, keep_tombstones=False).sort_by("doc_id")
     assert a.equals(b)
+
+
+def test_compact_refuses_null_doc_id():
+    """Null keys must fail LOUD: the first-of-run mask coerces null
+    comparisons to False, so null-key rows used to vanish silently."""
+    import pytest
+
+    t = pa.table({
+        "doc_id": pa.array(["a", None, "b"], pa.string()),
+        "lsn": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["c", "c", "c"], pa.string()),
+    })
+    with pytest.raises(ValueError, match="null doc_id"):
+        compact(t)

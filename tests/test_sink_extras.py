@@ -176,3 +176,90 @@ def test_concurrent_writer_lock_survives_second_start(tmp_path):
         replay(chg, lake, num_partitions=4, hot_share_threshold=1.0)
     assert os.path.exists(staged)   # writer A's files untouched
     assert os.path.exists(lockp)    # writer A's lock untouched
+
+
+def test_epoch_lock_corrupt_lock_file(tmp_path):
+    """A 0-byte / garbage _LOCK (writer crashed between O_EXCL and
+    write) must NOT loop forever: young → loud EpochLockError; past
+    stale_sec → reclaimed."""
+    import os
+    import time
+
+    import pytest
+
+    from ton_etl_ray.cdc.sink import (
+        EpochLockError, acquire_epoch_lock, epoch_dir, release_epoch_lock)
+
+    lake = str(tmp_path / "lake")
+    d = epoch_dir(lake, 0)
+    os.makedirs(d)
+    lock_path = os.path.join(d, "_LOCK")
+    open(lock_path, "w").close()               # empty lock, young
+    with pytest.raises(EpochLockError, match="unknown writer"):
+        acquire_epoch_lock(lake, 0)
+    # age it past stale_sec → reclaimed cleanly
+    old = time.time() - 10_000
+    os.utime(lock_path, (old, old))
+    lock = acquire_epoch_lock(lake, 0, stale_sec=3600)
+    release_epoch_lock(lock)
+
+
+def test_epoch_lock_reclaim_is_single_winner(tmp_path):
+    """N processes racing to reclaim one stale lock: exactly ONE may
+    hold it at a time (the old write+sleep+read-back let two writers
+    both 'win' when descheduled across the 10 ms window)."""
+    import os
+    import subprocess
+    import sys
+
+    from ton_etl_ray.cdc.sink import epoch_dir
+
+    lake = str(tmp_path / "lake")
+    d = epoch_dir(lake, 0)
+    os.makedirs(d)
+    with open(os.path.join(d, "_LOCK"), "w") as f:
+        f.write("999999999 0")                 # dead holder → all reclaim
+    marker = str(tmp_path / "critical")
+    code = f"""
+import sys, os, time
+sys.path.insert(0, '/root/repo')
+from ton_etl_ray.cdc.sink import acquire_epoch_lock, release_epoch_lock, EpochLockError
+try:
+    lock = acquire_epoch_lock({lake!r}, 0)
+except EpochLockError:
+    print('BLOCKED'); raise SystemExit(0)
+# critical section: flag overlap via an O_EXCL marker
+try:
+    fd = os.open({marker!r}, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+except FileExistsError:
+    print('OVERLAP'); raise SystemExit(1)
+time.sleep(0.3)
+os.close(fd); os.remove({marker!r})
+release_epoch_lock(lock)
+print('HELD')
+"""
+    procs = [subprocess.Popen([sys.executable, "-c", code],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(4)]
+    outs = [p.communicate(timeout=120)[0].strip() for p in procs]
+    assert "OVERLAP" not in outs, outs
+    assert outs.count("HELD") >= 1, outs
+
+
+def test_atomic_writers_use_unique_tmp(tmp_path):
+    """Two overlapping writers of the same path (Ray retry + presumed-
+    dead original) must not share a tmp name — each attempt's tmp is
+    writer-unique so neither can truncate the other mid-write."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from ton_etl_ray.cdc.sink import _tmp_name, atomic_write_table
+
+    p = str(tmp_path / "part.parquet")
+    assert _tmp_name(p) != _tmp_name(p)        # unique per call
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    size = atomic_write_table(p, t)
+    assert size == os.path.getsize(p)
+    assert not glob.glob(p + ".tmp*")          # no leftovers

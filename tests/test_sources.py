@@ -104,3 +104,21 @@ def test_pipeline_build_lock_unreadable_holder_times_out_cleanly(tmp_path):
     with pytest.raises(TimeoutError, match="unreadable holder"):
         with _build_lock(base, timeout=0.5):
             pass
+
+
+def test_mixed_avro_csv_dir_refused(tmp_path):
+    """A directory mixing .avro with ANY other data format is ambiguous
+    — the check used to look only for .parquet and silently dropped a
+    stray .csv part."""
+    import pyarrow as pa
+    import pytest
+
+    from ton_etl_ray.sources import read_table
+    from ton_etl_ray.sources_avro import write_avro
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    write_avro(pa.table({"x": pa.array([1], pa.int64())}), str(d / "a.avro"))
+    (d / "b.csv").write_text("x\n2\n")
+    with pytest.raises(ValueError, match="mixes .avro"):
+        read_table(str(d))

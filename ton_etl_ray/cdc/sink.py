@@ -61,8 +61,19 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def _tmp_name(path: str) -> str:
+    # writer-unique tmp: a Ray retry can overlap its presumed-dead
+    # original (worker lost, then found), and a SHARED '.tmp' name would
+    # let one writer O_TRUNC the other's in-progress file and replace a
+    # torn inode into place — pid+nanotime keeps every attempt disjoint
+    # (same hazard sources_avro.write_avro already pid-suffixes for)
+    import time as _time
+
+    return f"{path}.tmp.{os.getpid()}.{_time.monotonic_ns()}"
+
+
 def atomic_write_bytes(path: str, data: bytes) -> None:
-    tmp = path + ".tmp"
+    tmp = _tmp_name(path)
     with open(tmp, "wb") as f:
         f.write(data)
         f.flush()
@@ -74,13 +85,14 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
 def atomic_write_table(path: str, table: pa.Table, *,
                        row_group_size: int | None = None) -> int:
     """Write a parquet file atomically; returns file size in bytes."""
-    tmp = path + ".tmp"
+    tmp = _tmp_name(path)
     pq.write_table(table, tmp, row_group_size=row_group_size)
     with open(tmp, "rb+") as f:
         os.fsync(f.fileno())
+    size = os.path.getsize(tmp)
     os.replace(tmp, path)
     _fsync_dir(os.path.dirname(path))
-    return os.path.getsize(path)
+    return size
 
 
 _HASH_MAX_BYTES = 256 << 20  # skip hashing beyond this (cost at scale)
@@ -210,48 +222,89 @@ def acquire_epoch_lock(lake_dir: str, epoch: int, *, stale_sec: float = 3600.0) 
     d = epoch_dir(lake_dir, epoch)
     os.makedirs(d, exist_ok=True)
     lock = os.path.join(d, "_LOCK")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, f"{os.getpid()} {_time.time()}".encode())
-        os.close(fd)
-        return lock
-    except FileExistsError:
+
+    def _inspect():
+        """(exists, reclaimable, holder_pid, age) of the current lock.
+
+        Reclaimable = own pid (resume), provably dead holder, or past
+        ``stale_sec``. A 0-byte/garbage lock (writer crashed between
+        O_EXCL and write — or is ABOUT to write) has an unknown holder:
+        reclaim only on age, never on unparseability alone (the old
+        parse-retry recursed forever on exactly this shape). EPERM from
+        kill(pid, 0) means the process EXISTS under another uid — a
+        LIVE holder, not a dead one."""
+        pid: int | None = None
         try:
             with open(lock) as f:
-                holder_pid = int(f.read().split()[0])
+                pid = int(f.read().split()[0])
+        except FileNotFoundError:
+            return False, False, None, 0.0
+        except (ValueError, IndexError):
+            pid = None
+        try:
             age = _time.time() - os.path.getmtime(lock)
-        except (FileNotFoundError, ValueError, IndexError):
-            return acquire_epoch_lock(lake_dir, epoch, stale_sec=stale_sec)
-        holder_alive = True
-        if holder_pid != os.getpid():
+        except FileNotFoundError:
+            return False, False, None, 0.0
+        alive = True
+        if pid is not None and pid != os.getpid():
             try:
-                os.kill(holder_pid, 0)
-            except (ProcessLookupError, PermissionError):
-                holder_alive = False
-        if holder_pid == os.getpid() or not holder_alive or age > stale_sec:
-            # reclaim via atomic rename + ownership read-back: two
-            # concurrent reclaimers both rename, but the lock file ends
-            # up containing exactly one winner's pid (a remove+recreate
-            # scheme would let a late remove delete the other's lock)
-            tmp = f"{lock}.claim.{os.getpid()}"
-            with open(tmp, "w") as f:
-                f.write(f"{os.getpid()} {_time.time()}")
-            os.replace(tmp, lock)
-            _time.sleep(0.01)  # let a racing claimant's rename land
-            try:
-                with open(lock) as f:
-                    winner = int(f.read().split()[0])
-            except (FileNotFoundError, ValueError, IndexError):
-                winner = -1
-            if winner == os.getpid():
-                return lock
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        ok = (pid == os.getpid()) or (pid is not None and not alive) or age > stale_sec
+        return True, ok, pid, age
+
+    for _ in range(256):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {_time.time()}".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            pass
+        exists, reclaimable, holder_pid, age = _inspect()
+        if not exists:
+            continue  # released between create and read — retry create
+        if not reclaimable:
             raise EpochLockError(
-                f"epoch {epoch} of {lake_dir}: lost reclaim race to pid {winner}"
+                f"epoch {epoch} of {lake_dir} is being written by "
+                f"{'pid ' + str(holder_pid) if holder_pid is not None else 'an unknown writer'} "
+                f"(lock age {age:.0f}s); retry after it finishes or dies"
             )
-        raise EpochLockError(
-            f"epoch {epoch} of {lake_dir} is being written by pid {holder_pid} "
-            f"(lock age {age:.0f}s); retry after it finishes or dies"
-        )
+        # reclaim under a dedicated mutex, then RE-CHECK before removing:
+        # without the re-check, a reclaimer that examined the stale lock
+        # can remove a LIVE lock a faster racer reclaimed-and-recreated
+        # in the meantime (the old write+sleep+read-back scheme had the
+        # same ABA hole and let two writers both 'win'). While the stale
+        # file occupies the path, O_EXCL creation is impossible and only
+        # the mutex holder may remove — so recheck→remove is airtight.
+        rl = lock + ".rl"
+        try:
+            rfd = os.open(rl, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(rl) > 60:
+                    os.remove(rl)  # leaked by a crashed reclaimer
+            except FileNotFoundError:
+                pass
+            _time.sleep(0.01)
+            continue
+        try:
+            exists, still_ok, _p, _a = _inspect()
+            if exists and still_ok:
+                os.remove(lock)
+        finally:
+            os.close(rfd)
+            try:
+                os.remove(rl)
+            except FileNotFoundError:
+                pass
+        continue
+    raise EpochLockError(
+        f"epoch {epoch} of {lake_dir}: lock contention did not settle"
+    )
 
 
 def release_epoch_lock(lock_path: str) -> None:

@@ -51,6 +51,11 @@ def compact(changes: pa.Table, *, keep_tombstones: bool = True) -> pa.Table:
     """
     if changes.num_rows == 0:
         return changes
+    if changes["doc_id"].null_count:
+        # fail loud like replay's null-lsn check: the first-of-run mask
+        # below builds on pc.not_equal, whose null results coerce to
+        # False — null-key rows would VANISH silently instead of erroring
+        raise ValueError("null doc_id in change batch")
     idx = pc.sort_indices(changes, sort_keys=SORT_KEYS)
     t = changes.take(idx)
     out = t.filter(_first_per_key_mask(t["doc_id"]))

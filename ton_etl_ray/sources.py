@@ -20,11 +20,20 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.
     formats it is applied as an immediate projection."""
     import glob as _glob
 
+    def _other_data_files(d: str) -> list[str]:
+        # ANY non-avro data file makes the directory mixed — not just
+        # parquet (a stray .csv/.json part would otherwise be silently
+        # dropped by the avro-only read)
+        out = []
+        for e in ("parquet", "csv", "json", "jsonl"):
+            out += _glob.glob(os.path.join(d, f"*.{e}"))
+        return out
+
     ext = os.path.splitext(path)[1].lower()
     if ext == ".avro" or (
         os.path.isdir(path)
         and _glob.glob(os.path.join(path, "*.avro"))
-        and not _glob.glob(os.path.join(path, "*.parquet"))
+        and not _other_data_files(path)
     ):
         # a directory written by write_table(fmt="avro") has no extension
         # — sniff its contents so the round-trip is symmetric. A MIXED
@@ -40,8 +49,8 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> "rd.
         return read_avro_dataset(path, columns=columns)
     if os.path.isdir(path) and _glob.glob(os.path.join(path, "*.avro")):
         raise ValueError(
-            f"{path}: directory mixes .avro and .parquet parts — pass an "
-            "explicit file or a single-format directory"
+            f"{path}: directory mixes .avro with other data formats — pass "
+            "an explicit file or a single-format directory"
         )
     if ext in ("", ".parquet"):
         return rd.read_parquet(path, columns=columns, **kwargs)

@@ -110,7 +110,10 @@ def _arrow_to_avro_type(t: pa.DataType):
         return {"type": "bytes", "logicalType": "decimal",
                 "precision": t.precision, "scale": t.scale}
     if pa.types.is_list(t):
-        return {"type": "array", "items": _arrow_to_avro_type(t.value_type)}
+        # items are a ["null", T] union: Arrow list elements are
+        # nullable, and a bare T would crash _encode_value with a
+        # cryptic int(None) TypeError mid-file on the first null item
+        return {"type": "array", "items": ["null", _arrow_to_avro_type(t.value_type)]}
     raise TypeError(f"unsupported Arrow type for Avro: {t}")
 
 
@@ -259,7 +262,11 @@ def write_avro(table: pa.Table, path: str, *, codec: str = "deflate",
 
     out = io.BytesIO()
     out.write(MAGIC)
-    meta = {"avro.schema": json.dumps(avsc).encode(), "avro.codec": codec.encode()}
+    meta = {"avro.schema": json.dumps(avsc).encode(), "avro.codec": codec.encode(),
+            # Avro has no int8/int16/uint32/timestamp-unit distinctions;
+            # stash the exact Arrow schema so the read side restores the
+            # original types instead of silently widening (int16→int32)
+            "arrow.schema": table.schema.serialize().to_pybytes()}
     _write_long(out, len(meta))
     for k, v in meta.items():
         _write_bytes(out, k.encode())
@@ -334,7 +341,15 @@ def read_avro(path: str) -> pa.Table:
             arrays.append(pa.array(rows[c], pa.int64()).cast(pa.timestamp("us")))
         else:
             arrays.append(pa.array(rows[c], f.type))
-    return pa.Table.from_arrays(arrays, schema=schema)
+    t = pa.Table.from_arrays(arrays, schema=schema)
+    if "arrow.schema" in meta:
+        # restore the writer's exact Arrow types (see write_avro): the
+        # Avro wire types widen int8/int16→int32, uint32→int64 and fix
+        # timestamps at microseconds; values are unchanged so the cast
+        # back is safe (and loudly checked)
+        original = pa.ipc.read_schema(pa.py_buffer(meta["arrow.schema"]))
+        t = t.cast(original)
+    return t
 
 
 # --------------------------------------------------------------------------
