@@ -54,3 +54,22 @@ def test_debezium_roundtrip_replay(tmp_path):
     assert set(state) == {"a"}  # b deleted
     assert state["a"]["tokens"] == [9, 9, 9]
     assert state["a"]["score"] == 99.99
+
+
+def test_payload_envelope_name_collision_refused():
+    """A payload column named 'op'/'lsn'/'ts_ms' would silently collide
+    with the renamed envelope columns (which side wins depended on dump
+    column order) — refuse loudly instead."""
+    import pyarrow as pa
+    import pytest
+
+    from ton_etl_ray.cdc.debezium import normalize_debezium_batch
+
+    t = pa.table({
+        "op": pa.array(["x"], pa.string()),           # payload, not envelope
+        "__op": pa.array(["c"], pa.string()),
+        "__lsn": pa.array([1], pa.int64()),
+        "doc_id": pa.array(["a"], pa.string()),
+    })
+    with pytest.raises(ValueError, match="collide with the engine's envelope"):
+        normalize_debezium_batch(t)

@@ -844,3 +844,75 @@ def test_media_features_auto_decoder(monkeypatch):
     feats = np.asarray(out["feature"].to_pylist())
     assert feats.shape == (3, FEATURE_DIM)
     assert np.allclose(feats, 7.0)
+
+
+def test_stratified_sample_non_string_group_col(tmp_path):
+    """group_col keeps its own Arrow type (an int column used to crash
+    with ArrowTypeError in every map task)."""
+    import os
+
+    from ton_etl_ray.ops.sampling import budget_pack, stratified_sample
+
+    d = str(tmp_path)
+    n = 50
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "src_num": pa.array([i % 4 for i in range(n)], pa.int32()),
+        "n_chars": pa.array([10 * (i + 1) for i in range(n)], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    s = stratified_sample(d, per_group=3, group_col="src_num").to_pandas()
+    assert len(s) == 12 and s["src_num"].dtype.kind == "i"
+    b = budget_pack(d, budget_chars=10**9, group_col="src_num").to_pandas()
+    assert len(b) == n and b["src_num"].dtype.kind == "i"
+
+
+def test_approx_distinct_by_preserves_key_type_and_nulls():
+    """Grouped HLL keys keep the input dtype (int stays int, numeric
+    sort order) and a null key forms its own group instead of crashing
+    np.unique."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ton_etl_ray.ops.sketch import approx_distinct_by
+
+    out = approx_distinct_by(SF, table="events", key="user_id",
+                             column="event_type").to_pandas()
+    assert out["user_id"].dtype.kind in "iu"        # not str
+    assert (out["user_id"].sort_values().to_numpy() == out["user_id"].to_numpy()).all()
+
+    # null keys: synthesize a tiny parquet with a null group
+    import tempfile, os
+    import pyarrow as pa
+
+    d = tempfile.mkdtemp(prefix="sketchnull_", dir="/tmp")
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a", None, "a", None], pa.string()),
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    out2 = approx_distinct_by(d).to_pandas()
+    assert len(out2) == 2                            # 'a' + the null group
+    assert out2["approx_distinct"].tolist() == [2, 2]
+
+
+def test_linear_probe_rejects_out_of_range_labels(tmp_path):
+    """A -1 sentinel label used to one-hot into the LAST class via numpy
+    negative indexing — silently corrupting the fit."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ton_etl_ray.ops.ml import linear_probe
+
+    d = str(tmp_path)
+    n = 40
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[0.1] * 8 for _ in range(n)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([-1] * n, pa.int64()),
+    }), os.path.join(d, "embeddings.parquet"))
+    with pytest.raises(Exception, match="labels must be in"):
+        linear_probe(d, num_classes=4).to_pandas()

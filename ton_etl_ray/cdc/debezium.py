@@ -33,6 +33,17 @@ def normalize_debezium_batch(
     batch: pa.Table, *, numeric_fields: tuple[str, ...] = ()
 ) -> pa.Table:
     """Envelope → engine change columns; snapshot reads fold to creates."""
+    # a payload column named like an envelope TARGET would silently
+    # collide in the cols dict: iteration order decides whether the
+    # payload data vanishes or the op/lsn discriminator gets overwritten
+    # with payload values — both corrupt the change stream. Fail loud.
+    clash = [n for n in batch.column_names
+             if n in set(ENVELOPE_MAP.values()) and n not in ENVELOPE_MAP]
+    if clash:
+        raise ValueError(
+            f"debezium payload column(s) {clash} collide with the engine's "
+            "envelope targets (op/lsn/ts_ms); rename them upstream"
+        )
     cols: dict[str, pa.Array | pa.ChunkedArray] = {}
     for name in batch.column_names:
         if name in DROP_FIELDS:

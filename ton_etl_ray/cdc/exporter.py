@@ -36,40 +36,60 @@ _GAUGES = (
 )
 
 
+# per-path scrape cursor: metrics.jsonl is append-only, so each scrape
+# only parses the NEW tail — re-reading the whole file made scrape cost
+# grow without bound on a long-running watcher (a week at one epoch/sec
+# is ~600k lines parsed per 15 s scrape)
+_SCRAPE_CURSOR: dict[str, dict] = {}
+
+
 def render_metrics(lake_dir: str) -> str:
     """Render ``<lake>/metrics.jsonl`` as Prometheus text format.
 
-    Latest row → gauges; all rows → the monotonic counters
-    ``tonray_epochs_committed_total`` / ``tonray_events_routed_total``.
-    An absent or empty file renders zero committed epochs (a scrape
-    before the first commit must succeed, not 500)."""
+    Latest row → gauges; running totals → the monotonic counters
+    ``tonray_epochs_committed_total`` / ``tonray_events_routed_total``
+    (maintained incrementally from a per-path file cursor; a shrunken
+    file — rotation/replacement — resets the cursor). An absent or
+    empty file renders zero committed epochs (a scrape before the first
+    commit must succeed, not 500)."""
     path = os.path.join(lake_dir, "metrics.jsonl")
-    rows: list[dict] = []
-    if os.path.exists(path):
+    st = _SCRAPE_CURSOR.setdefault(
+        path, {"off": 0, "epochs": 0, "events": 0, "last": None})
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    if size < st["off"]:
+        st.update(off=0, epochs=0, events=0, last=None)
+    if size > st["off"]:
         with open(path) as f:
+            f.seek(st["off"])
             for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rows.append(json.loads(line))
-                except json.JSONDecodeError:
-                    # a torn trailing line (writer mid-append) must not
-                    # fail the scrape — skip it; the next scrape sees it
-                    continue
+                if not line.endswith("\n"):
+                    # torn trailing append: do NOT advance the cursor —
+                    # the completed line is parsed on the next scrape
+                    break
+                stripped = line.strip()
+                if stripped:
+                    try:
+                        r = json.loads(stripped)
+                    except json.JSONDecodeError:
+                        st["off"] += len(line.encode())
+                        continue
+                    st["epochs"] += 1
+                    st["events"] += int(r.get("events_routed", 0))
+                    st["last"] = r
+                st["off"] += len(line.encode())
     out = []
     out.append("# TYPE tonray_epochs_committed_total counter")
-    out.append(f"tonray_epochs_committed_total {len(rows)}")
+    out.append(f"tonray_epochs_committed_total {st['epochs']}")
     out.append("# TYPE tonray_events_routed_total counter")
-    out.append(
-        f"tonray_events_routed_total {sum(int(r.get('events_routed', 0)) for r in rows)}"
-    )
-    if rows:
-        last = rows[-1]
+    out.append(f"tonray_events_routed_total {st['events']}")
+    if st["last"] is not None:
         for name, field in _GAUGES:
-            if field in last:
+            if field in st["last"]:
                 out.append(f"# TYPE {name} gauge")
-                out.append(f"{name} {last[field]}")
+                out.append(f"{name} {st['last'][field]}")
     return "\n".join(out) + "\n"
 
 

@@ -87,7 +87,12 @@ def infer_schema(
             )
             fields.append(pa.field(name, pa.string()))
             continue
-        if t <= {dict, list}:
+        if t & {dict, list}:
+            # ANY nested value makes the column nested — a str/dict MIX
+            # used to fall through to the `str in t` branch and pin the
+            # column to pa.string(), making every later shard with a
+            # struct value fail the explicit-schema read (exactly the
+            # type flip the stable-schema pin exists to prevent)
             if not json_as_string:
                 continue  # leave nested columns to the parser
             _LOG.warning(

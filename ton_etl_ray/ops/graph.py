@@ -142,7 +142,7 @@ def connected_components(
     # follows input blocks): coalesce a tiny edge set scattered across
     # many map-output blocks down to a handful; a genuinely large edge
     # set keeps its layout (the repartition would be a full shuffle)
-    target = max(4, min(64, edges_sym.count() // 200_000 + 4))
+    target = max(4, min(64, n_sym // 200_000 + 4))
     if edges_sym.num_blocks() > target:
         edges_sym = edges_sym.repartition(target).materialize()
 

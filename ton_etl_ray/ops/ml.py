@@ -96,6 +96,15 @@ def linear_probe(sf_dir: str, l2: float = 1e-3, num_classes: int = 10,
             return _PART_SCHEMA.empty_table()
         A = _augment(_emb_matrix(t))
         y = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(y) and (y.min() < 0 or y.max() >= num_classes):
+            # validate up front: numpy negative indexing would silently
+            # one-hot a -1 sentinel into the LAST class (corrupting the
+            # fit with no error), and an overflow label should be a
+            # clear message, not an IndexError deep in a worker
+            raise ValueError(
+                f"linear_probe: labels must be in [0, {num_classes}); "
+                f"got range [{y.min()}, {y.max()}]"
+            )
         Y = np.zeros((len(y), num_classes))
         Y[np.arange(len(y)), y] = 1.0
         return pa.table(

@@ -230,32 +230,43 @@ def fk_orphans(sf_dir: str, *, child: str = "orders", child_key: str = "o_custke
     def bucket(t: pa.Table) -> pa.Table:
         # hash64, not raw low bits: stride-aligned id schemes (ids that
         # are multiples of 64) would otherwise collapse into one bucket;
-        # nulls route to bucket 0 (their key stays null in the data)
+        # nulls route to bucket hash64(0) % 64 (their key stays null in
+        # the data)
         filled = pc.fill_null(t["k"], 0)
         b = (hash64(filled) % np.uint64(64)).astype(np.int64)
         return t.append_column("__b", pa.array(b, pa.int64()))
 
-    def anti(df: "pd.DataFrame") -> pa.Table:
-        kids = df[df["__side"] == 0]
-        null_kids = kids[kids["k"].isna()]
-        kids = kids[~kids["k"].isna()]
-        parents = df.loc[df["__side"] == 1, "k"].to_numpy()
-        keep = ~np.isin(kids["k"].to_numpy(), parents)
-        orph = kids[keep].groupby("k", sort=False)["n"].sum()
-        keys = [int(k) for k in orph.index] + ([None] if len(null_kids) else [])
-        rows = [int(v) for v in orph.to_numpy()] + (
-            [int(null_kids["n"].sum())] if len(null_kids) else [])
-        return pa.table(
-            {
-                "orphan_key": pa.array(keys, pa.int64()),
-                "n_rows": pa.array(rows, pa.int64()),
-            }
-        )
+    def anti(g: pa.Table) -> pa.Table:
+        # Arrow/numpy int64 end-to-end: the previous pandas form let a
+        # null child key coerce the whole 'k' column to float64, so keys
+        # ≥ 2^53 compared ROUNDED in np.isin (a real orphan whose parent
+        # rounds equal silently vanished) and emitted rounded values —
+        # the exact hazard _portable_shuffle_join documents
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        kids = g.filter(pa.array(side == 0))
+        null_mask = pc.is_null(kids["k"])
+        n_null = pc.sum(pc.if_else(null_mask, kids["n"],
+                                   pa.scalar(0, pa.int64()))).as_py() or 0
+        kids = kids.filter(pc.invert(null_mask))
+        k = kids["k"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        n = kids["n"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        parents = (g.filter(pa.array(side == 1))["k"].drop_null()
+                   .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        keep = ~np.isin(k, parents)
+        uk, inv = np.unique(k[keep], return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, n[keep])  # exact int64, no float weights
+        keys = pa.array(uk, pa.int64())
+        rows = pa.array(sums, pa.int64())
+        if int(n_null):
+            keys = pa.concat_arrays([keys, pa.array([None], pa.int64())])
+            rows = pa.concat_arrays([rows, pa.array([int(n_null)], pa.int64())])
+        return pa.table({"orphan_key": keys, "n_rows": rows})
 
     return (
         both.map_batches(bucket, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(anti, batch_format="pandas")
+        .map_groups(anti, batch_format="pyarrow")
         .map_batches(
             lambda t: t.select(out_schema.names)
             if "orphan_key" in t.column_names else out_schema.empty_table(),

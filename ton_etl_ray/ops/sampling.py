@@ -21,6 +21,8 @@ size:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -64,7 +66,14 @@ def stratified_sample(sf_dir: str, per_group: int = 20, group_col: str = "source
     ``per_group`` rows per stratum per block reach the exchange (the
     map-side-combine pattern — a hot stratum can't flood one reducer)."""
     ensure_portable()
-    ds = read_table(sf_dir, "documents", columns=["doc_id", group_col, "n_chars"])
+    import pyarrow.parquet as _pq
+
+    # the stratum column keeps ITS type: hard-coded pa.string() crashed
+    # with ArrowTypeError for any non-string group_col
+    gtype = _pq.read_schema(
+        os.path.join(sf_dir, "documents.parquet")).field(group_col).type
+    ds = read_table(sf_dir, "documents",
+                    columns=list(dict.fromkeys(["doc_id", group_col, "n_chars"])))
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -83,7 +92,7 @@ def stratified_sample(sf_dir: str, per_group: int = 20, group_col: str = "source
         )
         return pa.table({
             "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            group_col: pa.array(df[group_col].tolist(), pa.string()),
+            group_col: pa.array(df[group_col].tolist(), gtype),
             "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
             "__h": pa.array(df["__h"].to_numpy(), pa.int64()),
         })
@@ -92,7 +101,7 @@ def stratified_sample(sf_dir: str, per_group: int = 20, group_col: str = "source
         g = g.sort_values(["__h", "doc_id"], kind="mergesort").head(per_group)
         return pa.table({
             "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-            group_col: pa.array(g[group_col].tolist(), pa.string()),
+            group_col: pa.array(g[group_col].tolist(), gtype),
             "n_chars": pa.array(g["n_chars"].to_numpy(), pa.int64()),
         })
 
@@ -104,7 +113,7 @@ def stratified_sample(sf_dir: str, per_group: int = 20, group_col: str = "source
             lambda t: t.select(["doc_id", group_col, "n_chars"])
             if "doc_id" in t.column_names
             else pa.schema([
-                ("doc_id", pa.int64()), (group_col, pa.string()),
+                ("doc_id", pa.int64()), (group_col, gtype),
                 ("n_chars", pa.int64()),
             ]).empty_table(),
             batch_format="pyarrow",
@@ -119,9 +128,14 @@ def budget_pack(sf_dir: str, budget_chars: int = 5_000, group_col: str = "source
     construction. One shuffle on the stratum key; the cumulative sum is
     vectorized inside each group."""
     ensure_portable()
-    ds = read_table(sf_dir, "documents", columns=["doc_id", group_col, "n_chars"])
+    import pyarrow.parquet as _pq
+
+    gtype = _pq.read_schema(
+        os.path.join(sf_dir, "documents.parquet")).field(group_col).type
+    ds = read_table(sf_dir, "documents",
+                    columns=list(dict.fromkeys(["doc_id", group_col, "n_chars"])))
     out_schema = pa.schema([
-        ("doc_id", pa.int64()), (group_col, pa.string()),
+        ("doc_id", pa.int64()), (group_col, gtype),
         ("n_chars", pa.int64()), ("cum_chars", pa.int64()),
     ])
 
@@ -131,7 +145,7 @@ def budget_pack(sf_dir: str, budget_chars: int = 5_000, group_col: str = "source
         keep = cum <= budget_chars
         return pa.table({
             "doc_id": pa.array(g["doc_id"].to_numpy()[keep], pa.int64()),
-            group_col: pa.array(np.asarray(g[group_col])[keep].tolist(), pa.string()),
+            group_col: pa.array(np.asarray(g[group_col])[keep].tolist(), gtype),
             "n_chars": pa.array(g["n_chars"].to_numpy()[keep], pa.int64()),
             "cum_chars": pa.array(cum[keep], pa.int64()),
         })

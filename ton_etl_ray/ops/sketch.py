@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -89,36 +90,93 @@ def approx_distinct_by(sf_dir: str, table: str = "events",
     Approximate (~1.6% standard error at 4096 registers) → rows-only;
     pytest pins the estimates within 5% of exact count(DISTINCT)."""
     ensure_portable()
-    import pandas as pd
+    import pyarrow.parquet as _pq
 
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=[key, column])
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ktype = _pq.read_schema(path).field(key).type  # key keeps ITS type
+    ds = rd.read_parquet(path, columns=[key, column])
+    # the SHUFFLE key is a non-null sentinel string ('n' for the null
+    # group, 'v'+str(key) otherwise): Ray's sort-based groupby boundary
+    # search np.searchsorted's object arrays and crashes comparing None
+    # to str — the typed key column rides along for the output
+    sketch_schema = pa.schema([("__gk", pa.string()), (key, ktype),
+                               ("sketch", pa.binary())])
+    out_schema = pa.schema([(key, ktype), ("approx_distinct", pa.int64())])
+
+    def _sentinel(keys: pa.Array) -> pa.Array:
+        vs = pc.cast(keys, pa.string())
+        return pc.if_else(
+            pc.is_null(vs), pa.scalar("n"),
+            pc.binary_join_element_wise(pa.scalar("v"), vs, pa.scalar("")))
 
     def sketch_by(t: pa.Table) -> pa.Table:
-        kv = np.asarray(t[key].to_pylist())
-        out_k: list = []
-        out_s: list = []
-        for k in np.unique(kv):  # loop over GROUPS per block, not rows
+        karr = (t[key].combine_chunks()
+                if isinstance(t[key], pa.ChunkedArray) else t[key])
+        n = len(karr)
+        if n == 0:
+            return sketch_schema.empty_table()
+        # ONE sort groups equal keys (nulls last, a group of their own —
+        # SQL GROUP BY keeps a null group and stratified_sample preserves
+        # null strata too); group runs then slice in one pass. The
+        # previous form np.unique'd a Python-object array (TypeError on
+        # any null) per block AND re-filtered the full column per key
+        # (O(keys × rows)), stringifying the key type on the way out.
+        idx = pc.sort_indices(karr, null_placement="at_end")
+        sk = karr.take(idx)
+        vals = t[column].take(idx)
+        a, b = sk.slice(1), sk.slice(0, n - 1)
+        boundary = pc.or_(
+            pc.fill_null(pc.not_equal(a, b), False),
+            pc.xor(pc.is_null(a), pc.is_null(b)),
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], boundary)))
+        ends = np.append(starts[1:], n)
+        out_s = []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
             regs = np.zeros(M, dtype=np.uint8)
-            hll_add(regs, t[column].filter(pa.array(kv == k)))
-            out_k.append(str(k))
+            hll_add(regs, vals.slice(s0, e0 - s0))
             out_s.append(regs.tobytes())
-        return pa.table({key: pa.array(out_k, pa.string()),
-                         "sketch": pa.array(out_s, pa.binary())})
+        group_keys = sk.take(pa.array(starts, pa.int64()))
+        return pa.table(
+            {"__gk": _sentinel(group_keys), key: group_keys,
+             "sketch": pa.array(out_s, pa.binary())}, schema=sketch_schema)
 
-    out_schema = pa.schema([(key, pa.string()), ("approx_distinct", pa.int64())])
-
-    def merge_group(df: "pd.DataFrame") -> pa.Table:
+    def merge_group(g: pa.Table) -> pa.Table:
         merged = np.zeros(M, dtype=np.uint8)
-        for b in df["sketch"]:
+        for b in g["sketch"].to_pylist():
             merged = hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
-        return pa.table({key: pa.array([df[key].iloc[0]], pa.string()),
-                         "approx_distinct": pa.array([int(round(hll_count(merged)))], pa.int64())})
+        karr = (g[key].combine_chunks()
+                if isinstance(g[key], pa.ChunkedArray) else g[key])
+        return pa.table(
+            {key: karr.slice(0, 1),
+             "approx_distinct": pa.array([int(round(hll_count(merged)))], pa.int64())},
+            schema=out_schema)
 
-    return (
+    # string-typed keys with a null group would crash the global sort's
+    # boundary search the same way — sort those by the sentinel order
+    # (null group first, then lexicographic = the natural string order);
+    # numeric keys sort natively (their nulls ride as NaN, no object
+    # comparison happens)
+    string_key = (pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
+                  or pa.types.is_binary(ktype))
+    out = (
         ds.map_batches(sketch_by, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(merge_group, batch_format="pandas")
-        .map_batches(
+        .groupby("__gk")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+    if string_key:
+        out = out.map_batches(
+            lambda t: t.append_column("__gk", _sentinel(
+                t[key].combine_chunks()
+                if isinstance(t[key], pa.ChunkedArray) else t[key]))
+            if "approx_distinct" in t.column_names
+            else pa.schema(list(out_schema) + [pa.field("__gk", pa.string())]).empty_table(),
+            batch_format="pyarrow",
+        ).sort("__gk")
+        return out.map_batches(lambda t: t.select(out_schema.names),
+                               batch_format="pyarrow")
+    return (
+        out.map_batches(
             lambda t: t.select(out_schema.names)
             if "approx_distinct" in t.column_names else out_schema.empty_table(),
             batch_format="pyarrow",
