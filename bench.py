@@ -36,9 +36,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # latency, dominates the scaling measurement.
 EVENTS_PER_LINEITEM_ROW = 33.4
 MAX_TOK = 48
-# --scaling uses a larger log (x5): a job must be big enough to saturate
-# 4N cores before scaling efficiency is meaningful (the production target
-# is 10^10 events; 2x10^7 leaves 32 cores half idle on fixed latencies)
+# --scaling uses a larger log (x2 by default, GRAFT_BENCH_EVENTS_MULT to
+# override): a job must be big enough to saturate 4N cores before scaling
+# efficiency is meaningful (the production target is 10^10 events;
+# 2x10^7 leaves 32 cores half idle on fixed latencies)
 EVENTS_MULT = int(os.environ.get("GRAFT_BENCH_EVENTS_MULT", "1"))
 SKIP_QUERIES = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
 # single-node wall time is noisy (+/-40% on this VM); take the min of
@@ -81,7 +82,10 @@ def _ensure_change_log() -> tuple[str, int]:
     num_keys = min(2_000_000, max(1000, num_events // 10))
     num_shards = 64  # fixed, NOT a function of NUM_CPUS: shard count caps
     # read parallelism, so it must be identical across scaling levels
-    tag = f"/tmp/tonray_bench_{_sf_tag()}_{num_events}_s{num_shards}"
+    # the tag encodes EVERY generator parameter: a stale cache from a
+    # different max_tok/seed/key-count would silently measure an old log
+    tag = (f"/tmp/tonray_bench_{_sf_tag()}_{num_events}_k{num_keys}"
+           f"_s{num_shards}_t{MAX_TOK}_seed42")
     marker = os.path.join(tag, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(tag, ignore_errors=True)

@@ -25,11 +25,16 @@ from .._pickle import ensure_portable
 from ._util import _t, pool as _pool, read_table
 
 
-def _emb_matrix(t: pa.Table) -> np.ndarray:
+def _emb_matrix(t: pa.Table, dim: int | None = None) -> np.ndarray:
     col = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+    if len(col) == 0:
+        # empty block (zero-row row group / filtered upstream): the
+        # variable-length list type carries no row width, so callers
+        # pass their model's dim to keep downstream matmuls
+        # shape-consistent (indexing col[0] here used to IndexError)
+        return np.zeros((0, dim if dim is not None else 0), np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(col[0])
-    return flat.reshape(-1, dim)
+    return flat.reshape(-1, len(col[0]))
 
 
 def _min_vec_rows(sf_dir: str, num: int) -> pa.Table:
@@ -123,7 +128,7 @@ def knn_cosine(sf_dir: str, k: int = 10):
             self.q, self.qid = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _emb_matrix(t)
+            m = _emb_matrix(t, dim=len(self.q))
             norms = np.linalg.norm(m, axis=1)
             sims = (m @ self.q) / np.where(norms == 0, 1.0, norms)
             ids = t["vec_id"].to_numpy()
@@ -180,7 +185,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_clusters: int = 8, probes: int = 3):
             self.cent, self.probe, self.q, self.qid = ray.get(cref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mm = _emb_matrix(t)
+            mm = _emb_matrix(t, dim=self.cent.shape[1])
             norms = np.clip(np.linalg.norm(mm, axis=1), 1e-12, None)
             mmn = mm / norms[:, None]
             cl = np.argmax(mmn @ self.cent.T, axis=1)
@@ -226,7 +231,7 @@ def lsh_embedding_pairs(sf_dir: str, threshold: float = 0.4, num_planes: int = 1
             self.planes = ray.get(pref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _emb_matrix(t)
+            m = _emb_matrix(t, dim=self.planes.shape[1])
             bits = (m @ self.planes.T > 0).astype(np.uint64)
             ids, bands_out, buckets = [], [], []
             vec_ids = t["vec_id"].to_numpy()
@@ -331,16 +336,6 @@ def _verify_cosine_pairs(sf_dir: str, cand: "rd.Dataset", *, threshold: float):
     )
 
 
-def _list_matrix(col) -> np.ndarray:
-    """list<float> column → (n, dim) float64 matrix (row-major copy)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if not len(arr):
-        return np.zeros((0, 1))
-    dim = len(arr[0])
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(-1, dim)
-
-
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
     """Embedding-cosine near-dup pairs: per-batch matmul against the
     broadcast (normalized) full matrix. At test scale the matrix is tiny;
@@ -359,7 +354,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.95):
             self.fm, self.fids = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mm = _emb_matrix(t)
+            mm = _emb_matrix(t, dim=self.fm.shape[1])
             mm = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
             sims = mm @ self.fm.T
             ids = t["vec_id"].to_numpy()
@@ -398,7 +393,7 @@ def knn_batch(sf_dir: str, k: int = 5, num_queries: int = 8):
             self.qm, self.qids = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _emb_matrix(t)
+            m = _emb_matrix(t, dim=self.qm.shape[1])
             m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
             sims = self.qm @ m.T                      # (Q, rows)
             ids = t["vec_id"].to_numpy()
@@ -479,7 +474,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, tol: float = 1e-4):
             # object store, and a fresh actor pool per Lloyd iteration
             # would cost more than the pass itself
             cent_local = ray.get(_cref)
-            mm = _emb_matrix(t)
+            mm = _emb_matrix(t, dim=cent_local.shape[1])
             mmn = mm / np.clip(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12, None)
             sims = mmn @ cent_local.T
             cl = np.argmax(sims, axis=1)

@@ -116,8 +116,9 @@ def _with_term_shard(ds, col: str = "term"):
 
         # seeded polars hash: process-stable (tests/test_text.py pins the
         # same property for the shingle hash) — shards must agree across
-        # workers
-        h = pl.Series(t[col].to_pylist()).hash(seed=0x5EED) % _TERM_SHARDS
+        # workers. from_arrow is zero-copy (to_pylist boxed every string
+        # on the hottest intermediate of the pipeline)
+        h = pl.from_arrow(t[col]).hash(seed=0x5EED) % _TERM_SHARDS
         return t.append_column("shard", pa.array(h.to_numpy().astype(np.int64)))
 
     return ds.map_batches(shard, batch_format="pyarrow")
@@ -412,7 +413,7 @@ def corpus_curation(sf_dir: str, lang: str = "en", min_words: int = 20,
     def route_source(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        h = pl.Series(t["source"].to_pylist()).hash(seed=0x5EED) % 16
+        h = pl.from_arrow(t["source"]).hash(seed=0x5EED) % 16
         return t.append_column("sshard", pa.array(h.to_numpy().astype(np.int64)))
 
     return (

@@ -20,7 +20,6 @@ clean text, counts and chunk contents hash-match bit-for-bit.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -8,7 +8,6 @@ re-expressed as ``map_batches(Cls, concurrency=N)``.
 
 from __future__ import annotations
 
-import os
 import re
 
 import numpy as np
@@ -19,7 +18,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .._pickle import ensure_portable
-from ._util import _t, pool as _pool, read_table
+from ._util import pool as _pool, read_table
 
 
 def doc_token_stats(sf_dir: str):
@@ -343,8 +342,7 @@ def dedup_docs_prefix(sf_dir: str, prefix_len: int = 40):
         import polars as pl
 
         part = (
-            pl.DataFrame({"prefix": prefix.to_pylist(),
-                          "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            pl.from_arrow(pa.table({"prefix": prefix, "doc_id": t["doc_id"]}))
             .group_by("prefix")
             .agg(pl.col("doc_id").min())
         )
@@ -413,13 +411,11 @@ def dedup_prefer_source(sf_dir: str, prefix_len: int = 40):
 
         prefix = pc.utf8_slice_codeunits(t["text"], 0, prefix_len)
         part = (
-            pl.DataFrame(
-                {
-                    "prefix": prefix.to_pylist(),
-                    "source": t["source"].to_pylist(),
-                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                }
-            )
+            pl.from_arrow(pa.table({
+                "prefix": prefix,
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+            }))
             .with_columns(
                 # zfill(20) covers the full non-negative int64 range
                 # (19 digits) — at 12 the composite order inverts for
