@@ -45,9 +45,23 @@ hist = token_histogram_at(lake, 0)
 print(f"epoch 0: budget view {budget.num_rows} sources, "
       f"histogram {hist.num_rows} distinct tokens")
 
-# epoch 1: a day's worth of changes lands
+# epoch 1: a day's worth of changes lands. Shift its lsns ABOVE epoch
+# 0's (write_change_log always starts at 0 — unshifted, nearly every
+# epoch-1 event would LOSE last-writer-wins to the stored state and the
+# "incremental maintenance" would maintain an almost-empty diff; same
+# shift quickstart.py applies)
 write_change_log(f"{work}/chg1", num_events=20_000, num_keys=6_000, seed=12,
                  num_shards=4, max_tok=32)
+import glob as _glob
+
+import pyarrow as _pa
+import pyarrow.parquet as _pq
+
+for f in _glob.glob(f"{work}/chg1/*.parquet"):
+    t = _pq.read_table(f)
+    t = t.set_column(t.column_names.index("lsn"), "lsn",
+                     _pa.compute.add(t["lsn"], _pa.scalar(1_000_000, _pa.int64())))
+    _pq.write_table(t, f)
 replay(f"{work}/chg1", lake)
 
 # maintain both views from the diff — O(changed keys), not O(lake)

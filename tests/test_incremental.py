@@ -134,3 +134,96 @@ def test_failed_ingest_does_not_leak_into_next_epoch(tmp_path, monkeypatch):
     replay(files[0:2] + files[4:6], lake2, num_partitions=8, hot_share_threshold=1.0)
     want = _state_map(lake2)
     assert got == want
+
+
+def test_interleaved_external_writer_not_reverted(tmp_path):
+    """An external replay() committing between two watcher micro-batches
+    must SURVIVE the next seal: the appliers' resident cache used to
+    reflect the pre-interleave epoch and silently reverted the
+    corrections in the next commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=6000, num_keys=400, seed=61,
+                     num_shards=6, max_tok=8)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    lake = str(tmp_path / "lake")
+
+    ing = IncrementalIngestor(lake, num_partitions=8, num_actors=2)
+    ing.ingest(files[:2])            # epoch 0 — actors now hold state
+    ing.ingest(files[2:4])           # epoch 1
+
+    # external one-shot correction: rewrite EVERY live doc's tokens at
+    # lsns above everything stored (a realistic ops fix-up)
+    state = final_state_table(lake).to_pylist()
+    corr_dir = str(tmp_path / "corr")
+    os.makedirs(corr_dir)
+    n = len(state)
+    corr = pa.table({
+        "lsn": pa.array(range(10_000_000, 10_000_000 + n), pa.int64()),
+        "op": pa.array(["u"] * n, pa.string()),
+        "doc_id": pa.array([r["doc_id"] for r in state], pa.string()),
+        "tokens": pa.array([[7, 7, 7]] * n, pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * n, pa.int32()),
+        "source": pa.array([r["source"] for r in state], pa.string()),
+        "ts_ms": pa.array([0] * n, pa.int64()),
+    })
+    pq.write_table(corr, os.path.join(corr_dir, "corr.parquet"))
+    replay(corr_dir, lake)           # epoch 2, by a DIFFERENT writer
+
+    # epoch 3 (same ingestor): a SMALL change set at even higher lsns —
+    # the stream contract (lsns increase across epochs) holds, and only
+    # these 10 docs may change
+    touched = [r["doc_id"] for r in state[:10]]
+    m = len(touched)
+    chg3_dir = str(tmp_path / "chg3")
+    os.makedirs(chg3_dir)
+    pq.write_table(pa.table({
+        "lsn": pa.array(range(20_000_000, 20_000_000 + m), pa.int64()),
+        "op": pa.array(["u"] * m, pa.string()),
+        "doc_id": pa.array(touched, pa.string()),
+        "tokens": pa.array([[9]] * m, pa.list_(pa.int32())),
+        "n_tok": pa.array([1] * m, pa.int32()),
+        "source": pa.array(["s"] * m, pa.string()),
+        "ts_ms": pa.array([0] * m, pa.int64()),
+    }), os.path.join(chg3_dir, "chg3.parquet"))
+    ing.ingest(sorted(glob.glob(os.path.join(chg3_dir, "*.parquet"))))
+
+    final = _state_map(lake)
+    for d in touched:
+        assert final[d][0] == (9,)
+    untouched = {d: v for d, v in final.items() if d not in set(touched)}
+    assert untouched and all(v[0] == (7, 7, 7) for v in untouched.values()), (
+        "external epoch's corrections were reverted by a stale applier cache")
+    ing.close()
+
+
+def test_latest_pointer_repairs_after_partial_publish(tmp_path):
+    """A crash between the _COMMIT write and the _LATEST flip leaves a
+    committed epoch invisible; latest_epoch must repair forward (the
+    pin-under-lock retry loops would otherwise livelock pinning the
+    same committed epoch forever)."""
+    from ton_etl_ray.cdc import sink as S
+
+    chg = str(tmp_path / "chg")
+    write_change_log(chg, num_events=4000, num_keys=300, seed=62,
+                     num_shards=4, max_tok=8)
+    files = sorted(glob.glob(os.path.join(chg, "*.parquet")))
+    lake = str(tmp_path / "lake")
+    replay(files[:2], lake, num_partitions=4)   # epoch 0
+    replay(files[2:3], lake)                    # epoch 1
+    # simulate the crash window: pointer still says 0, commit 1 exists
+    with open(os.path.join(lake, "_LATEST"), "w") as f:
+        f.write("0")
+    assert S.latest_epoch(lake) == 1            # repaired forward
+    with open(os.path.join(lake, "_LATEST")) as f:
+        assert f.read().strip() == "1"          # pointer rewritten
+    # and a further replay proceeds (no livelock), landing at epoch 2
+    res = replay(files[3:], lake)
+    assert res.epoch == 2
+    # no-pointer variant: epoch 0 committed, pointer missing entirely
+    lake2 = str(tmp_path / "lake2")
+    replay(files[:2], lake2, num_partitions=4)
+    os.remove(os.path.join(lake2, "_LATEST"))
+    assert S.latest_epoch(lake2) == 0

@@ -715,3 +715,38 @@ def test_watcher_feed_retention(tmp_path, ray_session):
     assert [os.path.basename(d) for d in after] == [
         os.path.basename(d) for d in feed_dirs]
     assert read_feed_meta(after[0])["kind"] == "snapshot"
+
+
+def test_idle_drain_measures_gap_since_last_arrival(tmp_path, ray_session):
+    """Idle drain is 'nothing new for idle_flush_sec' (the reference's
+    no-messages-for-N-seconds semantics): a steady trickle keeps
+    refreshing the timer — the old first-pending timer flushed
+    mid-arrival-wave."""
+    import shutil as _sh
+
+    from ton_etl_ray.cdc.streaming import DirectoryWatcher
+    from ton_etl_ray.gen import write_change_log
+
+    src = str(tmp_path / "src")
+    write_change_log(src, num_events=3000, num_keys=200, seed=77,
+                     num_shards=6, max_tok=8)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    clock = FakeClock()
+    w = DirectoryWatcher(watch, str(tmp_path / "lake"), num_partitions=4,
+                         num_actors=2, max_batch_shards=100,
+                         idle_flush_sec=5.0, stable_polls=0, time_fn=clock)
+    try:
+        # trickle: one shard every 4 s (< idle_flush) — NO flush happens
+        for f in files[:4]:
+            _sh.copy(f, watch)
+            assert w.step() is None          # timer keeps refreshing
+            clock.t += 4.0
+        assert w.pending and not w.epochs
+        # a real gap: nothing arrives for > idle_flush → drain
+        clock.t += 6.0
+        assert w.step() is not None
+        assert len(w.epochs) == 1
+    finally:
+        w.close()

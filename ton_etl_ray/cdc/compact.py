@@ -64,7 +64,13 @@ def compact_lake(lake_dir: str, *, num_partitions: int | None = None) -> dict:
             break
         sink.release_epoch_lock(lock)  # raced a publisher; re-pin
     prev = sink.read_commit(lake_dir, latest)
-    p_new = int(num_partitions or prev["num_partitions"])
+    if num_partitions is not None and num_partitions < 1:
+        # an explicit bad width must fail loud — `or` would silently
+        # treat 0 as "keep the previous width" and a negative value
+        # would wrap through the uint64 partition modulo
+        sink.release_epoch_lock(lock)
+        raise ValueError(f"compact_lake: num_partitions must be >= 1, got {num_partitions}")
+    p_new = int(num_partitions if num_partitions is not None else prev["num_partitions"])
     try:
         sink.clear_staging(lake_dir, epoch)
         schema = sink.lake_schema(lake_dir, latest)

@@ -54,10 +54,11 @@ class PartitionApplier:
         self.parts = set(parts)
         self.state: dict[int, pa.Table | None] = {}
         self.buffers: dict[int, list[pa.Table]] = {p: [] for p in parts}
+        #: lake epoch the resident state reflects (None = nothing cached)
+        self.state_epoch: int | None = None
 
-    def _load(self, part: int) -> pa.Table | None:
+    def _load(self, part: int, prev: int | None) -> pa.Table | None:
         if part not in self.state:
-            prev = sink.latest_epoch(self.lake_dir)
             paths = sink.state_path_map(self.lake_dir, prev)
             self.state[part] = pq.read_table(paths[part]) if part in paths else None
         return self.state[part]
@@ -81,9 +82,19 @@ class PartitionApplier:
         the last committed epoch on next use."""
         self.buffers = {p: [] for p in self.parts}
         self.state = {}
+        self.state_epoch = None
 
-    def seal(self, epoch: int) -> list[dict]:
-        """Fold buffers into resident state; 2PC-write changed partitions."""
+    def seal(self, epoch: int, prev: int | None) -> list[dict]:
+        """Fold buffers into resident state; 2PC-write changed partitions.
+
+        ``prev`` is the committed epoch this seal builds on (pinned
+        under the driver's epoch lock). If the resident cache reflects a
+        DIFFERENT epoch — another writer (one-shot replay, compaction)
+        committed in between — the cache is dropped and reloaded from
+        ``prev``: folding onto stale resident state would silently
+        revert the interleaved epoch's rows in the new commit."""
+        if self.state_epoch is not None and self.state_epoch != prev:
+            self.state = {}
         manifests = []
         for part in sorted(self.parts):
             bufs = self.buffers[part]
@@ -91,16 +102,18 @@ class PartitionApplier:
                 continue
             changes = pa.concat_tables(bufs, promote_options="permissive")
             self.buffers[part] = []
-            state = self._load(part)
+            state = self._load(part, prev)
             new_state = M.merge_state(state, changes).sort_by("doc_id")
             self.state[part] = new_state
             m = sink.write_partition(
                 self.lake_dir, epoch, sink.part_file(part), new_state,
                 {"kind": "data", "part": part, "rows_in": int(changes.num_rows),
                  "max_lsn": int(pc.max(changes["lsn"]).as_py()),
+                 "min_lsn": int(pc.min(changes["lsn"]).as_py()),
                  "tombstones": int(pc.sum(pc.equal(changes["op"], "d")).as_py() or 0)},
             )
             manifests.append({**m, "part": part})
+        self.state_epoch = epoch
         return manifests
 
 
@@ -207,11 +220,23 @@ class IncrementalIngestor:
         actors, owner, P = self.actors, self.owner, self.P
 
         def route(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
             t = norm(batch)
             part_col = t["part"].to_numpy(zero_copy_only=False)
+            # ONE argsort + run-boundary split: the previous form boxed
+            # every row to a Python int and re-scanned the full batch
+            # with a filter per distinct partition (O(P × rows))
+            order = np.argsort(part_col, kind="stable")
+            sorted_parts = part_col[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], sorted_parts[1:] != sorted_parts[:-1])))
+            idx = pa.array(order, pa.int64())
             by_actor: dict[int, dict[int, pa.Table]] = {}
-            for p in sorted(set(int(x) for x in part_col)):
-                sub = t.filter(pc.equal(t["part"], pa.scalar(p, pa.int64()))).drop_columns(["part"])
+            for i, s0 in enumerate(bounds.tolist()):
+                e0 = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_parts)
+                p = int(sorted_parts[s0])
+                sub = t.take(idx.slice(s0, int(e0) - s0)).drop_columns(["part"])
                 by_actor.setdefault(owner[p], {})[p] = sub
             pending = [actors[a].submit.remote(sub) for a, sub in by_actor.items()]
             n = sum(ray.get(pending)) if pending else 0
@@ -220,7 +245,8 @@ class IncrementalIngestor:
         ds = rd.read_parquet(files)
         total_routed = sum(r["routed"] for r in ds.map_batches(route, batch_format="pyarrow").take_all())
 
-        manifests = [m for ms in ray.get([a.seal.remote(epoch) for a in self.actors]) for m in ms]
+        manifests = [m for ms in ray.get(
+            [a.seal.remote(epoch, prev) for a in self.actors]) for m in ms]
 
         partitions: dict[str, dict] = {}
         prev_commit = sink.read_commit(self.lake_dir, prev) if prev is not None else None
@@ -246,11 +272,18 @@ class IncrementalIngestor:
         derived = derive(files, epoch) if derive is not None else {}
 
         state_schema = pa.schema([f for f in unified if f.name not in ("op", "ts_ms")])
+        # commit-level min_lsn: sound lower bound on this epoch's NEWLY
+        # stored lsns (same contract as replay) — consumed by the
+        # changefeed tombstone-collision check, which was permanently
+        # 'unknown' for watcher-built lakes while this path omitted it
+        min_lsns = [int(m.get("min_lsn", -1)) for m in by_part.values()]
         sink.publish_epoch(
             self.lake_dir, epoch, partitions,
             {"num_partitions": self.P, "num_salts": 0, "hot_keys": [],
              "inputs": [os.path.basename(f) for f in files],
              "rows_total": rows_total, "max_lsn": max_lsn,
+             "min_lsn": (-1 if not min_lsns or any(v < 0 for v in min_lsns)
+                         else min(min_lsns)),
              **({"derived": derived} if derived else {})},
             state_schema,
         )

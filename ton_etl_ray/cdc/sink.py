@@ -150,11 +150,30 @@ def staged_manifests(lake_dir: str, epoch: int) -> dict[str, dict]:
 
 
 def latest_epoch(lake_dir: str) -> int | None:
+    """Committed head. Self-repairing: ``publish_epoch`` writes the
+    epoch's ``_COMMIT`` and the ``_LATEST`` flip as two separate atomic
+    writes, so a crash in between leaves a committed epoch INVISIBLE —
+    and every pin-under-lock retry loop (replay / ingest / compact)
+    would then pin that epoch, find it committed, re-pin to the same
+    stale value and livelock. Scan forward from the pointer and repair
+    it (best-effort; racing repairers write the same value)."""
     p = os.path.join(lake_dir, LATEST_NAME)
     if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(f.read().strip())
+        # a crash before the FIRST flip: epoch 0 may be committed with
+        # no pointer at all
+        if is_committed(lake_dir, 0):
+            latest = 0
+        else:
+            return None
+    else:
+        with open(p) as f:
+            latest = int(f.read().strip())
+    repaired = latest
+    while is_committed(lake_dir, repaired + 1):
+        repaired += 1
+    if repaired != latest:
+        atomic_write_bytes(p, str(repaired).encode())
+    return repaired
 
 
 def read_commit(lake_dir: str, epoch: int) -> dict:

@@ -11,7 +11,9 @@ This module is the batch-engine analogue:
 - shards arriving in the watched directory play the Kafka topic;
 - a micro-batch is flushed when EITHER ``max_batch_shards`` have
   accumulated (size trigger) OR ``idle_flush_sec`` passed since the
-  first pending shard with nothing new arriving (idle drain);
+  LAST arrival while shards are pending (idle drain — the reference's
+  "no messages for N seconds"; a steady trickle keeps refreshing the
+  timer and is bounded by the size trigger instead);
 - each flush is one ``IncrementalIngestor.ingest`` epoch — actors seal
   (flush) their partitions and only then the epoch commit publishes,
   which IS the flush-before-commit barrier (K4/W4): a crash between
@@ -148,7 +150,7 @@ class DirectoryWatcher:
         # durable resume: shards named in committed epochs are done
         self.done = committed_inputs(lake_dir)
         self.pending: list[str] = []
-        self.first_pending_at: float | None = None
+        self.last_arrival_at: float | None = None
         self.epochs: list[dict] = []
         if self.feed_dir is not None:
             self.catch_up_feeds()
@@ -188,8 +190,12 @@ class DirectoryWatcher:
             new += 1
         # drop tracking for files that vanished or were promoted
         self._seen = {k: v for k, v in self._seen.items() if k in current and k not in self.pending}
-        if new and self.first_pending_at is None:
-            self.first_pending_at = self.now()
+        if new:
+            # idle is measured from the LAST arrival: only a gap with
+            # nothing new arriving drains the pending batch (the old
+            # first-pending timer flushed mid-arrival-wave and never
+            # actually measured idleness)
+            self.last_arrival_at = self.now()
         return new
 
     @property
@@ -203,7 +209,7 @@ class DirectoryWatcher:
             return False
         if len(self.pending) >= self.max_batch:
             return True          # size trigger
-        return self.now() - self.first_pending_at >= self.idle_flush  # idle drain
+        return self.now() - self.last_arrival_at >= self.idle_flush  # idle drain
 
     def _derive_outputs(self, files: list[str], epoch: int) -> dict[str, str]:
         """Run the derive registry over the micro-batch and stage the
@@ -341,7 +347,7 @@ class DirectoryWatcher:
         # mark done only AFTER the commit published
         self.pending = rest
         self.done.update(os.path.basename(f) for f in batch)
-        self.first_pending_at = self.now() if self.pending else None
+        self.last_arrival_at = self.now() if self.pending else None
         self.epochs.append(res)
         if self.feed_dir is not None:
             self._publish_feed(res["epoch"])
