@@ -288,6 +288,17 @@ def _conform_pairs(t: pa.Table) -> pa.Table:
     return t.select(["id_a", "id_b"])
 
 
+
+def _pair_hash_buckets(t: pa.Table, num_buckets: int = 64) -> "pa.Array":
+    """Mixed 64-bit hash bucket of an (id_a, id_b) pair column set — the
+    ONE definition behind every pair-shuffle in this family (candidate
+    dedup, payload re-join, counting verify)."""
+    a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
 def _distinct_pairs(cand: "rd.Dataset", *, num_buckets: int = 64) -> "rd.Dataset":
     """Distributed DISTINCT over (id_a, id_b) pair rows (a pair can be
     emitted by several LSH bands / shared shingles).
@@ -300,12 +311,7 @@ def _distinct_pairs(cand: "rd.Dataset", *, num_buckets: int = 64) -> "rd.Dataset
 
     def bucket(t: pa.Table) -> pa.Table:
         t = _conform_pairs(t)
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-        pb = (h % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("__pb", pa.array(pb))
+        return t.append_column("__pb", _pair_hash_buckets(t, num_buckets))
 
     def uniq(g: pd.DataFrame) -> pa.Table:
         arr = np.stack([g["id_a"].to_numpy(), g["id_b"].to_numpy()], axis=1)
@@ -369,11 +375,7 @@ def _pair_payload_join(
         if payload.name not in t.column_names:
             return empty_bucketed.empty_table()
         t = t.select(["id_a", "id_b", "side", payload.name])
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("__pb", _pair_hash_buckets(t))
 
     return j.map_batches(pair_bucket, batch_format="pyarrow")
 
@@ -530,24 +532,34 @@ def exact_dedup_hash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
-        hh = np.ascontiguousarray(hash64(t["text"])).view(np.int64)
+        import polars as pl
+
+        col = (t["text"].combine_chunks()
+               if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        # TWO independently-seeded 64-bit hashes = a 128-bit content
+        # key: at 10^10 docs a single 64-bit key expects real random
+        # collisions (~n²/2^65), and a collision here SILENTLY DELETES a
+        # unique document; 128 bits pushes that below 10^-18
+        hh = np.ascontiguousarray(hash64(col)).view(np.int64)
+        h2 = np.ascontiguousarray(
+            pl.Series("t", col).hash(seed=0xA5A5A5A5).to_numpy()).view(np.int64)
         # per-batch PARTIAL dedup (min doc_id per hash) before the
         # shuffle: a million-duplicate document otherwise ships a million
         # rows to one reducer — with the combiner it ships ≤1 row per
         # hash per block (same bound as the CDC Normalize combiner)
-        import polars as pl
-
         part = (
-            pl.DataFrame({"content_hash": hh, "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
-            .group_by("content_hash")
+            pl.DataFrame({"content_hash": hh, "content_hash2": h2,
+                          "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            .group_by(["content_hash", "content_hash2"])
             .agg(pl.col("doc_id").min())
         )
         return pa.table({"content_hash": pa.array(part["content_hash"].to_numpy(), pa.int64()),
+                         "content_hash2": pa.array(part["content_hash2"].to_numpy(), pa.int64()),
                          "doc_id": pa.array(part["doc_id"].to_numpy(), pa.int64())})
 
     out = (
         ds.map_batches(h, batch_format="pyarrow")
-        .groupby("content_hash")
+        .groupby(["content_hash", "content_hash2"])
         .aggregate(Min("doc_id", alias_name="keep_doc_id"))
     )
     # the hash itself is engine-internal; expose the winners (oracle:
@@ -794,6 +806,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
     def pairs(g: pd.DataFrame) -> pa.Table:
         out_a, out_b, out_na, out_nb = [], [], [], []
         capped = 0
+        # prefilter singleton shingles BEFORE the per-group loop: most
+        # shingles belong to exactly one doc and can never emit a pair,
+        # yet each paid a pandas group dispatch (the same duplicated()
+        # prefilter _grouped_bucket_pairs uses; postings are distinct
+        # per doc, so keep=False leaves only genuinely shared shingles)
+        g = g[g.duplicated("shingle", keep=False)]
         for _, grp in g.groupby("shingle"):
             u = grp.drop_duplicates("doc_id")
             ids = u["doc_id"].to_numpy()
@@ -829,11 +847,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, n: int = 3,
             return cand_schema.empty_table().append_column(
                 "__pb", pa.array([], pa.int64()))
         t = t.select(cand_schema.names)
-        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
-        return t.append_column("__pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("__pb", _pair_hash_buckets(t))
 
     def count_verify(g: pd.DataFrame) -> pa.Table:
         if not len(g) or "id_a" not in g.columns:

@@ -221,7 +221,10 @@ def broadcast_join_parts(sf_dir: str):
         dim, dkeys, payload, unique = _bcast_index(ref, "l_partkey")
         if dkeys is not None and not unique:
             raise ValueError("broadcast_join_parts requires unique dim keys")
-        if dkeys is None or t["l_partkey"].null_count:
+        if dkeys is None or len(dkeys) == 0 or t["l_partkey"].null_count:
+            # empty dim routes to the exact join (all-null payload) —
+            # searchsorted's clip would index dkeys[-1] on a 0-length
+            # array and crash the query
             out = t.join(dim, keys=["l_partkey"], join_type="left outer")
         else:
             pk = t["l_partkey"].to_numpy(zero_copy_only=False)
@@ -1254,8 +1257,12 @@ def order_lifecycle(sf_dir: str):
                         override_num_blocks=16)
 
     def bucket(t: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(t["o_custkey"], pa.scalar(255, pa.int64()))
-        return t.append_column("__cb", b)
+        # hash64, not raw low bits: a stride-aligned custkey scheme
+        # (surrogate IDs in multiples of 256) would collapse every order
+        # into ONE bucket and serialize the whole table through a single
+        # reducer — the same rule every other shuffle in this file follows
+        b = (hash64(t["o_custkey"]) % np.uint64(256)).astype(np.int64)
+        return t.append_column("__cb", pa.array(b, pa.int64()))
 
     prev_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),

@@ -12,11 +12,13 @@ partials inside each map task bound the shuffle to
 O(V) per block regardless of corpus size, so the exchange stays tiny at
 100 TB while the flatten work scales embarrassingly parallel.
 
-No SQL oracle: the driver's DuckDB views cover the INPUT tables, and
-token values are PRNG-derived inside the change log (pipelines.py:48),
-so these are rows-only queries; tests/test_tokens.py instead checks
-them against DuckDB ``unnest(tokens)`` over the committed lake parquet
-itself.
+Full SQL oracles: the change log's token values are md5-seeded-LCG per
+(doc, version) (pipelines.docs_to_change_log), so DuckDB reproduces the
+exact final-state token stream with ``unnest(range(0, n_tok))`` — the
+driver value-hash-checks these against the documents view, and
+tests/test_tokens.py additionally cross-checks them with
+``unnest(tokens)`` over the committed lake parquet itself (two
+independent derivations that cannot cancel out).
 """
 
 from __future__ import annotations
@@ -27,9 +29,6 @@ import pyarrow.compute as pc
 
 from .._pickle import ensure_portable
 from ._util import worker_cache
-
-_HIST_SCHEMA = pa.schema([("token", pa.int32()), ("n_occurrences", pa.int64())])
-
 
 def _lake(sf_dir: str):
     # cached committed flagship lake: one replay serves every
@@ -50,21 +49,12 @@ def lake_token_histogram(sf_dir: str, k: int = 50):
 
     ds = _lake(sf_dir).select_columns(["tokens"])
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(t["tokens"])
-        vc = flat.combine_chunks().value_counts() if isinstance(
-            flat, pa.ChunkedArray) else flat.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values").cast(pa.int32()),
-                "n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
+    # shares _hist_partials (sign=1) with the IVM delta path — one
+    # aggregation definition per view, pinned equal in pytest
     agg = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
+        ds.map_batches(_hist_partials, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
     )
     return agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
 
@@ -79,29 +69,11 @@ def source_token_budget(sf_dir: str):
 
     ds = _lake(sf_dir).select_columns(["source", "n_tok"])
 
-    def partials(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        g = (
-            pl.DataFrame(
-                {
-                    "source": t["source"].to_pylist(),
-                    "n_tok": t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
-                }
-            )
-            .group_by("source")
-            .agg(pl.len().alias("docs"), pl.col("n_tok").sum().alias("toks"))
-        )
-        return pa.table(
-            {
-                "source": pa.array(g["source"].to_list(), pa.string()),
-                "docs": pa.array(g["docs"].to_numpy().astype(np.int64), pa.int64()),
-                "toks": pa.array(g["toks"].to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
+    # ONE partial kernel for both the full recompute and the IVM delta
+    # passes (_budget_partials, sign=1) — the paths are pinned EQUAL in
+    # pytest, so keeping two copies of the aggregation invites drift
     agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
+        ds.map_batches(_budget_partials, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("docs", alias_name="n_docs"),
                    Sum("toks", alias_name="total_tokens"))
@@ -569,9 +541,16 @@ def incremental_source_budget(
             schema=_DELTA_SCHEMA))
     delta = _grouped_delta(stream)
 
-    # driver merge: both tables are O(sources)
+    # driver merge: both tables are O(sources). Counters stay in
+    # pandas' NULLABLE Int64 through the outer merge — the plain-int64
+    # path coerces to float64 on NaN-fill and silently drops low bits
+    # past 2^53, breaking the exact-not-approximate contract (the same
+    # coercion class _portable_shuffle_join documents and avoids)
     b = base.select(["source", "n_docs", "total_tokens"]).to_pandas()
     d = delta.to_pandas()
+    for df, cols in ((b, ("n_docs", "total_tokens")), (d, ("docs", "toks"))):
+        for c in cols:
+            df[c] = df[c].astype("Int64")
     m = b.merge(d, on="source", how="outer").fillna(0)
     merged = pa.table(
         {"source": pa.array(m["source"], pa.string()),
@@ -667,6 +646,11 @@ def incremental_token_histogram(
     b = base.to_pandas()
     if "n_occurrences" not in delta.columns:
         return base
+    # nullable Int64 through the outer merge: NaN-fill on plain int64
+    # coerces to float64 and loses exactness past 2^53 (see the budget
+    # merge above)
+    b["n_occurrences"] = b["n_occurrences"].astype("Int64")
+    delta["n_occurrences"] = delta["n_occurrences"].astype("Int64")
     m = b.merge(delta, on="token", how="outer", suffixes=("_b", "_d")).fillna(0)
     total = (m["n_occurrences_b"] + m["n_occurrences_d"]).astype("int64")
     keep = total > 0
